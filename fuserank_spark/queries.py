@@ -1,0 +1,411 @@
+"""Declared oracle queries (SURVEY.md §2.12) — the relational
+regression surface of the rebuild.
+
+Each entry is a pair: an idiomatic DataFrame-API implementation
+(system under test, Catalyst-optimized) and an ANSI-SQL oracle string
+DuckDB runs over the same parquet tables. Column names are aliased
+identically on both sides (the driver hash-compares by sorted column
+name).
+
+Determinism rules (SURVEY §5): total ORDER BY, explicit round() on
+floats, explicit casts, NULLS LAST canonical ordering.
+
+Reference parity citations are in each docstring (`src/...` paths are
+into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .session import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------- Q-SCAN (S1)
+@register("q_scan", "SELECT COUNT(*) AS n FROM lineitem")
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table count — parity with the reference CSV scan
+    (src/load.py:21-22); validates the parquet source path."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].agg(F.count(F.lit(1)).alias("n"))
+
+
+# -------------------------------------------------------------- Q-FILTER (P9)
+@register(
+    "q_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row predicate filter — parity with src/load_restaurants.py:12-13.
+    Both predicates reach the parquet scan as PushedFilters."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------- Q-PROJ-STR (P2/P3/P5/P6)
+@register(
+    "q_proj_str",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(p_type, '[aeiou]', '', 'g')) AS t,
+           split_part(p_name, ' ', 2) AS w
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q_proj_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String projection ops — split/strip/trim parity with
+    src/load_flipkart.py:21-25 (P2 split-to-columns, P3 regex strip,
+    P5 trim)."""
+    p = load_tables(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.trim(F.regexp_replace("p_type", "[aeiou]", "")).alias("t"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("w"),
+    ).orderBy("p_partkey")
+
+
+# ------------------------------------------------------------ Q-NULLFILL (P1)
+@register(
+    "q_nullfill",
+    """
+    SELECT o_orderkey, coalesce(o_orderpriority, 'n/a') AS pr
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna-constant parity with src/load_flipkart.py:19-20."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey", F.coalesce(F.col("o_orderpriority"), F.lit("n/a")).alias("pr")
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------- Q-JOIN (J1/J2)
+@register(
+    "q_join",
+    """
+    SELECT c.c_custkey, n.n_name, round(sum(o.o_totalprice), 2) AS spend
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, n.n_name
+    ORDER BY c.c_custkey
+    """,
+)
+def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based joins replacing the reference's positional gathers
+    (src/app.py:79, src/encode.py:208). nation is tiny → broadcast;
+    customer⋈orders shuffles on the key (AQE handles skew)."""
+    t = load_tables(spark, sf_dir, "customer", "nation", "orders")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------- Q-AGG-STATS (A1-A3)
+@register(
+    "q_agg_stats",
+    """
+    SELECT min(l_extendedprice) AS mn,
+           max(l_extendedprice) AS mx,
+           round(avg(l_extendedprice), 4) AS av,
+           round(stddev_pop(l_extendedprice), 4) AS sd,
+           count(DISTINCT l_returnflag) AS nd
+    FROM lineitem
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column stats — min/max (src/encode.py:358-359), mean/std
+    (src/transform.py:94-98), distinct count (src/app.py:44). One agg
+    pass; partial (map-side) aggregation is automatic."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.round(F.avg("l_extendedprice"), 4).alias("av"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("sd"),
+        F.countDistinct("l_returnflag").alias("nd"),
+    )
+
+
+# ------------------------------------------------------------- Q-ONEHOT (A4/C1)
+@register(
+    "q_onehot",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderstatus = 'F' AS INT) AS f,
+           CAST(o_orderstatus = 'O' AS INT) AS o,
+           CAST(o_orderstatus = 'P' AS INT) AS p
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot expansion over a sorted vocab — parity with
+    pd.get_dummies (src/encode.py:71); pure Column expressions, no UDF."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F").cast("int").alias("f"),
+        (F.col("o_orderstatus") == "O").cast("int").alias("o"),
+        (F.col("o_orderstatus") == "P").cast("int").alias("p"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------- Q-SCALE (N1)
+@register(
+    "q_scale",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(2 * (l_quantity - mn) / (mx - mn) - 1, 6) AS s
+    FROM lineitem,
+         (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scale to [−1,1] — parity with ModalityEncoder._scale
+    (src/encode.py:356-361). Stats computed once and broadcast-joined
+    (a 1-row dim), exactly the cached-stats posture from §4."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    stats = li.agg(F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                2 * (F.col("l_quantity") - F.col("mn")) / (F.col("mx") - F.col("mn")) - 1, 6
+            ).alias("s"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ------------------------------------------------------------- Q-RANKNORM (W1)
+_RANKNORM_ORACLE = """
+    SELECT o_orderkey,
+           round(
+             2 * ((rank() OVER w + (count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1) / 2.0) - 1)
+               / (count(*) OVER (PARTITION BY o_orderpriority) - 1) - 1,
+             6) AS r
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    ORDER BY o_orderkey
+"""
+
+
+@register("q_ranknorm", _RANKNORM_ORACLE)
+def q_ranknorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-ties rank normalized to [−1,1] — the exact pandas
+    ``rank()`` emulation (semantic gotcha #1, src/encode.py:231):
+    avg_rank = rank() + (tie_count − 1)/2, then 2·(r−1)/(n−1) − 1."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wt = Window.partitionBy("o_orderpriority", "o_totalprice")
+    wn = Window.partitionBy("o_orderpriority")
+    avg_rank = F.rank().over(w) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+    return o.select(
+        "o_orderkey",
+        F.round(2 * (avg_rank - 1) / (F.count(F.lit(1)).over(wn) - 1) - 1, 6).alias("r"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------- Q-TOPK (T1/T2)
+@register(
+    "q_topk",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    ORDER BY l_extendedprice * (1 - l_discount) DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k — parity with FAISS IndexFlatIP.search
+    (src/app.py:78). Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject: per-partition heap, driver merge — no full
+    sort, no full shuffle."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.orderBy(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).desc(),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .select("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------ Q-HAVERSINE (G1)
+@register(
+    "q_haversine",
+    """
+    SELECT s_suppkey,
+           round(2 * 6371 * asin(sqrt(
+               pow(sin(radians((s_suppkey % 90) - 20) / 2), 2)
+               + cos(radians(20)) * cos(radians(s_suppkey % 90))
+                 * pow(sin(radians((s_suppkey % 180) - 40) / 2), 2)
+           )), 3) AS km
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine distance as pure Column expressions — parity with the
+    vectorized numpy haversine (src/encode.py:371-388), R=6371."""
+    s = load_tables(spark, sf_dir, "supplier")["supplier"]
+    lat = F.col("s_suppkey") % 90
+    lon = F.col("s_suppkey") % 180
+    km = (
+        2
+        * 6371
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(lat - 20) / 2), 2)
+                + F.cos(F.radians(F.lit(20)))
+                * F.cos(F.radians(lat))
+                * F.pow(F.sin(F.radians(lon - 40) / 2), 2)
+            )
+        )
+    )
+    return s.select("s_suppkey", F.round(km, 3).alias("km")).orderBy("s_suppkey")
+
+
+# ----------------------------------------------------------------- Q-DOT (A9/T1)
+@register(
+    "q_dot",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 4) AS dot
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector dot product via higher-order functions — the scoring
+    primitive of the fused search (replaces faiss IP, src/app.py:78).
+    Stays entirely JVM-side (no UDF)."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    dot = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select("vec_id", F.round(dot, 4).alias("dot")).orderBy("vec_id")
+
+
+# --------------------------------------------------------------- Q-SETOPS (A8)
+@register(
+    "q_setops",
+    """
+    WITH a AS (
+      SELECT list_sort(list(vec_id)) AS ids FROM embeddings WHERE label % 2 = 0 AND vec_id < 200
+    ), b AS (
+      SELECT list_sort(list(vec_id)) AS ids FROM embeddings WHERE label % 3 = 0 AND vec_id < 200
+    )
+    SELECT CAST(len(list_filter(a.ids, x -> list_contains(b.ids, x))) AS BIGINT) AS n_inter,
+           CAST(len(list_filter(a.ids, x -> NOT list_contains(b.ids, x))) AS BIGINT) AS n_except
+    FROM a, b
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap building blocks of recall/r-precision — parity with
+    src/eval/evaluate.py:92-110 (set ∩ / −)."""
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    a = e.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < 200)).agg(
+        F.sort_array(F.collect_list("vec_id")).alias("ids_a")
+    )
+    b = e.filter((F.col("label") % 3 == 0) & (F.col("vec_id") < 200)).agg(
+        F.sort_array(F.collect_list("vec_id")).alias("ids_b")
+    )
+    return a.crossJoin(b).select(
+        F.size(F.array_intersect("ids_a", "ids_b")).cast("bigint").alias("n_inter"),
+        F.size(F.array_except("ids_a", "ids_b")).cast("bigint").alias("n_except"),
+    )
+
+
+# ------------------------------------------------------- Q-WINDOW-EVENTS
+@register(
+    "q_window_events",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           count(*) AS n, round(sum(value), 4) AS sv
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+    ORDER BY user_id, h
+    """,
+)
+def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg in batch form — the streaming-adjacent
+    surface (SURVEY §2.11); identical to the Structured Streaming
+    windowed agg the incremental path uses."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .orderBy("user_id", "h")
+    )
+
+
+# ----------------------------------------------------------------- Q-SEMI (J1)
+@register(
+    "q_semi",
+    """
+    SELECT p_partkey FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    ORDER BY p_partkey
+    """,
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join form of the top-k gather (src/app.py:79)."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    hits = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_partkey")
+    return (
+        t["part"]
+        .join(hits, t["part"]["p_partkey"] == hits["l_partkey"], "left_semi")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
