@@ -1,0 +1,129 @@
+"""§5.4 fused-vs-exact recall harness + search-path unit tests: the
+reference's differential-oracle pattern (`src/eval/evaluate.py:156-202`)
+with exact Spark SQL replacing Milvus as oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark import schema as S
+from fuserank_spark.embed import DeterministicStubEmbedder
+from fuserank_spark.flagship import (
+    AUX_SCHEMA,
+    EMB_DIM,
+    NUM_HARMONICS,
+    build_corpus,
+    flagship_query,
+)
+from fuserank_spark.metrics import recall
+from fuserank_spark.query import compile_query
+from fuserank_spark.search import dot_expr, lit_vector, topk, topk_batch
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = build_corpus(spark, SF_SMOKE)
+    c.encoded = c.encoded.persist()
+    c.encoded.count()
+    yield c
+    c.encoded.unpersist()
+
+
+def _compiled(corpus, aux_data, text="spark join filter vector search"):
+    return compile_query(
+        text,
+        aux_data,
+        AUX_SCHEMA,
+        corpus.stats,
+        corpus.layout,
+        text_embedder=DeterministicStubEmbedder(EMB_DIM),
+        num_harmonics=NUM_HARMONICS,
+    )
+
+
+def test_vector_dim_matches_layout(corpus):
+    row = corpus.encoded.select(F.size("vector").alias("d")).first()
+    cq = _compiled(corpus, {"lang": (None, 1.0), "source": (None, 1.0), "n_chars": (None, 1.0)})
+    assert row["d"] == corpus.layout.dim == len(cq.vector)
+
+
+def test_fused_recall_vs_exact_oracle(corpus):
+    """Fused soft-filter top-k must substantially recover the hard
+    exact-filtered text-ranking top-k (reference regime)."""
+    aux = {
+        "lang": ((["en", "de"], False), 4.0),
+        "source": (None, 1.0),
+        "n_chars": ((120.0, 360.0, False), 4.0),
+    }
+    cq = _compiled(corpus, aux)
+    k = 10
+    fused = [r["row_id"] for r in topk(corpus.encoded, cq.vector, k=k).select("row_id").collect()]
+
+    # oracle: hard predicate + text-similarity ranking (exact arm)
+    text_vec = cq.vector[: EMB_DIM]
+    text_score = dot_expr(F.slice("vector", 1, EMB_DIM), lit_vector(text_vec))
+    oracle_df = (
+        corpus.encoded.filter(cq.predicate)
+        .withColumn("ts", text_score)
+        .orderBy(F.desc("ts"), "row_id")
+        .limit(k)
+    )
+    oracle = [r["row_id"] for r in oracle_df.select("row_id").collect()]
+
+    rec = recall(oracle, fused)
+    assert rec >= 0.5, f"fused recall {rec} too low (fused={fused}, oracle={oracle})"
+    # every fused hit must satisfy the hard filter at high weight
+    sat = corpus.encoded.filter(F.col("row_id").isin(fused)).filter(cq.predicate).count()
+    assert sat >= int(0.8 * k)
+
+
+def test_topk_batch_matches_single(corpus):
+    auxes = [
+        {"lang": ((["en"], False), 2.0), "source": (None, 1.0), "n_chars": (None, 1.0)},
+        {"lang": (None, 1.0), "source": (None, 1.0), "n_chars": ((100.0, 200.0, False), 2.0)},
+    ]
+    cqs = [_compiled(corpus, a, text=t) for a, t in zip(auxes, ["fast join", "slow scan"])]
+    spark = corpus.encoded.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in cq.vector]) for i, cq in enumerate(cqs)],
+        "query_id int, qvec array<double>",
+    )
+    batch = topk_batch(corpus.encoded, qdf, k=5)
+    got = {
+        qid: [r["row_id"] for r in rows]
+        for qid, rows in [
+            (qid, batch.filter(F.col("query_id") == qid).orderBy(F.desc("relevance"), "row_id").collect())
+            for qid in (0, 1)
+        ]
+    }
+    for i, cq in enumerate(cqs):
+        single = [
+            r["row_id"]
+            for r in topk(corpus.encoded, cq.vector, k=5)
+            .orderBy(F.desc("relevance"), "row_id")
+            .collect()
+        ]
+        assert got[i] == single, f"query {i}: batch {got[i]} != single {single}"
+
+
+def test_weight_boost_promotes_filter(corpus):
+    """Raising the modality weight makes fused results satisfy the
+    filter more often (src/encode.py:118-119 semantics)."""
+    def hits(w):
+        aux = {"lang": ((["zh"], False), w), "source": (None, 1.0), "n_chars": (None, 1.0)}
+        cq = _compiled(corpus, aux)
+        ids = [r["row_id"] for r in topk(corpus.encoded, cq.vector, k=20).select("row_id").collect()]
+        return corpus.encoded.filter(F.col("row_id").isin(ids) & (F.col("lang") == "zh")).count()
+
+    assert hits(8.0) >= hits(0.5)
+
+
+def test_flagship_runs(spark):
+    df = flagship_query(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert "relevance" in df.columns
