@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from fuserank_spark import queries as _q
+from fuserank_spark import ext_queries as _ext  # noqa: F401 — registers extension queries
 
 SF0001 = "/root/testdata/sf0.001"
 

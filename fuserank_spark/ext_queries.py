@@ -1,0 +1,392 @@
+"""Oracle-checkable query entries for the pipeline-extension
+operators (dedup / similarity / text analysis / multimodal). Each
+Spark implementation calls the library operator; the oracle SQL
+re-derives the same math in DuckDB (portable md5-based hashing makes
+the two engines bit-compatible).
+
+Non-SQL-expressible operators (LSH ANN probing, multimodal decode,
+fused vector search) register without an oracle → the driver records
+the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline_ext import dedup as D
+from .pipeline_ext import multimodal as M
+from .pipeline_ext import simsearch as SS
+from .pipeline_ext import textstats as TX
+from .pipeline_ext.hashing import HASH_PRIME, MINHASH_PERMS
+from .queries import register
+
+_H = "CAST(concat('0x', substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _docs_with_dups(docs: DataFrame) -> DataFrame:
+    """Deterministic dup-bearing corpus: re-append every 10th doc
+    under a shifted id (dedup operators need actual duplicates)."""
+    return docs.select("doc_id", "text").union(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+_DUPS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+@register(
+    "q_dedup_exact",
+    f"""
+    WITH d AS ({_DUPS_SQL})
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM d
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_dups(_docs(spark, sf_dir))
+    return D.exact_dup_groups(d).orderBy("content_hash")
+
+
+# ------------------------------------------------------------- minhash sig
+def _minhash_oracle() -> str:
+    h = _H.format(expr="s")
+    perm_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> (({a} * {h} + {b}) % {HASH_PRIME}))) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(text) - 4),
+                                          i -> substring(text, i, 5))) AS sh
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, {perm_exprs} FROM sh ORDER BY doc_id
+    """
+
+
+@register("q_minhash", _minhash_oracle())
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+    return D.minhash_signature(d).drop("text").orderBy("doc_id")
+
+
+# ------------------------------------------------------------- LSH pairs
+def _lsh_pairs_oracle() -> str:
+    h = _H.format(expr="s")
+    perm_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> (({a} * {h} + {b}) % {HASH_PRIME}))) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat(CAST(mh{2*b} AS VARCHAR), ',', CAST(mh{2*b+1} AS VARCHAR))) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    eq_sum = " + ".join(f"CAST(a.mh{j} = b.mh{j} AS INT)" for j in range(8))
+    return f"""
+    WITH d AS ({_DUPS_SQL}),
+    sig AS (
+      SELECT doc_id, {perm_exprs}
+      FROM (SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, length(text) - 4),
+                                                i -> substring(text, i, 5))) AS sh
+            FROM d)
+    ),
+    banded AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b, ({eq_sum}) / 8.0 AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q_lsh_pairs", _lsh_pairs_oracle())
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_dups(_docs(spark, sf_dir))
+    sigs = D.minhash_signature(d).drop("text")
+    return D.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------- simhash
+_SIMHASH_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            s -> {_H.format(expr="s")}) AS th
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN list_sum(list_transform(th,
+                        h -> 2 * ((h // CAST(pow(2, i) AS BIGINT)) % 2) - 1)) >= 0
+                  THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS simhash
+    FROM t ORDER BY doc_id
+"""
+
+
+@register("q_simhash", _SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return D.simhash(d).drop("text").orderBy("doc_id")
+
+
+# -------------------------------------------------------- n-gram jaccard
+_JACCARD_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             concat_ws(' ', tk[1], tk[2]) AS block_key,
+             list_distinct(list_transform(generate_series(1, length(text) - 4),
+                                          i -> substring(text, i, 5))) AS sh
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                 6) AS jaccard
+    FROM t a JOIN t b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+"""
+
+
+@register("q_ngram_jaccard", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = D.ngram_jaccard_pairs(d)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------- embedding near-dup
+_NEARDUP_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) >= 0.35
+    ORDER BY id_a, id_b
+"""
+
+
+@register("q_neardup_cos", _NEARDUP_ORACLE)
+def q_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    out = D.embedding_neardup_pairs(e, threshold=0.35, max_id=300)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ----------------------------------------------------------- exact knn
+_KNN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) * q.qn)
+               AS cosine
+      FROM embeddings e, q
+    )
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk,
+           round(cosine, 6) AS cosine
+    FROM scored
+    QUALIFY rnk <= 10
+    ORDER BY query_id, rnk
+"""
+
+
+@register("q_knn", _KNN_ORACLE)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SS.brute_force_knn(e, queries, k=10).orderBy("query_id", "rnk")
+
+
+# --------------------------------------------------------- token count
+@register(
+    "q_tokencount",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+# ------------------------------------------------------------- quality
+def _quality_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for ws in TX.STOPWORDS.values() for w in ws)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END AS punct_ratio,
+             CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0 END AS digit_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> lower(x) IN ({sw}))) AS DOUBLE)/len(toks)
+                  ELSE 0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE)/len(toks) ELSE 0 END AS avg_tok_len
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(1.0 - least(1.0, punct_ratio * 4.0) * 0.25
+                     - least(1.0, digit_ratio * 4.0) * 0.25
+                     - (CASE WHEN avg_tok_len < 2.0 OR avg_tok_len > 12.0 THEN 0.25 ELSE 0.0 END)
+                     - (CASE WHEN n_tokens < 5 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+    FROM f ORDER BY doc_id
+    """
+
+
+@register("q_quality", _quality_oracle())
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        TX.quality_features(_docs(spark, sf_dir))
+        .select("doc_id", "n_tokens", "punct_ratio", "digit_ratio", "stop_ratio", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------- lang id
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in TX.STOPWORDS:
+        words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+        score_cols.append(
+            f"round(CASE WHEN len(toks) > 0 THEN "
+            f"CAST(len(list_filter(toks, x -> lower(x) IN ({words}))) AS DOUBLE)/len(toks) "
+            f"ELSE 0 END, 6) AS score_{lang}"
+        )
+    langs = sorted(TX.STOPWORDS)
+    best = f"greatest({', '.join('score_' + la for la in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, {', '.join(score_cols)} FROM t
+    )
+    SELECT doc_id, {', '.join('score_' + la for la in langs)}, {pred} AS pred_lang
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("q_langid", _langid_oracle())
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    langs = sorted(TX.STOPWORDS)
+    return (
+        TX.lang_scores(_docs(spark, sf_dir))
+        .select("doc_id", *[f"score_{la}" for la in langs], "pred_lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------- fingerprint
+_FP_EXPR = _H.format(expr="regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+
+
+@register(
+    "q_fingerprint",
+    f"""
+    SELECT doc_id, {_FP_EXPR} AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp").orderBy("doc_id")
+
+
+# ------------------------------------------- rows-only (non-SQL) entries
+@register("q_lsh_knn", None)
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path: random-hyperplane LSH buckets + exact rerank; not
+    SQL-expressible (multiprobe bucket expansion)."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SS.lsh_knn(e, queries, dim=64, k=10).orderBy("query_id", "rnk")
+
+
+@register("q_media_pipeline", None)
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: payload → metadata decode (stub) →
+    hashed features; mapInPandas stages, rows-only check."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+    d = M.attach_payload(d)
+    d = M.extract_media_metadata(d)
+    d = M.media_features(d)
+    return d.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.round(F.aggregate("media_feat", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+            "feat_sq_norm"
+        ),
+    ).orderBy("doc_id")
+
+
+@register("q_fused_topk", None)
+def q_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fused multimodal search (stub text embedder →
+    modality encodings → single IP top-k); embedder not expressible
+    in SQL → rows-only."""
+    from .flagship import flagship_query
+
+    return flagship_query(spark, sf_dir)

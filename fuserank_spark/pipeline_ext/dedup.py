@@ -1,0 +1,216 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All shuffles are keyed on content hashes (uniform by construction —
+no skew); candidate generation is always bucket-join (LSH bands /
+shared keys), never an O(n²) cross join, so each stage scales
+linearly with corpus size at fixed duplicate density.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import MINHASH_PERMS, minhash_perm, portable_hash32
+
+SHINGLE_K = 5
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one shuffle on the content hash,
+    keep the minimum key per group. ``normalize`` lowercases and
+    collapses whitespace first (near-exact)."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return (
+        df.withColumn("content_hash", F.md5(t))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(key_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles_expr(text_col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct character k-shingles as an array column — pure
+    higher-order functions, no UDF."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
+            lambda i: F.substr(text_col, i, F.lit(k)),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", out_prefix: str = "mh"
+) -> DataFrame:
+    """MinHash signature over character shingles: shingle → portable
+    32-bit hash → per-permutation min. One narrow projection, no
+    shuffle; signature columns are plain BIGINTs."""
+    sh = shingles_expr(F.col(text_col))
+    hashes = F.transform(sh, lambda s: portable_hash32(s))
+    cols = {}
+    for j, (a, b) in enumerate(MINHASH_PERMS):
+        cols[f"{out_prefix}{j}"] = F.array_min(
+            F.transform(hashes, lambda h: minhash_perm(h, a, b))
+        )
+    return df.withColumns(cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    out_prefix: str = "mh",
+) -> DataFrame:
+    """MinHash-LSH banding: band the signature, bucket-join docs
+    sharing a band, emit candidate pairs with the estimated Jaccard
+    (= matching-signature fraction).
+
+    The join is an equi-join on (band_idx, band_hash) — co-located by
+    the shuffle, linear in candidates; never a cross join.
+    """
+    n = bands * rows_per_band
+    sig_cols = [f"{out_prefix}{j}" for j in range(n)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(sig_cols[b * rows_per_band + r]).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(key_col), *[F.col(c) for c in sig_cols], F.explode(band_structs).alias("band")
+    ).select(key_col, *sig_cols, "band.band_idx", "band.band_hash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+            *[
+                (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int").alias(f"eq_{c}")
+                for c in sig_cols
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"eq_{c}") for c in sig_cols) / float(n)
+    return pairs.withColumn("est_jaccard", est).drop(*[f"eq_{c}" for c in sig_cols])
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over whitespace tokens: per-bit majority vote of
+    token hashes. Pure expression pipeline (runtime loops over
+    ``sequence``, constant-size plan)."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(tokens, lambda t: portable_hash32(t))
+    df = df.withColumn("__th", hashes)
+    # bit i of h = (h div 2^i) % 2 — portable integer arithmetic
+    sim = F.expr(
+        f"""
+        aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(
+            aggregate(__th, CAST(0 AS BIGINT),
+                      (a, h) -> a + (2 * ((h div CAST(pow(2, i) AS BIGINT)) % 2) - 1)) >= 0,
+            CAST(pow(2, i) AS BIGINT), CAST(0 AS BIGINT)))
+        """
+    )
+    return df.withColumn(out_col, sim).drop("__th")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    prefix_tokens: int = 2,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs sharing a cheap
+    blocking key (first tokens). Blocking keeps the pair space
+    linear; the Jaccard itself is array_intersect/array_union sizes."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    block = F.concat_ws(" ", F.slice(tokens, 1, prefix_tokens))
+    withs = df.select(
+        F.col(key_col), block.alias("block_key"), shingles_expr(F.col(text_col), k).alias("sh")
+    )
+    a, b = withs.alias("a"), withs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.35,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: exact pairwise for bounded slices
+    (test/oracle path). The scale path is LSH bucketing first — see
+    simsearch.lsh_buckets — then this exact check within buckets."""
+    if max_id is not None:
+        df = df.filter(F.col(key_col) < max_id)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    base = df.select(F.col(key_col), F.col(vec_col), norm.alias("nrm"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias("id_a"),
+            F.col(f"b.{key_col}").alias("id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting — all pure Column
+expressions (JVM-side, whole-stage codegen; no Python in the hot
+path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import portable_hash32
+
+# tiny fixed stopword sets for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que"],
+}
+
+
+def tokens_expr(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (BPE-ish subword estimate would divide
+    chars by ~4; both are closed-form expressions)."""
+    return df.withColumn(out_col, F.size(tokens_expr(F.col(text_col))).cast("bigint"))
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token stats, punctuation /
+    digit / stopword ratios, plus a composite [0,1] score (heuristics
+    in the spirit of C4/Gopher filtering rules)."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    sw = [w for ws in STOPWORDS.values() for w in ws]
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+    avg_tok_len = _ratio(n_chars - (n_tokens - 1), n_tokens)
+    punct_ratio = _ratio(n_punct, n_chars)
+    digit_ratio = _ratio(n_digit, n_chars)
+    stop_ratio = _ratio(n_stop, n_tokens)
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct_ratio * 4.0) * 0.25
+        - F.least(F.lit(1.0), digit_ratio * 4.0) * 0.25
+        - F.when((avg_tok_len < 2.0) | (avg_tok_len > 12.0), 0.25).otherwise(0.0)
+        - F.when(n_tokens < 5, 0.25).otherwise(0.0)
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens.cast("bigint"),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "digit_ratio": F.round(digit_ratio, 6),
+            "stop_ratio": F.round(stop_ratio, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language-ID heuristic: per-language stopword
+    hit ratio; predicted = argmax with deterministic tie-break on
+    language code order."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    cols = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(words)))
+        cols[f"score_{lang}"] = F.round(_ratio(hits, n), 6)
+    df = df.withColumns(cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{la}") == best, F.lit(la)) for la in langs]
+    )
+    return df.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Document fingerprint: 32-bit portable hash of the
+    whitespace-normalized lowercased text (rolling-hash equivalent
+    for whole-document identity)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, portable_hash32(norm))
