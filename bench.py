@@ -1,0 +1,104 @@
+"""Bench harness: runs every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Materialization is a noop-format write (full computation, no
+driver-side row transfer), mirroring cluster-sink behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from fuserank_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("fuserank-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the plan
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        try:
+            materialize(fn(spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failing query must not hide the rest
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    # corpus-encode throughput (stub embedder + K=16 encodings)
+    from fuserank_spark.flagship import build_corpus
+
+    t0 = time.time()
+    corpus = build_corpus(spark, sf_dir)
+    n_rows = corpus.encoded.select("row_id").count()
+    materialize(corpus.encoded.select("row_id", "vector"))
+    encode_sec = time.time() - t0
+    times["corpus_encode"] = round(encode_sec, 3)
+
+    # batch top-k throughput (32 fused queries, k=10)
+    from fuserank_spark.embed import DeterministicStubEmbedder
+    from fuserank_spark.flagship import AUX_SCHEMA, EMB_DIM, NUM_HARMONICS
+    from fuserank_spark.query import compile_query
+    from fuserank_spark.search import topk_batch
+
+    enc = corpus.encoded.persist()
+    enc.count()
+    emb = DeterministicStubEmbedder(EMB_DIM)
+    qvecs = []
+    for i in range(32):
+        cq = compile_query(
+            f"query batch {i} spark join filter",
+            {
+                "lang": ((["en", "de"], False), 2.0),
+                "source": (None, 1.0),
+                "n_chars": ((100.0 + i, 300.0 + i, False), 1.5),
+            },
+            AUX_SCHEMA,
+            corpus.stats,
+            corpus.layout,
+            text_embedder=emb,
+            num_harmonics=NUM_HARMONICS,
+        )
+        qvecs.append((i, [float(x) for x in cq.vector]))
+    qdf = spark.createDataFrame(qvecs, "query_id int, qvec array<double>")
+    t0 = time.time()
+    materialize(topk_batch(enc, qdf, k=10))
+    batch_sec = time.time() - t0
+    times["topk_batch32"] = round(batch_sec, 3)
+    enc.unpersist()
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "encode_rows_per_sec": round(n_rows / encode_sec, 1) if encode_sec > 0 else None,
+        "topk_queries_per_sec": round(32 / batch_sec, 2) if batch_sec > 0 else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

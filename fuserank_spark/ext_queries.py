@@ -100,8 +100,11 @@ def _lsh_pairs_oracle() -> str:
         for j, (a, b) in enumerate(MINHASH_PERMS)
     )
     bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band_idx, md5(concat(CAST(mh{2*b} AS VARCHAR), ',', CAST(mh{2*b+1} AS VARCHAR))) AS band_hash FROM sig"
-        for b in range(4)
+        "SELECT doc_id, {b} AS band_idx, md5(concat({parts})) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ',', ".join(f"CAST(mh{4*b+r} AS VARCHAR)" for r in range(4)),
+        )
+        for b in range(2)
     )
     eq_sum = " + ".join(f"CAST(a.mh{j} = b.mh{j} AS INT)" for j in range(8))
     return f"""

@@ -52,23 +52,27 @@ def minhash_signature(
     df: DataFrame, text_col: str = "text", out_prefix: str = "mh"
 ) -> DataFrame:
     """MinHash signature over character shingles: shingle → portable
-    32-bit hash → per-permutation min. One narrow projection, no
-    shuffle; signature columns are plain BIGINTs."""
+    32-bit hash → per-permutation min. Two narrow projections, no
+    shuffle; signature columns are plain BIGINTs.
+
+    The md5 shingle hashing is materialized as its own column first —
+    Catalyst does not CSE a subexpression repeated across the 8
+    permutation projections, and md5+hex-conv dominates the cost."""
     sh = shingles_expr(F.col(text_col))
-    hashes = F.transform(sh, lambda s: portable_hash32(s))
+    hashed = df.withColumn("__sh_hashes", F.transform(sh, lambda s: portable_hash32(s)))
     cols = {}
     for j, (a, b) in enumerate(MINHASH_PERMS):
         cols[f"{out_prefix}{j}"] = F.array_min(
-            F.transform(hashes, lambda h: minhash_perm(h, a, b))
+            F.transform(F.col("__sh_hashes"), lambda h: minhash_perm(h, a, b))
         )
-    return df.withColumns(cols)
+    return hashed.withColumns(cols).drop("__sh_hashes")
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame,
     key_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 2,
+    bands: int = 2,
+    rows_per_band: int = 4,
     out_prefix: str = "mh",
 ) -> DataFrame:
     """MinHash-LSH banding: band the signature, bucket-join docs
@@ -97,31 +101,46 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        F.col(key_col), *[F.col(c) for c in sig_cols], F.explode(band_structs).alias("band")
-    ).select(key_col, *sig_cols, "band.band_idx", "band.band_hash")
-
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
-        )
-        .select(
-            F.col(f"a.{key_col}").alias("id_a"),
-            F.col(f"b.{key_col}").alias("id_b"),
-            *[
-                (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int").alias(f"eq_{c}")
-                for c in sig_cols
-            ],
-        )
-        .distinct()
+    member = F.struct(
+        F.col(key_col).alias("id"), F.array(*[F.col(c) for c in sig_cols]).alias("sig")
     )
-    est = sum(F.col(f"eq_{c}") for c in sig_cols) / float(n)
-    return pairs.withColumn("est_jaccard", est).drop(*[f"eq_{c}" for c in sig_cols])
+    banded = sigs.select(member.alias("m"), F.explode(band_structs).alias("band")).select(
+        "m", "band.band_idx", "band.band_hash"
+    )
+    # signatures are computed ONCE: bucket members are grouped, pairs are
+    # generated inside each bucket — no self-join re-evaluating the
+    # upstream plan, one shuffle keyed on the (uniform) band hash
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    eq = F.zip_with(
+        F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: (x == y).cast("int")
+    )
+    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(n)
+    return (
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash", bits: int = 32) -> DataFrame:
@@ -156,23 +175,33 @@ def ngram_jaccard_pairs(
     linear; the Jaccard itself is array_intersect/array_union sizes."""
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     block = F.concat_ws(" ", F.slice(tokens, 1, prefix_tokens))
-    withs = df.select(
-        F.col(key_col), block.alias("block_key"), shingles_expr(F.col(text_col), k).alias("sh")
+    member = F.struct(F.col(key_col).alias("id"), shingles_expr(F.col(text_col), k).alias("sh"))
+    blocked = (
+        df.select(block.alias("block_key"), member.alias("m"))
+        .groupBy("block_key")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    a, b = withs.alias("a"), withs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    return (
-        a.join(
-            b,
-            (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
-        )
-        .select(
-            F.col(f"a.{key_col}").alias("id_a"),
-            F.col(f"b.{key_col}").alias("id_b"),
-            (inter / union).alias("jaccard"),
-        )
+    # shingles computed once per doc; pairs generated within the block
+    pairs = blocked.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = F.size(F.array_intersect(F.col("p.a.sh"), F.col("p.b.sh"))).cast("double")
+    union = (F.size(F.col("p.a.sh")) + F.size(F.col("p.b.sh"))).cast("double") - inter
+    return pairs.select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        (inter / union).alias("jaccard"),
     )
 
 
