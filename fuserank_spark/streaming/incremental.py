@@ -1,0 +1,95 @@
+"""Incremental corpus pipeline on Structured Streaming.
+
+Design (SURVEY §2.11): the corpus grows by appended parquet files (or
+a Kafka feed in production — same plan after ``readStream``). Each
+micro-batch runs the SAME batch stages (embed_corpus → encode) via
+``foreachBatch``, appending to the encoded-corpus table; windowed
+aggregations with watermarks track arrival stats; the fused search
+always reads the latest encoded snapshot.
+
+At scale: foreachBatch keeps stage outputs as idempotent parquet
+appends partitioned by batch window — replays are safe, state is
+bounded by the watermark, and the encode stage parallelism equals
+the micro-batch's partitioning (no extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, schema: T.StructType = DOCS_SCHEMA, max_files: int = 4
+) -> DataFrame:
+    """File-source stream over a document directory; bounded files
+    per trigger keeps micro-batches executor-memory-sized."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def incremental_encode(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    text_encoding_schema: dict[str, float] | None = None,
+    emb_dim: int = 64,
+    available_now: bool = True,
+):
+    """foreachBatch: run the batch embed stage per micro-batch and
+    append to the encoded-corpus parquet (S2/S3 cache posture —
+    idempotent stage output keyed by batch id)."""
+    from ..embed import embed_corpus
+
+    schema = text_encoding_schema or {"text": 1.0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = embed_corpus(batch_df, schema, dim=emb_dim)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def arrival_stats_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_len: str = "5 minutes",
+):
+    """Watermarked tumbling-window arrival stats (the streaming twin
+    of q_window_events): late data beyond the watermark is dropped,
+    state is bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col("source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("n_chars").alias("avg_chars"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("source"),
+            "n_docs",
+            F.round("avg_chars", 4).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Physical-plan posture tests (SURVEY §4, build-brief scale rules):
+filters push to the parquet scan, projections prune columns, small
+dims broadcast, top-k compiles to TakeOrderedAndProject, expression
+paths stay in whole-stage codegen. These are the properties that
+decide 100 TB behavior; correctness tests alone would not catch a
+regression here."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_SMOKE
+
+QS = entry_mod.queries()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_str(QS["q_filter"](spark, SF_SMOKE))
+    assert "PushedFilters" in p
+    assert "l_quantity" in p.split("PushedFilters")[1].split("]")[0]
+    assert "l_returnflag" in p.split("PushedFilters")[1].split("]")[0]
+    # ReadSchema prunes to the 3 selected columns
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_join_broadcasts_small_dim(spark):
+    p = plan_str(QS["q_join"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan_str(QS["q_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    # a global Sort+Limit would be a full-shuffle regression
+    assert "GlobalLimit" not in p
+
+
+def test_column_pruning_documents(spark):
+    p = plan_str(QS["q_tokencount"](spark, SF_SMOKE))
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_dense_encode_expr_is_jvm_side(spark):
+    """The Column-expression dense block stays JVM-side (higher-order
+    functions don't enter whole-stage codegen, but there must be no
+    Python eval boundary) and the harmonic sequence constant-folds."""
+    from fuserank_spark.encode import dense_product_expr
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        dense_product_expr(F.col("n_chars"), 0.0, 600.0, 4).alias("v")
+    )
+    p = plan_str(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Batched: true" in p  # columnar parquet scan
+    assert "sequence(" not in p  # constant-folded to a literal array
+
+
+def test_fused_search_single_pass(spark):
+    """Fused top-k over the encoded corpus: one scan, no join, no
+    global sort — TakeOrderedAndProject on the scored scan."""
+    from fuserank_spark.flagship import build_corpus, flagship_compiled
+    from fuserank_spark.search import topk
+
+    corpus = build_corpus(spark, SF_SMOKE)
+    cq = flagship_compiled(corpus)
+    p = plan_str(topk(corpus.encoded, cq.vector, k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_topk_batch_no_corpus_shuffle(spark):
+    """Batched top-k: the corpus side must not shuffle before the
+    local-rank phase; queries arrive via broadcast."""
+    from fuserank_spark.search import topk_batch
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        F.col("vec_id").alias("row_id"), F.col("embedding").alias("vector")
+    )
+    qdf = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.2] * 64)], "query_id int, qvec array<double>"
+    )
+    p = plan_str(topk_batch(emb, qdf, k=5))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # corpus rows shuffle only AFTER local top-k pruning: the first
+    # exchange above the scan must be hashpartitioning on (query, bucket)
+    assert p.count("Exchange hashpartitioning") <= 2

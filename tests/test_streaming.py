@@ -1,0 +1,60 @@
+"""Structured Streaming path: incremental embed via foreachBatch and
+watermarked windowed arrival stats (SURVEY §2.11)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark.streaming.incremental import (
+    arrival_stats_stream,
+    incremental_encode,
+    read_document_stream,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fuserank_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_encode_available_now(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    sink = f"{tmpdir}/sink"
+    ck = f"{tmpdir}/ck"
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.limit(120).repartition(3).write.parquet(src)
+
+    stream = read_document_stream(spark, src, max_files=2)
+    q = incremental_encode(stream, sink, ck, emb_dim=16)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 120
+    assert "text_emb" in out.columns and "batch_id" in out.columns
+    assert out.select(F.size("text_emb").alias("d")).distinct().collect()[0]["d"] == 16
+    # idempotent append semantics: re-running with same checkpoint adds nothing
+    q2 = incremental_encode(read_document_stream(spark, src), sink, ck, emb_dim=16)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 120
+
+
+def test_arrival_stats_batch_equivalence(spark):
+    """The windowed-agg plan gives identical results in batch mode —
+    the Structured Streaming guarantee the design leans on."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 30))
+    )
+    out = arrival_stats_stream(docs).orderBy("window_start", "source")
+    rows = out.collect()
+    assert len(rows) > 0
+    total = sum(r["n_docs"] for r in rows)
+    assert total == docs.count()
