@@ -1,0 +1,185 @@
+"""Differential-eval harness (reference `src/eval/evaluate.py`):
+exact hard-filtered search as oracle vs fused-vector search as
+system-under-test, over seeded random query fixtures, swept across
+``num_harmonics`` (the reference's config.yaml knob).
+
+The corpus is the driver's ``documents`` testdata enriched with
+deterministic modality columns covering all four kinds:
+  lang        sparse   (as shipped)
+  is_long     binary   (derived: n_chars above corpus median)
+  n_chars     dense    (as shipped)
+  location    geo      (derived deterministic lon/lat from doc_id)
+
+Metrics: recall / r_precision (metrics.py, evaluate.py:92-110);
+reporting: grouped means (A5, evaluate.py:113-129).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schema as S
+from .embed import DeterministicStubEmbedder
+from .encode import CorpusStats, VectorLayout, compute_stats, encode_products, record_text_dim
+from .flagship import EMB_DIM
+from .metrics import r_precision, recall
+from .query import compile_query
+from .search import dot_expr, lit_vector, topk
+
+EVAL_AUX_SCHEMA = {
+    "lang": S.SPARSE,
+    "is_long": S.BINARY,
+    "n_chars": S.DENSE,
+    "location": S.GEO,
+}
+TEXT_SCHEMA = {"text": 1.0}
+
+
+def enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + derived binary & geo modality columns (seeded by
+    doc_id — deterministic across runs and engines)."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).withColumn(
+        "row_id", F.col("doc_id")
+    )
+    median = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    lon = (F.pmod(F.col("doc_id") * 37 + 11, F.lit(360)) - 180).cast("double")
+    lat = (F.pmod(F.col("doc_id") * 53 + 7, F.lit(170)) - 85).cast("double")
+    return docs.withColumns(
+        {
+            "is_long": F.when(F.col("n_chars") > median, "yes").otherwise("no"),
+            "location": F.when(
+                F.col("doc_id") % 17 != 0,  # ~6% missing (null-encoding path)
+                F.struct(lon.alias("lon"), lat.alias("lat")),
+            ),
+        }
+    )
+
+
+@dataclass
+class EvalCorpus:
+    df: DataFrame
+    encoded: DataFrame
+    stats: CorpusStats
+    layout: VectorLayout
+    num_harmonics: int
+
+
+def build_eval_corpus(spark: SparkSession, sf_dir: str, num_harmonics: int) -> EvalCorpus:
+    from .embed import embed_corpus
+
+    docs = enriched_documents(spark, sf_dir)
+    embedded = embed_corpus(docs, TEXT_SCHEMA, dim=EMB_DIM)
+    stats = compute_stats(embedded, EVAL_AUX_SCHEMA)
+    encoded, layout = encode_products(
+        embedded, EVAL_AUX_SCHEMA, stats, num_harmonics=num_harmonics
+    )
+    record_text_dim(layout, EMB_DIM)
+    return EvalCorpus(docs, encoded.persist(), stats, layout, num_harmonics)
+
+
+def sample_queries(
+    corpus_rows: list, n_queries: int, n_modalities: int, seed: int = 42
+) -> list[dict]:
+    """Seeded (query-row, modality-subset) draws mirroring
+    evaluate.py:173-181; filter values derive from the sampled row so
+    the hard filter is satisfiable."""
+    out = []
+    for i in range(n_queries):
+        rng = random.Random(seed * 1000 + i)  # seed = f(i) (evaluate.py:174-175)
+        row = rng.choice(corpus_rows)
+        chosen = rng.sample(sorted(EVAL_AUX_SCHEMA), k=n_modalities)
+        aux: dict[str, tuple] = {c: (None, 1.0) for c in EVAL_AUX_SCHEMA}
+        for c in chosen:
+            if c == "lang":
+                aux[c] = (([row["lang"]], False), 3.0)
+            elif c == "is_long":
+                aux[c] = (row["is_long"], 3.0)
+            elif c == "n_chars":
+                v = row["n_chars"]
+                aux[c] = ((float(v) - 40.0, float(v) + 40.0, False), 3.0)
+            elif c == "location":
+                loc = row["location"]
+                if loc is None:
+                    continue
+                aux[c] = ((loc["lon"], loc["lat"], False), 3.0)
+        out.append(
+            {"query_id": i, "text": " ".join(str(row["text"]).split()[:6]), "aux": aux}
+        )
+    return out
+
+
+def evaluate_fused_vs_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    num_harmonics_list: tuple[int, ...] = (8, 64, 200),
+    n_queries: int = 8,
+    n_modalities: int = 2,
+    k: int = 10,
+    seed: int = 42,
+) -> list[dict]:
+    """The reference's sweep loop (evaluate.py:205-242): for each K,
+    run seeded queries through both arms, record recall/r-precision.
+
+    Geo has no hard-filter form (milvus_experiment.py:51-52) — it
+    contributes to the fused arm only, exactly as in the reference.
+    """
+    results: list[dict] = []
+    embedder = DeterministicStubEmbedder(EMB_DIM)
+    sample_rows = None
+    for K in num_harmonics_list:
+        corpus = build_eval_corpus(spark, sf_dir, K)
+        if sample_rows is None:
+            sample_rows = corpus.df.select(
+                "row_id", "text", "lang", "is_long", "n_chars", "location"
+            ).collect()
+        queries = sample_queries(sample_rows, n_queries, n_modalities, seed)
+        for q in queries:
+            cq = compile_query(
+                q["text"], q["aux"], EVAL_AUX_SCHEMA, corpus.stats, corpus.layout,
+                text_embedder=embedder, num_harmonics=K,
+            )
+            fused = [
+                r["row_id"]
+                for r in topk(corpus.encoded, cq.vector, k=k).select("row_id").collect()
+            ]
+            text_score = dot_expr(F.slice("vector", 1, EMB_DIM), lit_vector(cq.vector[:EMB_DIM]))
+            oracle_df = corpus.encoded
+            if cq.predicate is not None:
+                oracle_df = oracle_df.filter(cq.predicate)
+            oracle = [
+                r["row_id"]
+                for r in oracle_df.withColumn("ts", text_score)
+                .orderBy(F.desc("ts"), "row_id")
+                .limit(k)
+                .select("row_id")
+                .collect()
+            ]
+            results.append(
+                {
+                    "num_harmonics": K,
+                    "query_id": q["query_id"],
+                    "recall": recall(oracle, fused),
+                    "r_precision": r_precision(oracle, fused),
+                }
+            )
+        corpus.encoded.unpersist()
+    return results
+
+
+def report(spark: SparkSession, results: list[dict]) -> DataFrame:
+    """A5 grouped-mean report (evaluate.py:113-129)."""
+    df = spark.createDataFrame(results)
+    return (
+        df.groupBy("num_harmonics")
+        .agg(
+            F.round(F.avg("recall"), 4).alias("mean_recall"),
+            F.round(F.avg("r_precision"), 4).alias("mean_r_precision"),
+        )
+        .orderBy("num_harmonics")
+    )
