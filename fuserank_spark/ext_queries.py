@@ -354,6 +354,67 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp").orderBy("doc_id")
 
 
+# ---------------------------------------------------------------- rerank
+_RERANK_ORACLE = """
+    WITH r AS (
+      SELECT doc_id, CAST(doc_id % 100 AS DOUBLE)/100 AS relevance, lang, n_chars
+      FROM documents WHERE doc_id < 200
+    ), k AS (
+      SELECT *,
+        CASE WHEN lang IN ('en','de') THEN 0 WHEN lang IS NULL THEN 1 ELSE 2 END AS lvl,
+        CASE WHEN lang IN ('en','de') OR lang IS NULL THEN NULL ELSE lang END AS raw,
+        CASE WHEN n_chars BETWEEN 150 AND 300 THEN 2.2250738585072014e-308
+             ELSE CAST(n_chars AS DOUBLE) END AS dkey
+      FROM r
+    ), ranked AS (
+      SELECT *,
+        rank() OVER (ORDER BY lvl DESC, raw DESC NULLS LAST)
+          + (count(*) OVER (PARTITION BY lvl, raw) - 1)/2.0 AS rk_s,
+        rank() OVER (ORDER BY dkey DESC)
+          + (count(*) OVER (PARTITION BY dkey) - 1)/2.0 AS rk_d,
+        count(*) OVER () AS n
+      FROM k
+    )
+    SELECT doc_id,
+           round(relevance + 2.0*(2*(rk_s-1)/(n-1)-1) + 1.5*(2*(rk_d-1)/(n-1)-1), 6)
+             AS relevance
+    FROM ranked ORDER BY doc_id
+"""
+
+
+@register("q_rerank", _RERANK_ORACLE)
+def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W8 under the oracle gate: the window re-ranking pipeline
+    (sparse 3-level key + dense interval sentinel, average-tie rank
+    normalization) over a deterministic result set."""
+    from .encode import ColumnStats, CorpusStats
+    from .rerank import rerank
+    from . import schema as S2
+
+    r = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            ((F.col("doc_id") % 100).cast("double") / 100).alias("relevance"),
+            "lang",
+            "n_chars",
+        )
+    )
+    aux = {
+        "lang": ((["en", "de"], False), 2.0),
+        "n_chars": ((150.0, 300.0, False), 1.5),
+    }
+    stats = CorpusStats(
+        columns={
+            "lang": ColumnStats(S2.SPARSE),
+            "n_chars": ColumnStats(S2.DENSE, min=0.0, max=600.0),
+        }
+    )
+    out = rerank(r, aux, {"lang": S2.SPARSE, "n_chars": S2.DENSE}, stats)
+    return out.select("doc_id", F.round("relevance", 6).alias("relevance")).orderBy("doc_id")
+
+
 # ------------------------------------------- rows-only (non-SQL) entries
 @register("q_lsh_knn", None)
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Sources & sinks S1-S3, S7 (SURVEY §2.1).
+
+S1  CSV scan (reference: pd.read_csv, src/load.py:21-22)
+S2  embedding-cache load (torch .pt glob, src/encode.py:269-284)
+S3  embedding-cache save (torch.save, src/encode.py:306-315)
+S7  geocoding source (Nominatim HTTP, src/app.py:220-226) — gated
+
+The .pt pickle cache becomes an idempotent Parquet stage keyed by
+(dataset, model): re-usable across jobs, partition-parallel reads,
+no driver-side tensor. S4/S5 live in index_export.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S1: CSV scan. Explicit schema strongly preferred at scale —
+    inferSchema is a full extra pass over the data (the distributed
+    analog of pandas low_memory=False whole-file inference)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def embedding_cache_path(cache_dir: str, dataset: str, model_name: str) -> str:
+    model_tail = model_name.split("/")[-1]  # reference's file_name convention
+    return os.path.join(cache_dir, dataset, f"text_embeddings_{model_tail}.parquet")
+
+
+def load_cached_embeddings(
+    spark: SparkSession, cache_dir: str, dataset: str, model_name: str
+) -> DataFrame | None:
+    """S2: return the cached (row_id, text_emb) table, or None on
+    miss/corruption — matching the reference's silent-miss contract."""
+    path = embedding_cache_path(cache_dir, dataset, model_name)
+    try:
+        df = spark.read.parquet(path)
+        if {"row_id", "text_emb"} <= set(df.columns):
+            return df
+        return None
+    except Exception:
+        return None
+
+
+def save_embeddings(df: DataFrame, cache_dir: str, dataset: str, model_name: str) -> str:
+    """S3: persist the embedding stage output (overwrite = idempotent
+    stage semantics)."""
+    path = embedding_cache_path(cache_dir, dataset, model_name)
+    df.select("row_id", "text_emb").write.mode("overwrite").parquet(path)
+    return path
+
+
+def embed_with_cache(
+    df: DataFrame,
+    text_encoding_schema: dict[str, float],
+    cache_dir: str,
+    dataset: str,
+    model_name: str = "stub-hash-bow",
+    dim: int = 64,
+    embedder_factory=None,
+) -> DataFrame:
+    """The reference's cache-or-create flow (src/encode.py:63-66):
+    join cached embeddings back by row_id, else run the embed stage
+    and persist it."""
+    from .embed import embed_corpus
+
+    spark = df.sparkSession
+    cached = load_cached_embeddings(spark, cache_dir, dataset, model_name)
+    if cached is not None:
+        return df.join(cached, "row_id")
+    out = embed_corpus(df, text_encoding_schema, dim=dim, embedder_factory=embedder_factory)
+    save_embeddings(out, cache_dir, dataset, model_name)
+    return df.join(spark.read.parquet(embedding_cache_path(cache_dir, dataset, model_name)), "row_id")
+
+
+def geocode(address: str) -> tuple[float, float]:
+    """S7: address → (lon, lat) at query-compile time (driver-side,
+    not a data-plane op). geopy/Nominatim is not available in this
+    container; the gate mirrors the reference's UI-time call."""
+    try:  # pragma: no cover - geopy not installed here
+        from geopy.geocoders import Nominatim
+
+        loc = Nominatim(user_agent="fuserank_spark").geocode(address)
+        return (loc.longitude, loc.latitude)
+    except ImportError as e:
+        raise NotImplementedError(
+            "geocoding requires geopy + network; pass (lon, lat) directly"
+        ) from e

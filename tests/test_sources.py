@@ -1,0 +1,47 @@
+"""S1-S3 source/sink parity: CSV scan, embedding cache miss→create→hit."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark import sources
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="fuserank_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_roundtrip(spark, tmpdir):
+    df = spark.createDataFrame([(1, "a b"), (2, "c,d")], "id long, txt string")
+    df.write.option("header", "true").csv(f"{tmpdir}/csv")
+    back = sources.read_csv(spark, f"{tmpdir}/csv")
+    assert back.count() == 2
+    assert dict(back.dtypes)["id"] in ("int", "bigint")  # inferSchema worked
+
+
+def test_embedding_cache_flow(spark, tmpdir):
+    docs = (
+        spark.range(50)
+        .select(F.col("id").alias("row_id"), F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    )
+    assert sources.load_cached_embeddings(spark, tmpdir, "ds", "m") is None  # miss
+    out1 = sources.embed_with_cache(docs, {"text": 1.0}, tmpdir, "ds", "m", dim=16)
+    assert out1.count() == 50 and "text_emb" in out1.columns
+    cached = sources.load_cached_embeddings(spark, tmpdir, "ds", "m")  # hit
+    assert cached is not None and cached.count() == 50
+    out2 = sources.embed_with_cache(docs, {"text": 1.0}, tmpdir, "ds", "m", dim=16)
+    a = {r["row_id"]: r["text_emb"] for r in out1.collect()}
+    b = {r["row_id"]: r["text_emb"] for r in out2.collect()}
+    assert a == b  # cache returns the identical embeddings
+
+
+def test_geocode_gated():
+    with pytest.raises(NotImplementedError):
+        sources.geocode("Berlin")
