@@ -1,0 +1,98 @@
+"""Partitioning & shuffle control for 100 TB operation: bucketed
+co-located joins, key-salting for skewed aggregations, and corpus
+layout helpers.
+
+Catalyst + AQE handle the common cases (broadcast thresholds, skew
+join splitting, partition coalescing — all on in session.py). These
+helpers cover the two patterns that need *layout decisions* the
+optimizer cannot make for you:
+
+1. **Bucketing** — the corpus and any table repeatedly joined on the
+   same key (row_id) are written bucketed+sorted on that key: every
+   subsequent join/groupBy on it is shuffle-free (no Exchange in the
+   plan), which at 100 TB converts the dominant cost of the gather
+   join (§2.3 J1/J2) into a local merge.
+2. **Salting** — a groupBy on a key with pathological frequency (one
+   content_hash covering 10% of the corpus, a near-dup cluster) can
+   exceed a single task even under AQE. Two-phase salted aggregation
+   bounds per-task cardinality deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "row_id",
+    buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Persist bucketed+sorted by key. Reads of this table join/group
+    on `key` without a shuffle (bucket pruning + sorted merge)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if not path:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = urlparse(warehouse).path or warehouse
+        shutil.rmtree(f"{loc.rstrip('/')}/{table}", ignore_errors=True)
+    writer = df.write.bucketBy(buckets, key).sortBy(key).mode("overwrite")
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_count_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    Phase 1 aggregates on (key, salt) — splitting any hot key across
+    ``salt_buckets`` tasks; phase 2 merges the partials. Supports the
+    decomposable aggregates the dedup/stats paths need:
+    count / sum / min / max.
+    """
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    phase1_aggs, phase2_aggs = [], []
+    for col, how in agg_exprs.items():
+        partial = f"__p_{col}_{how}"
+        if how == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(partial))
+            phase2_aggs.append(F.sum(partial).alias(f"{how}_{col}" if col != "*" else "count"))
+        elif how == "sum":
+            phase1_aggs.append(F.sum(col).alias(partial))
+            phase2_aggs.append(F.sum(partial).alias(f"sum_{col}"))
+        elif how == "min":
+            phase1_aggs.append(F.min(col).alias(partial))
+            phase2_aggs.append(F.min(partial).alias(f"min_{col}"))
+        elif how == "max":
+            phase1_aggs.append(F.max(col).alias(partial))
+            phase2_aggs.append(F.max(partial).alias(f"max_{col}"))
+        else:
+            raise ValueError(f"non-decomposable agg {how!r}")
+    partials = df.withColumn("__salt", salt).groupBy(*key_cols, "__salt").agg(*phase1_aggs)
+    return partials.groupBy(*key_cols).agg(*phase2_aggs)
+
+
+def layout_corpus(
+    df: DataFrame, key: str = "row_id", target_rows_per_partition: int = 500_000
+) -> DataFrame:
+    """Canonical corpus layout before the encoded write: hash
+    repartition on the stable key so (a) vector blocks are uniform,
+    (b) downstream shard export gets balanced partitions, (c) the
+    same partitioning is reusable across encode → export stages."""
+    n = max(1, df.count() // target_rows_per_partition)
+    return df.repartition(n, F.col(key))

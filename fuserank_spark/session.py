@@ -46,6 +46,7 @@ def get_spark(
         # timestamps deterministic regardless of host TZ
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("FUSERANK_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/fuserank_warehouse")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
