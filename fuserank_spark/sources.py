@@ -23,11 +23,22 @@ def read_csv(
     path: str,
     schema: T.StructType | None = None,
     header: bool = True,
+    multi_line: bool = True,
 ) -> DataFrame:
     """S1: CSV scan. Explicit schema strongly preferred at scale —
     inferSchema is a full extra pass over the data (the distributed
-    analog of pandas low_memory=False whole-file inference)."""
-    reader = spark.read.option("header", str(header).lower())
+    analog of pandas low_memory=False whole-file inference).
+
+    multiLine + quote-escape defaults match pandas' parsing of
+    quoted fields with embedded commas/newlines (the reference's
+    corpora need it); note multiLine makes a file non-splittable —
+    at 100 TB, land data as parquet or newline-sanitized CSV.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("multiLine", str(multi_line).lower())
+        .option("escape", '"')
+    )
     if schema is not None:
         return reader.schema(schema).csv(path)
     return reader.option("inferSchema", "true").csv(path)
