@@ -122,9 +122,12 @@ def evaluate_fused_vs_exact(
     n_modalities: int = 2,
     k: int = 10,
     seed: int = 42,
+    interval_epsilon: float = 0.01,
 ) -> list[dict]:
     """The reference's sweep loop (evaluate.py:205-242): for each K,
     run seeded queries through both arms, record recall/r-precision.
+    Sweep ``interval_epsilon`` by calling this per ε (the reference's
+    second knob, config.yaml:8).
 
     Geo has no hard-filter form (milvus_experiment.py:51-52) — it
     contributes to the fused arm only, exactly as in the reference.
@@ -143,6 +146,7 @@ def evaluate_fused_vs_exact(
             cq = compile_query(
                 q["text"], q["aux"], EVAL_AUX_SCHEMA, corpus.stats, corpus.layout,
                 text_embedder=embedder, num_harmonics=K,
+                interval_epsilon=interval_epsilon,
             )
             fused = [
                 r["row_id"]
@@ -163,6 +167,7 @@ def evaluate_fused_vs_exact(
             results.append(
                 {
                     "num_harmonics": K,
+                    "interval_epsilon": interval_epsilon,
                     "query_id": q["query_id"],
                     "recall": recall(oracle, fused),
                     "r_precision": r_precision(oracle, fused),

@@ -390,6 +390,28 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- Q-ANTI (J1)
+@register(
+    "q_anti",
+    """
+    SELECT p_partkey FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    ORDER BY p_partkey
+    """,
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join complement of the top-k gather — rows with no match
+    (the dedup 'keep only unseen' shape)."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    hits = t["lineitem"].select("l_partkey")
+    return (
+        t["part"]
+        .join(hits, t["part"]["p_partkey"] == hits["l_partkey"], "left_anti")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
 # ----------------------------------------------------------------- Q-SEMI (J1)
 @register(
     "q_semi",

@@ -21,13 +21,16 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_SMOKE)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
-    assert len(srows) > 0 or name.startswith("q_dedup"), f"{name}: empty result"
 
     if name not in ORACLES:
+        assert len(srows) > 0, f"{name}: empty result"
         return  # weak (rows-only) check
     res = duck.execute(ORACLES[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
+    # emptiness is legitimate only when the oracle agrees (e.g. q_anti
+    # at tiny SF where every part has lineitems)
+    assert len(srows) > 0 or len(drows) == 0, f"{name}: empty result"
     assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
     assert sorted(scols) == sorted(dcols), f"{name}: cols {scols} vs {dcols}"
     assert value_hash(srows, scols) == value_hash(drows, dcols), f"{name}: value hash"
