@@ -188,3 +188,38 @@ def report(spark: SparkSession, results: list[dict]) -> DataFrame:
         )
         .orderBy("num_harmonics")
     )
+
+
+def main() -> None:
+    """CLI twin of the reference's `python src/eval/evaluate.py`
+    (evaluate.py:205-242): run the sweep, print the grouped report."""
+    import argparse
+    import os
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="fused-vs-exact differential eval")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--harmonics", type=int, nargs="+", default=[8, 64, 200])
+    ap.add_argument("--epsilons", type=float, nargs="+", default=[0.01])
+    ap.add_argument("--queries", type=int, default=10)
+    ap.add_argument("--modalities", type=int, default=2)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark("fuserank-eval")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_results: list[dict] = []
+    for eps in args.epsilons:
+        all_results.extend(
+            evaluate_fused_vs_exact(
+                spark, args.sf_dir, tuple(args.harmonics),
+                n_queries=args.queries, n_modalities=args.modalities,
+                k=args.k, interval_epsilon=eps,
+            )
+        )
+    report(spark, all_results).show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,11 @@ def _dense_segment(cs, value, num_harmonics, interval_epsilon, range_epsilon, tr
             lo, hi, negated = value
             lo_s = (1.0 - range_epsilon) * (scale(lo) - interval_epsilon)
             hi_s = (1.0 - range_epsilon) * (scale(hi) + interval_epsilon)
+            if lo_s > hi_s:
+                # a decreasing transform (e.g. inverse) flips the
+                # interval in transformed space — reorder so the
+                # integral bounds stay valid
+                lo_s, hi_s = hi_s, lo_s
             seg[3:] = fourier.interval_encoding(lo_s, hi_s, num_harmonics)
             if negated:
                 seg[3:] = -seg[3:]

@@ -137,6 +137,54 @@ def test_weight_monotonicity(spark, result_pdf):
     assert rel_gap(5.0) > rel_gap(1.0) > rel_gap(0.0)
 
 
+def test_geo_rerank_matches_numpy(spark):
+    """W5 parity: window farthest-point + expression scale-and-shift
+    vs the reference formulas in numpy (src/encode.py:232-246)."""
+    from fuserank_spark import fourier
+
+    pts = [(77.2, 28.6), (72.8, 19.0), (88.4, 22.6), None, (13.4, 52.5)]
+    pdf = pd.DataFrame(
+        {
+            "row_id": range(5),
+            "relevance": [0.0] * 5,
+        }
+    )
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "loc",
+        F.element_at(
+            F.array(
+                *[
+                    F.struct(F.lit(p[0] if p else None).cast("double").alias("lon"),
+                             F.lit(p[1] if p else None).cast("double").alias("lat"))
+                    if p
+                    else F.lit(None).cast("struct<lon: double, lat: double>")
+                    for p in pts
+                ]
+            ),
+            F.col("row_id").cast("int") + 1,
+        ),
+    )
+    q = (77.0, 28.0)
+    aux = {"loc": ((q[0], q[1], False), 1.0)}
+    got = (
+        rerank(sdf, aux, {"loc": S.GEO}, _stats(loc=ColumnStats(S.GEO)))
+        .orderBy("row_id")
+        .toPandas()["relevance"]
+        .to_numpy()
+    )
+
+    # numpy twin of the reference math
+    arr = np.array([[np.nan, np.nan] if p is None else p for p in pts])
+    d = fourier.haversine_km(arr, q)
+    far = pts[int(np.nanargmax(d))]
+    qvec = fourier.geo_encoding(q, far)
+    carts = np.array([fourier.geo_to_cartesian(p) for p in pts])
+    scores = np.concatenate([carts, np.ones((5, 1))], axis=1) @ qvec
+    ranks = pd.Series(scores).rank(ascending=True)
+    expect = (2 * (ranks - 1) / 4 - 1).to_numpy()
+    assert np.allclose(got, expect), (got, expect)
+
+
 def test_batch_rerank_partitions_by_query(spark, result_pdf):
     """Windows partition by query_id: two copies of the result set
     re-rank independently and identically."""
