@@ -427,6 +427,20 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_knn(e, queries, dim=64, k=10).orderBy("query_id", "rnk")
 
 
+@register("q_ivf_knn", None)
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: k-means cells + nprobe probing + exact
+    in-cell rerank; centroid training not SQL-expressible."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    assigned, centroids = SS.ivf_build(e, dim=64, n_centroids=8)
+    return SS.ivf_knn(assigned, centroids, queries, k=10, nprobe=4).orderBy(
+        "query_id", "rnk"
+    )
+
+
 @register("q_media_pipeline", None)
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: payload → metadata decode (stub) →

@@ -69,6 +69,118 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return sum(bits[1:], bits[0])
 
 
+def ivf_build(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids trained on a (sampled)
+    pass, then one projection assigns every row to its nearest
+    centroid. Returns (assigned_df, centroids ndarray).
+
+    At 100 TB: train on a bounded sample (k-means cost is O(sample)),
+    assignment is a narrow map; the assigned table is written
+    partitioned by `centroid_id` so a query reads only its probed
+    partitions (partition pruning does the index lookup).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else corpus
+    train = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    with_feat = corpus.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    assigned = model.transform(with_feat).withColumnRenamed("prediction", "centroid_id").drop(
+        "features"
+    )
+    return assigned, centroids
+
+
+def ivf_knn(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVF search: per query, probe the ``nprobe`` nearest centroids
+    (driver-side math over the small centroid matrix), scan only
+    those cells, exact cosine rerank. The probed-cell filter prunes
+    partitions when the assigned table is written partitioned by
+    centroid_id."""
+    qrows = queries.collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[query_vec], dtype="float64")
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(cn @ qn))[:nprobe]
+        for cid in order:
+            probe_rows.append((r[query_key], int(cid), [float(x) for x in qv]))
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_key} int, centroid_id int, {query_vec} array<double>"
+    )
+    joined = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_key),
+        F.col(key_col),
+        _cosine(F.col(vec_col), F.col(query_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("cosine"), F.col(key_col))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_key, key_col, "rnk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ml_cosine_similarity_join(
+    a: DataFrame,
+    b: DataFrame,
+    dim: int,
+    threshold_distance: float = 1.2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Spark ML BucketedRandomProjectionLSH approxSimilarityJoin over
+    L2-normalized vectors (Euclidean distance on the unit sphere is a
+    monotone proxy for cosine: d² = 2 − 2·cos). The built-in scale
+    path the survey's J-row calls for; our portable-hash MinHash
+    remains the oracle-checkable twin."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df):
+        v = df.withColumn("features_raw", array_to_vector(F.col(vec_col).cast("array<double>")))
+        return Normalizer(inputCol="features_raw", outputCol="features", p=2.0).transform(v)
+
+    pa, pb = prep(a), prep(b)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    ).fit(pa)
+    joined = lsh.approxSimilarityJoin(pa, pb, threshold_distance, distCol="dist")
+    return joined.select(
+        F.col(f"datasetA.{key_col}").alias("id_a"),
+        F.col(f"datasetB.{key_col}").alias("id_b"),
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+
+
 def lsh_knn(
     corpus: DataFrame,
     queries: DataFrame,

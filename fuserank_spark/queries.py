@@ -390,6 +390,33 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ Q-JSON (events)
+@register(
+    "q_json",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sk,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON props extraction + aggregate
+    (training-data pipelines carry JSON metadata columns; Catalyst
+    pushes the single-key extraction into the projection)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ----------------------------------------------------------------- Q-ANTI (J1)
 @register(
     "q_anti",

@@ -1,0 +1,92 @@
+"""ANN scale paths: IVF (k-means cells + nprobe) and Spark ML LSH
+similarity join, measured against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark.metrics import recall
+from fuserank_spark.pipeline_ext.simsearch import (
+    brute_force_knn,
+    ivf_build,
+    ivf_knn,
+    lsh_knn,
+    ml_cosine_similarity_join,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries):
+    out = brute_force_knn(emb, queries, k=10)
+    return {
+        qid: [r["vec_id"] for r in out.filter(F.col("query_id") == qid).orderBy("rnk").collect()]
+        for qid in range(5)
+    }
+
+
+def test_ivf_recall_vs_exact(emb, queries, exact):
+    assigned, centroids = ivf_build(emb, dim=64, n_centroids=8)
+    got = ivf_knn(assigned, centroids, queries, k=10, nprobe=4)
+    recalls = []
+    for qid in range(5):
+        ids = [r["vec_id"] for r in got.filter(F.col("query_id") == qid).orderBy("rnk").collect()]
+        recalls.append(recall(exact[qid], ids))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # self-match always survives probing (query cell is always probed)
+    for qid in range(5):
+        ids = [r["vec_id"] for r in got.filter(F.col("query_id") == qid).orderBy("rnk").collect()]
+        assert ids[0] == qid
+
+
+def test_ivf_nprobe_monotone(emb, queries, exact):
+    """More probes → recall can only improve (cells are a partition)."""
+    assigned, centroids = ivf_build(emb, dim=64, n_centroids=8)
+
+    def mean_recall(nprobe):
+        got = ivf_knn(assigned, centroids, queries, k=10, nprobe=nprobe)
+        rs = []
+        for qid in range(5):
+            ids = [
+                r["vec_id"]
+                for r in got.filter(F.col("query_id") == qid).orderBy("rnk").collect()
+            ]
+            rs.append(recall(exact[qid], ids))
+        return sum(rs) / len(rs)
+
+    assert mean_recall(8) >= mean_recall(2) - 1e-9
+    assert mean_recall(8) >= 0.99  # all cells probed == exact
+
+
+def test_ml_similarity_join_finds_top_pairs(spark, emb):
+    """The ML LSH join recovers the strongest cosine pairs the exact
+    near-dup scan finds."""
+    from fuserank_spark.pipeline_ext.dedup import embedding_neardup_pairs
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.45, max_id=500).collect()
+    }
+    if not exact_pairs:
+        pytest.skip("no strong pairs at this SF")
+    approx = ml_cosine_similarity_join(emb, emb, dim=64, threshold_distance=1.1)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    hit = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert hit >= 0.5, (len(exact_pairs), len(got_pairs), hit)
