@@ -1,0 +1,109 @@
+"""Engine boundary conditions: no-text corpora, k > n, empty aux,
+single-row re-rank, unseen vocab values, lowest-extreme re-rank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark import schema as S
+from fuserank_spark.encode import (
+    ColumnStats,
+    CorpusStats,
+    compute_stats,
+    encode_products,
+)
+from fuserank_spark.query import compile_query
+from fuserank_spark.rerank import rerank
+from fuserank_spark.search import topk
+
+
+@pytest.fixture()
+def tiny(spark):
+    return spark.createDataFrame(
+        [(0, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)], "row_id long, cat string, x double"
+    )
+
+
+AUX = {"cat": S.SPARSE, "x": S.DENSE}
+
+
+def test_encode_without_text(spark, tiny):
+    stats = compute_stats(tiny, AUX)
+    encoded, layout = encode_products(tiny, AUX, stats, num_harmonics=4, text_emb_col=None)
+    dim = encoded.select(F.size("vector").alias("d")).first()["d"]
+    assert dim == layout.dim == 2 + (2 * 4 + 5)  # vocab(2) + dense block
+    cq = compile_query(
+        "", {"cat": ((["a"], False), 1.0), "x": (None, 1.0)}, AUX, stats, layout,
+        num_harmonics=4,
+    )
+    assert len(cq.vector) == dim
+    hits = topk(encoded, cq.vector, k=10).collect()  # k > n
+    assert len(hits) == 3
+    assert {r["row_id"] for r in hits[:2]} == {0, 2}  # 'a' rows outrank 'b'
+
+
+def test_pure_text_query_all_none_aux(spark, tiny):
+    stats = compute_stats(tiny, AUX)
+    encoded, layout = encode_products(tiny, AUX, stats, num_harmonics=4, text_emb_col=None)
+    cq = compile_query(
+        "whatever", {"cat": (None, 1.0), "x": (None, 1.0)}, AUX, stats, layout,
+        num_harmonics=4,
+    )
+    assert cq.predicate is None and cq.predicate_sql is None
+    # all aux segments zero → every row scores the constant shift dims
+    scores = topk(encoded, cq.vector, k=3).select("relevance").collect()
+    assert len({round(r["relevance"], 9) for r in scores}) == 1
+
+
+def test_sparse_query_unseen_value(spark, tiny):
+    stats = compute_stats(tiny, AUX)
+    _, layout = encode_products(tiny, AUX, stats, num_harmonics=4, text_emb_col=None)
+    cq = compile_query(
+        "", {"cat": ((["zzz"], False), 1.0), "x": (None, 1.0)}, AUX, stats, layout,
+        num_harmonics=4,
+    )
+    # unseen selection → −1 on every vocab position (nothing matches)
+    assert list(cq.vector[:2]) == [-1.0, -1.0]
+
+
+def test_single_row_rerank_no_division_by_zero(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"row_id": [0], "relevance": [0.5], "cat": ["a"]})
+    )
+    out = rerank(
+        df,
+        {"cat": ((["a"], False), 2.0)},
+        {"cat": S.SPARSE},
+        CorpusStats(columns={"cat": ColumnStats(S.SPARSE)}),
+    ).collect()
+    assert np.isfinite(out[0]["relevance"])
+
+
+def test_lowest_extreme_rerank(spark):
+    """W2 'lowest' branch: query value == column min → descending
+    rank (smallest value gets +1)."""
+    pdf = pd.DataFrame({"row_id": range(4), "relevance": [0.0] * 4, "x": [5.0, 1.0, 9.0, 3.0]})
+    out = (
+        rerank(
+            spark.createDataFrame(pdf),
+            {"x": ((1.0,), 1.0)},
+            {"x": S.DENSE},
+            CorpusStats(columns={"x": ColumnStats(S.DENSE, min=1.0, max=9.0)}),
+        )
+        .orderBy("row_id")
+        .toPandas()["relevance"]
+        .to_numpy()
+    )
+    ranks = pd.Series([5.0, 1.0, 9.0, 3.0]).rank(ascending=False)
+    expect = (2 * (ranks - 1) / 3 - 1).to_numpy()
+    assert np.allclose(out, expect)
+    assert out[1] == 1.0  # smallest x gets the max boost
+
+
+def test_binary_stats_requires_two_values(spark):
+    df = spark.createDataFrame([(1, "x")], "row_id long, b string")
+    with pytest.raises(ValueError, match="distinct values"):
+        compute_stats(df, {"b": S.BINARY})
