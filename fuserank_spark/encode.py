@@ -256,13 +256,10 @@ def encode_products(
     layout = VectorLayout()
     seg_cols: list[Column] = []
     if text_emb_col is not None:
-        emb_dim = None
-        for f_ in df.schema.fields:
-            if f_.name == text_emb_col and isinstance(f_.dataType, T.ArrayType):
-                emb_dim = None  # dim unknown statically; recorded via first row by caller
         seg_cols.append(F.transform(F.col(text_emb_col), lambda v: v.cast("double")))
-        # text dim is data-defined; callers that need layout.dim exact
-        # should pass it via record_text_dim below
+        # text dim is data-defined; callers must fix it via
+        # record_text_dim before compiling queries (compile_query
+        # rejects a layout with unknown text dim)
         layout.segments.append(("__text__", -1))
 
     for c, kind in aux_encoding_schema.items():

@@ -20,10 +20,10 @@ from .pipeline_ext import dedup as D
 from .pipeline_ext import multimodal as M
 from .pipeline_ext import simsearch as SS
 from .pipeline_ext import textstats as TX
-from .pipeline_ext.hashing import HASH_PRIME, MINHASH_PERMS
+from .pipeline_ext.hashing import HASH_PRIME, MINHASH_PERMS, portable_hash32_sql
 from .queries import register
 
-_H = "CAST(concat('0x', substring(md5({expr}), 1, 8)) AS BIGINT)"
+_H = portable_hash32_sql("{expr}")  # template form; .format(expr=...) fills the column
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

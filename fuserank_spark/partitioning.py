@@ -70,7 +70,9 @@ def salted_count_agg(
     for col, how in agg_exprs.items():
         partial = f"__p_{col}_{how}"
         if how == "count":
-            phase1_aggs.append(F.count(F.lit(1)).alias(partial))
+            # '*' counts rows; a named column counts its non-null values
+            cnt = F.count(F.lit(1)) if col == "*" else F.count(F.col(col))
+            phase1_aggs.append(cnt.alias(partial))
             phase2_aggs.append(F.sum(partial).alias(f"{how}_{col}" if col != "*" else "count"))
         elif how == "sum":
             phase1_aggs.append(F.sum(col).alias(partial))

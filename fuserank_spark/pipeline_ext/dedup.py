@@ -39,13 +39,20 @@ def exact_dup_groups(
 
 def shingles_expr(text_col: Column, k: int = SHINGLE_K) -> Column:
     """Distinct character k-shingles as an array column — pure
-    higher-order functions, no UDF."""
-    return F.array_distinct(
+    higher-order functions, no UDF.
+
+    Texts shorter than k yield an EMPTY array (guard required:
+    Spark's sequence(1, n) with n<1 counts DOWN, producing garbage
+    positions; DuckDB's generate_series yields empty — the guard
+    keeps the two engines identical)."""
+    sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(text_col) - (k - 1)),
             lambda i: F.substr(text_col, i, F.lit(k)),
         )
     )
+    empty = F.array().cast("array<string>")
+    return F.when(F.length(text_col) >= k, sh).otherwise(empty)
 
 
 def minhash_signature(

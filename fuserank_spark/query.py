@@ -175,8 +175,13 @@ def compile_query(
 
     transformation_schema = transformation_schema or {}
 
-    text_dim = dict(layout.segments).get("__text__", -1)
-    if text_dim and text_dim > 0:
+    text_dim = dict(layout.segments).get("__text__")
+    if text_dim is not None and text_dim <= 0:
+        raise ValueError(
+            "layout has a text segment of unknown dim — call "
+            "encode.record_text_dim(layout, emb_dim) after encode_products"
+        )
+    if text_dim:
         tvec = embed_query(query_text, dim=text_dim, embedder=text_embedder)
     else:
         tvec = np.zeros(0)

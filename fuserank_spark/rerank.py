@@ -75,9 +75,18 @@ def _dense_delta(col: Column, value, cs, transform: FittedTransform | None, part
         key = F.coalesce(F.abs(F.lit(tv) - col.cast("double")), F.lit(_FLOAT_MAX))
         return _rank_norm([key], negated, part)
     lo, hi, negated = value
-    # interval (W4): inside → float_min sentinel, nulls → float_max
+    # interval (W4): inside → float_min sentinel, nulls → float_max.
+    # Bounds arrive raw; the result column carries transformed values
+    # (src/encode.py:207 comment), so transform the bounds the same
+    # way the query compiler does — swapping when a decreasing
+    # transform flips them
+    tr = transform or FittedTransform("identity")
+    tlo = float(np.asarray(tr.apply_np(float(lo))))
+    thi = float(np.asarray(tr.apply_np(float(hi))))
+    if tlo > thi:
+        tlo, thi = thi, tlo
     key = F.when(
-        col.cast("double").between(F.lit(float(lo)), F.lit(float(hi))), F.lit(_FLOAT_MIN)
+        col.cast("double").between(F.lit(tlo), F.lit(thi)), F.lit(_FLOAT_MIN)
     ).otherwise(F.coalesce(col.cast("double"), F.lit(_FLOAT_MAX)))
     return _rank_norm([key], bool(negated), part)
 
@@ -116,8 +125,8 @@ def _geo_delta(col: Column, value, part) -> Column:
     qdotp = sum(F.lit(float(q)) * pc for q, pc in zip(qcart, cart))
     score = scale * qdotp + (1.0 - scale)
     score = F.when(col.isNull(), 1.0 - scale).otherwise(score)
-    if negated:
-        score = -score
+    # negation ONLY flips the rank direction (src/encode.py:234); the
+    # score itself is never negated in the re-rank path
     return _rank_norm([score], not negated, part)
 
 

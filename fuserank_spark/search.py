@@ -59,14 +59,22 @@ def topk(
     vector_col: str = "vector",
     score_col: str = "relevance",
     predicate: Column | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """T1 single-query exact top-k (replaces
     faiss.IndexFlatIP.search, src/app.py:78). Optional hard predicate
-    = the exact/oracle arm (pre-filter, pushed to the scan)."""
+    = the exact/oracle arm (pre-filter, pushed to the scan).
+
+    Ties break deterministically on the key column (row_id when
+    present) so results are stable across partition scan orders."""
     if predicate is not None:
         df = df.filter(predicate)
     scored = df.withColumn(score_col, dot_expr(vector_col, lit_vector(query_vector)))
-    return scored.orderBy(F.desc(score_col)).limit(k)
+    order = [F.desc(score_col)]
+    tb = tiebreak_col or ("row_id" if "row_id" in df.columns else None)
+    if tb is not None:
+        order.append(F.col(tb))
+    return scored.orderBy(*order).limit(k)
 
 
 def topk_batch(

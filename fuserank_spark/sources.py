@@ -89,7 +89,11 @@ def embed_with_cache(
     spark = df.sparkSession
     cached = load_cached_embeddings(spark, cache_dir, dataset, model_name)
     if cached is not None:
-        return df.join(cached, "row_id")
+        # a stale cache (corpus grew since it was written) must not
+        # silently drop the new rows — treat coverage mismatch as a miss
+        missing = df.join(cached.select("row_id"), "row_id", "left_anti").limit(1).count()
+        if missing == 0:
+            return df.join(cached, "row_id")
     out = embed_corpus(df, text_encoding_schema, dim=dim, embedder_factory=embedder_factory)
     save_embeddings(out, cache_dir, dataset, model_name)
     return df.join(spark.read.parquet(embedding_cache_path(cache_dir, dataset, model_name)), "row_id")

@@ -185,6 +185,29 @@ def test_geo_rerank_matches_numpy(spark):
     assert np.allclose(got, expect), (got, expect)
 
 
+def test_geo_rerank_negated_prefers_far(spark):
+    """Negation flips ONLY the rank direction (src/encode.py:234):
+    'away from this point' must boost the farthest rows."""
+    pts = [(77.2, 28.6), (13.4, 52.5), (151.2, -33.9)]  # Delhi, Berlin, Sydney
+    rows = [(i, 0.0, p[0], p[1]) for i, p in enumerate(pts)]
+    sdf = spark.createDataFrame(rows, "row_id long, relevance double, lon double, lat double")
+    sdf = sdf.withColumn("loc", F.struct(F.col("lon"), F.col("lat"))).drop("lon", "lat")
+    q = (77.0, 28.0)  # ~Delhi
+    got = (
+        rerank(
+            sdf,
+            {"loc": ((q[0], q[1], True), 1.0)},
+            {"loc": S.GEO},
+            _stats(loc=ColumnStats(S.GEO)),
+        )
+        .orderBy("row_id")
+        .toPandas()["relevance"]
+        .to_numpy()
+    )
+    # Sydney (farthest) must get the max boost, Delhi (nearest) the min
+    assert got[2] == max(got) and got[0] == min(got), got
+
+
 def test_batch_rerank_partitions_by_query(spark, result_pdf):
     """Windows partition by query_id: two copies of the result set
     re-rank independently and identically."""
