@@ -87,6 +87,16 @@ def main() -> None:
     times["topk_batch32"] = round(batch_sec, 3)
     enc.unpersist()
 
+    # fused-vs-exact quality tracker (mean recall@10, K=64, 6 queries)
+    from fuserank_spark.eval_harness import evaluate_fused_vs_exact
+
+    t0 = time.time()
+    eval_results = evaluate_fused_vs_exact(
+        spark, sf_dir, num_harmonics_list=(64,), n_queries=6, n_modalities=2
+    )
+    recall_mean = round(sum(r["recall"] for r in eval_results) / len(eval_results), 4)
+    times["eval_recall_sweep"] = round(time.time() - t0, 3)
+
     total = round(sum(t for t in times.values() if t >= 0), 3)
     out = {
         "metric": "total_query_wall_sec",
@@ -96,6 +106,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "encode_rows_per_sec": round(n_rows / encode_sec, 1) if encode_sec > 0 else None,
         "topk_queries_per_sec": round(32 / batch_sec, 2) if batch_sec > 0 else None,
+        "fused_recall_at_10": recall_mean,
     }
     print(json.dumps(out))
 

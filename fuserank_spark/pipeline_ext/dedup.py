@@ -212,6 +212,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph by
+    iterative min-label propagation: every node adopts the smallest
+    id reachable in one hop, repeated to fixpoint (≤ graph diameter,
+    which for near-dup clusters is tiny). Returns (doc_id, cluster_id).
+
+    Each iteration is one self-join + groupBy-min — all shuffles
+    keyed on ids; no driver-side graph. For adversarial chain-shaped
+    graphs raise max_iterations (label distance halves per round once
+    chains fold)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def deduplicate(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep-one-per-cluster: resolve clusters from candidate pairs,
+    drop every member except the minimum-id survivor. Rows in no
+    pair pass through untouched (left join, no full shuffle of the
+    corpus beyond the one keyed join)."""
+    clusters = resolve_duplicate_clusters(pairs, id_a, id_b)
+    victims = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(key_col)
+    )
+    return df.join(victims, key_col, "left_anti")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1,0 +1,53 @@
+"""End-to-end dedup: candidate pairs → cluster resolution →
+keep-one-per-cluster survivors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark.pipeline_ext.dedup import (
+    deduplicate,
+    lsh_candidate_pairs,
+    minhash_signature,
+    resolve_duplicate_clusters,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_cluster_resolution_chain(spark):
+    # chain 1-2-3-4 plus isolated pair (10,11): one component each
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_end_to_end_removes_injected_dups(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.union(dups)
+    sigs = minhash_signature(corpus).drop("text")
+    pairs = lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.999)
+    survivors = deduplicate(corpus, pairs)
+    # every injected copy (id ≥ 1e6) has an identical original with a
+    # smaller id → all copies removed
+    assert survivors.filter(F.col("doc_id") >= 1000000).count() == 0
+    # a few NATURAL near-identical docs exist in this vocab-dense
+    # corpus and are legitimately removed too — the invariant is that
+    # no high-jaccard pair survives intact
+    surv_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    both_alive = [
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if r["id_a"] in surv_ids and r["id_b"] in surv_ids
+    ]
+    assert both_alive == []
+    assert docs.count() - 50 <= survivors.count() < docs.count() + 1
