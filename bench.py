@@ -50,9 +50,11 @@ def main() -> None:
 
     t0 = time.time()
     corpus = build_corpus(spark, sf_dir)
-    n_rows = corpus.encoded.select("row_id").count()
+    # single materialization pass (count + separate write would run
+    # the mapInPandas embed stage twice and halve the reported rate)
     materialize(corpus.encoded.select("row_id", "vector"))
     encode_sec = time.time() - t0
+    n_rows = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     times["corpus_encode"] = round(encode_sec, 3)
 
     # batch top-k throughput (32 fused queries, k=10)

@@ -70,12 +70,22 @@ class EvalCorpus:
     num_harmonics: int
 
 
-def build_eval_corpus(spark: SparkSession, sf_dir: str, num_harmonics: int) -> EvalCorpus:
+def prepare_eval_base(spark: SparkSession, sf_dir: str):
+    """Embed + stats once — only the encode stage depends on K, so a
+    K-sweep must not re-run the (expensive) embedding pass. The
+    embedded frame is persisted across the sweep."""
     from .embed import embed_corpus
 
     docs = enriched_documents(spark, sf_dir)
-    embedded = embed_corpus(docs, TEXT_SCHEMA, dim=EMB_DIM)
+    embedded = embed_corpus(docs, TEXT_SCHEMA, dim=EMB_DIM).persist()
     stats = compute_stats(embedded, EVAL_AUX_SCHEMA)
+    return docs, embedded, stats
+
+
+def build_eval_corpus(
+    spark: SparkSession, sf_dir: str, num_harmonics: int, base=None
+) -> EvalCorpus:
+    docs, embedded, stats = base if base is not None else prepare_eval_base(spark, sf_dir)
     encoded, layout = encode_products(
         embedded, EVAL_AUX_SCHEMA, stats, num_harmonics=num_harmonics
     )
@@ -135,8 +145,9 @@ def evaluate_fused_vs_exact(
     results: list[dict] = []
     embedder = DeterministicStubEmbedder(EMB_DIM)
     sample_rows = None
+    base = prepare_eval_base(spark, sf_dir)
     for K in num_harmonics_list:
-        corpus = build_eval_corpus(spark, sf_dir, K)
+        corpus = build_eval_corpus(spark, sf_dir, K, base=base)
         if sample_rows is None:
             sample_rows = corpus.df.select(
                 "row_id", "text", "lang", "is_long", "n_chars", "location"
@@ -174,6 +185,7 @@ def evaluate_fused_vs_exact(
                 }
             )
         corpus.encoded.unpersist()
+    base[1].unpersist()
     return results
 
 

@@ -68,6 +68,10 @@ def export_shards(
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
+        # executor-side: out_dir must be on a shared filesystem
+        # (NFS/object-store mount) in cluster mode — each task writes
+        # its own shard file there; local mode shares the driver path
+        os.makedirs(out_dir, exist_ok=True)
         shard_id = TaskContext.get().partitionId()
         keys: list[int] = []
         mats: list[np.ndarray] = []

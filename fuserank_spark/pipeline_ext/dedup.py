@@ -218,15 +218,16 @@ def resolve_duplicate_clusters(
     id_b: str = "id_b",
     max_iterations: int = 10,
 ) -> DataFrame:
-    """Connected components over the duplicate-pair graph by
-    iterative min-label propagation: every node adopts the smallest
-    id reachable in one hop, repeated to fixpoint (≤ graph diameter,
-    which for near-dup clusters is tiny). Returns (doc_id, cluster_id).
+    """Connected components over the duplicate-pair graph:
+    min-label propagation (one hop per round) combined with pointer
+    jumping (adopt your label's label), which doubles the label
+    reach each round — convergence in O(log diameter) iterations, so
+    the default 10 covers components of diameter ~2^10.
+    Returns (doc_id, cluster_id).
 
-    Each iteration is one self-join + groupBy-min — all shuffles
-    keyed on ids; no driver-side graph. For adversarial chain-shaped
-    graphs raise max_iterations (label distance halves per round once
-    chains fold)."""
+    Each iteration is two keyed joins + a groupBy-min — all shuffles
+    on ids; no driver-side graph. Raises if the iteration budget is
+    exhausted before fixpoint rather than returning wrong clusters."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -235,19 +236,33 @@ def resolve_duplicate_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: follow cluster_id -> that node's cluster_id
+        ptr = stepped.select(
+            F.col("id").alias("lid"), F.col("cluster_id").alias("lcid")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped["cluster_id"] == ptr["lid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("lcid"), F.col("cluster_id"))
+                ).alias("cluster_id"),
             )
         )
         changed = (
@@ -257,9 +272,15 @@ def resolve_duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.localCheckpoint(eager=True)  # cut the growing lineage
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"cluster resolution did not converge in {max_iterations} iterations; "
+            "raise max_iterations (components deeper than ~2^iterations)"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -92,10 +92,17 @@ def q_proj_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/load_flipkart.py:21-25 (P2 split-to-columns, P3 regex strip,
     P5 trim)."""
     p = load_tables(spark, sf_dir, "part")["part"]
+    # split_part semantics: a missing second word is '' (not NULL) —
+    # Spark's getItem(1) yields NULL there, so coalesce for parity on
+    # single-word names; NULL input stays NULL on both sides
+    second_word = F.when(
+        F.col("p_name").isNotNull(),
+        F.coalesce(F.split(F.col("p_name"), " ").getItem(1), F.lit("")),
+    )
     return p.select(
         "p_partkey",
         F.trim(F.regexp_replace("p_type", "[aeiou]", "")).alias("t"),
-        F.split(F.col("p_name"), " ").getItem(1).alias("w"),
+        second_word.alias("w"),
     ).orderBy("p_partkey")
 
 

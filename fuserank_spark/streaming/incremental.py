@@ -59,11 +59,11 @@ def incremental_encode(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = embed_corpus(batch_df, schema, dim=emb_dim)
-        (
-            out.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sink_path)
-        )
+        # foreachBatch is at-least-once: a crash between write and
+        # checkpoint commit replays the batch. Writing each batch to
+        # its own partition directory with overwrite makes the replay
+        # idempotent (the re-run replaces, never duplicates).
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -71,6 +71,13 @@ def incremental_encode(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def with_ingest_time(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach processing-time arrival timestamps — the document
+    stream carries no event time, so arrival stats window on ingest
+    time (composition: arrival_stats_stream(with_ingest_time(s)))."""
+    return stream.withColumn(ts_col, F.current_timestamp())
 
 
 def arrival_stats_stream(
@@ -81,7 +88,10 @@ def arrival_stats_stream(
 ):
     """Watermarked tumbling-window arrival stats (the streaming twin
     of q_window_events): late data beyond the watermark is dropped,
-    state is bounded."""
+    state is bounded. Streams without an event-time column go through
+    with_ingest_time first."""
+    if ts_col not in stream.columns:
+        stream = with_ingest_time(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col("source"))
