@@ -77,6 +77,44 @@ def topk(
     return scored.orderBy(*order).limit(k)
 
 
+def text_topk_then_rerank(
+    encoded: DataFrame,
+    compiled_query,
+    aux_encoding_schema: dict[str, str],
+    stats,
+    text_dim: int,
+    k: int = 10,
+    transformation_schema=None,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """The reference's "Re-ranking" method (src/app.py:73-89 with
+    method="Re-ranking"): retrieve top-k by TEXT similarity only,
+    then re-rank the k-row result by the aux modalities (W1-W8) and
+    sort. The retrieval pass reads only the text slice of the fused
+    vector; the re-rank is a k-row window computation."""
+    from .rerank import rerank
+
+    text_vec = compiled_query.vector[:text_dim]
+    scored = encoded.withColumn(
+        "relevance", dot_expr(F.slice(vector_col, 1, text_dim), lit_vector(text_vec))
+    )
+    order = [F.desc("relevance")]
+    if "row_id" in encoded.columns:
+        order.append(F.col("row_id"))
+    result = scored.orderBy(*order).limit(k)
+    result = rerank(
+        result,
+        compiled_query.aux_data,
+        aux_encoding_schema,
+        stats,
+        transformation_schema=transformation_schema,
+    )
+    final_order = [F.desc_nulls_last("relevance")]
+    if "row_id" in encoded.columns:
+        final_order.append(F.col("row_id"))
+    return result.orderBy(*final_order)
+
+
 def topk_batch(
     products: DataFrame,
     queries: DataFrame,

@@ -81,6 +81,33 @@ def test_fused_recall_vs_exact_oracle(corpus):
     assert sat >= int(0.8 * k)
 
 
+def test_batch_rerank_mode(corpus):
+    """Batch form of the Re-ranking method: text-retrieve per query
+    via topk_batch on the text slice, re-rank all result sets in ONE
+    plan partitioned by query_id."""
+    from fuserank_spark.rerank import rerank
+
+    auxes = [
+        {"lang": ((["en"], False), 5.0), "source": (None, 1.0), "n_chars": (None, 1.0)},
+        {"lang": ((["zh"], False), 5.0), "source": (None, 1.0), "n_chars": (None, 1.0)},
+    ]
+    cqs = [_compiled(corpus, a, text=t) for a, t in zip(auxes, ["fast join", "slow scan"])]
+    spark = corpus.encoded.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in cq.vector[:EMB_DIM]]) for i, cq in enumerate(cqs)],
+        "query_id int, qvec array<double>",
+    )
+    text_sliced = corpus.encoded.withColumn("tvec", F.slice("vector", 1, EMB_DIM))
+    results = topk_batch(text_sliced, qdf, k=15, vector_col="tvec")
+    # both queries share the same filter column set → one rerank plan
+    shared_aux = {"lang": ((["en", "zh"], False), 3.0)}
+    out = rerank(
+        results, shared_aux, {"lang": "sparse"}, corpus.stats, query_id_col="query_id"
+    )
+    rows = out.groupBy("query_id").count().collect()
+    assert {r["query_id"]: r["count"] for r in rows} == {0: 15, 1: 15}
+
+
 def test_topk_batch_matches_single(corpus):
     auxes = [
         {"lang": ((["en"], False), 2.0), "source": (None, 1.0), "n_chars": (None, 1.0)},
@@ -120,6 +147,30 @@ def test_weight_boost_promotes_filter(corpus):
         return corpus.encoded.filter(F.col("row_id").isin(ids) & (F.col("lang") == "zh")).count()
 
     assert hits(8.0) >= hits(0.5)
+
+
+def test_text_topk_then_rerank(corpus):
+    """"Re-ranking" method parity: text-only retrieval, aux re-rank.
+    Rows matching the aux filters must outrank non-matching rows
+    within the text-retrieved set."""
+    from fuserank_spark.search import text_topk_then_rerank
+
+    aux = {
+        "lang": ((["en"], False), 5.0),
+        "source": (None, 1.0),
+        "n_chars": (None, 1.0),
+    }
+    cq = _compiled(corpus, aux)
+    out = text_topk_then_rerank(
+        corpus.encoded, cq, AUX_SCHEMA, corpus.stats, text_dim=EMB_DIM, k=20
+    ).select("row_id", "lang", "relevance").collect()
+    assert len(out) == 20
+    langs = [r["lang"] for r in out]
+    if "en" in langs and any(l != "en" for l in langs):
+        # every 'en' row must rank above every non-'en' row at weight 5
+        last_en = max(i for i, l in enumerate(langs) if l == "en")
+        first_other = min(i for i, l in enumerate(langs) if l != "en")
+        assert last_en < first_other or langs[:langs.count("en")] == ["en"] * langs.count("en")
 
 
 def test_flagship_runs(spark):
