@@ -94,12 +94,24 @@ def build_eval_corpus(
 
 
 def sample_queries(
-    corpus_rows: list, n_queries: int, n_modalities: int, seed: int = 42
+    corpus_rows: list,
+    n_queries: int,
+    n_modalities: int,
+    seed: int = 42,
+    reference_regime: bool = False,
+    n_chars_min: float | None = None,
 ) -> list[dict]:
     """Seeded (query-row, modality-subset) draws mirroring
     evaluate.py:173-181; filter values derive from the sampled row so
-    the hard filter is satisfiable."""
+    the hard filter is satisfiable.
+
+    ``reference_regime=True`` reproduces the reference eval exactly
+    (faiss_experiment.py:36-63): full text field as query, weight 1.0
+    everywhere, dense filter = (column_min, sampled_value) interval.
+    Default regime uses tighter intervals + weight 3.0 (a harder
+    soft-filter stress)."""
     out = []
+    weight = 1.0 if reference_regime else 3.0
     for i in range(n_queries):
         rng = random.Random(seed * 1000 + i)  # seed = f(i) (evaluate.py:174-175)
         row = rng.choice(corpus_rows)
@@ -107,20 +119,23 @@ def sample_queries(
         aux: dict[str, tuple] = {c: (None, 1.0) for c in EVAL_AUX_SCHEMA}
         for c in chosen:
             if c == "lang":
-                aux[c] = (([row["lang"]], False), 3.0)
+                aux[c] = (([row["lang"]], False), weight)
             elif c == "is_long":
-                aux[c] = (row["is_long"], 3.0)
+                aux[c] = (row["is_long"], weight)
             elif c == "n_chars":
-                v = row["n_chars"]
-                aux[c] = ((float(v) - 40.0, float(v) + 40.0, False), 3.0)
+                v = float(row["n_chars"])
+                if reference_regime:
+                    lo = n_chars_min if n_chars_min is not None else 0.0
+                    aux[c] = ((lo, v, False), weight)
+                else:
+                    aux[c] = ((v - 40.0, v + 40.0, False), weight)
             elif c == "location":
                 loc = row["location"]
                 if loc is None:
                     continue
-                aux[c] = ((loc["lon"], loc["lat"], False), 3.0)
-        out.append(
-            {"query_id": i, "text": " ".join(str(row["text"]).split()[:6]), "aux": aux}
-        )
+                aux[c] = ((loc["lon"], loc["lat"], False), weight)
+        text = str(row["text"]) if reference_regime else " ".join(str(row["text"]).split()[:6])
+        out.append({"query_id": i, "text": text, "aux": aux})
     return out
 
 
@@ -133,6 +148,7 @@ def evaluate_fused_vs_exact(
     k: int = 10,
     seed: int = 42,
     interval_epsilon: float = 0.01,
+    reference_regime: bool = False,
 ) -> list[dict]:
     """The reference's sweep loop (evaluate.py:205-242): for each K,
     run seeded queries through both arms, record recall/r-precision.
@@ -152,7 +168,11 @@ def evaluate_fused_vs_exact(
             sample_rows = corpus.df.select(
                 "row_id", "text", "lang", "is_long", "n_chars", "location"
             ).collect()
-        queries = sample_queries(sample_rows, n_queries, n_modalities, seed)
+        n_chars_min = float(corpus.stats.columns["n_chars"].min or 0.0)
+        queries = sample_queries(
+            sample_rows, n_queries, n_modalities, seed,
+            reference_regime=reference_regime, n_chars_min=n_chars_min,
+        )
         for q in queries:
             cq = compile_query(
                 q["text"], q["aux"], EVAL_AUX_SCHEMA, corpus.stats, corpus.layout,
