@@ -81,6 +81,7 @@ def lsh_candidate_pairs(
     bands: int = 2,
     rows_per_band: int = 4,
     out_prefix: str = "mh",
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """MinHash-LSH banding: band the signature, bucket-join docs
     sharing a band, emit candidate pairs with the estimated Jaccard
@@ -88,6 +89,13 @@ def lsh_candidate_pairs(
 
     The join is an equi-join on (band_idx, band_hash) — co-located by
     the shuffle, linear in candidates; never a cross join.
+
+    Skew guard: a bucket larger than ``max_bucket_size`` means a
+    mass near-duplicate cluster — all-pairs there is quadratic blowup
+    with no information gain. Such buckets emit STAR edges (every
+    member ↔ the bucket's min id) instead: linear in members and
+    sufficient to keep the cluster connected for
+    resolve_duplicate_clusters / deduplicate.
     """
     n = bands * rows_per_band
     sig_cols = [f"{out_prefix}{j}" for j in range(n)]
@@ -122,17 +130,23 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    # star edges for oversized (mass near-dup) buckets: member i ↔ member 0
+    star_pairs = F.transform(
+        F.slice(F.col("ms"), 2, F.size(F.col("ms"))),
+        lambda y: F.struct(F.element_at(F.col("ms"), 1).alias("a"), y.alias("b")),
+    )
     pairs = buckets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ms"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
+            F.when(F.size("ms") <= max_bucket_size, all_pairs).otherwise(star_pairs)
         ).alias("p")
     )
     eq = F.zip_with(

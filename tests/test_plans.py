@@ -73,16 +73,30 @@ def test_dense_encode_expr_is_jvm_side(spark):
 
 
 def test_fused_search_single_pass(spark):
-    """Fused top-k over the encoded corpus: one scan, no join, no
-    global sort — TakeOrderedAndProject on the scored scan."""
+    """Fused top-k, expression strategy: one scan, no join, no global
+    sort — TakeOrderedAndProject on the scored scan."""
     from fuserank_spark.flagship import build_corpus, flagship_compiled
     from fuserank_spark.search import topk
 
     corpus = build_corpus(spark, SF_SMOKE)
     cq = flagship_compiled(corpus)
-    p = plan_str(topk(corpus.encoded, cq.vector, k=10))
+    p = plan_str(topk(corpus.encoded, cq.vector, k=10, use_arrow=False))
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_fused_search_arrow_scan(spark):
+    """Fused top-k, Arrow strategy: the corpus flows through ONE
+    mapInPandas scan (numpy matmul + partial top-k); only k-row hits
+    are joined back — the corpus itself is never sorted or shuffled."""
+    from fuserank_spark.flagship import build_corpus, flagship_compiled
+    from fuserank_spark.search import topk
+
+    corpus = build_corpus(spark, SF_SMOKE)
+    cq = flagship_compiled(corpus)
+    p = plan_str(topk(corpus.encoded, cq.vector, k=10, use_arrow=True))
+    assert "MapInPandas" in p
+    assert "Exchange rangepartitioning" not in p  # no corpus-wide sort
 
 
 def test_topk_batch_no_corpus_shuffle(spark):

@@ -1,0 +1,105 @@
+"""Scale smoke: explode the documents corpus N× (default → ~500k
+rows) and run the heavy paths end-to-end — encode, single + batched
+fused top-k, minhash/LSH dedup, exact dedup. Prints one JSON line of
+wall times. Evidence for the SCALING.md claims at 100× the test SF.
+
+Usage: python tools/scale_smoke.py [factor] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    os.environ.setdefault("FUSERANK_DRIVER_MEM", "24g")
+
+    from fuserank_spark.session import get_spark
+    from fuserank_spark import schema as S
+    from fuserank_spark.embed import DeterministicStubEmbedder, embed_corpus
+    from fuserank_spark.encode import compute_stats, encode_products, record_text_dim
+    from fuserank_spark.pipeline_ext.dedup import (
+        exact_dup_groups,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from fuserank_spark.query import compile_query
+    from fuserank_spark.search import topk, topk_batch
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = {}
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    big = (
+        docs.crossJoin(spark.range(factor).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * factor + F.col("rep")).alias("row_id"),
+            # perturb text per replica so dedup isn't trivially degenerate
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+            "lang",
+            (F.col("n_chars") + F.col("rep") % 37).alias("n_chars"),
+        )
+        .repartition(64, "row_id")
+        .persist()
+    )
+    n = big.count()
+    print(f"corpus: {n} rows", file=sys.stderr)
+
+    aux = {"lang": S.SPARSE, "n_chars": S.DENSE}
+    t0 = time.time()
+    embedded = embed_corpus(big, {"text": 1.0}, dim=64)
+    stats = compute_stats(embedded, aux)
+    encoded, layout = encode_products(embedded, aux, stats, num_harmonics=64)
+    record_text_dim(layout, 64)
+    enc = encoded.select("row_id", "lang", "n_chars", "vector").persist()
+    enc.write.format("noop").mode("overwrite").save()
+    t["encode_500k"] = round(time.time() - t0, 2)
+    t["encode_rows_per_sec"] = round(n / t["encode_500k"], 0)
+
+    cq = compile_query(
+        "spark join filter vector search",
+        {"lang": ((["en", "de"], False), 2.0), "n_chars": ((120.0, 360.0, False), 1.5)},
+        aux, stats, layout,
+        text_embedder=DeterministicStubEmbedder(64), num_harmonics=64,
+    )
+    t0 = time.time()
+    topk(enc, cq.vector, k=10).collect()
+    t["topk_single"] = round(time.time() - t0, 2)
+
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in cq.vector]) for i in range(32)],
+        "query_id int, qvec array<double>",
+    )
+    t0 = time.time()
+    topk_batch(enc, qdf, k=10).write.format("noop").mode("overwrite").save()
+    t["topk_batch32"] = round(time.time() - t0, 2)
+    t["topk_qps"] = round(32 / t["topk_batch32"], 2)
+
+    t0 = time.time()
+    exact_dup_groups(big, key_col="row_id").write.format("noop").mode("overwrite").save()
+    t["exact_dedup"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    sigs = minhash_signature(big.select("row_id", "text"), out_prefix="mh")
+    pairs = lsh_candidate_pairs(sigs, key_col="row_id")
+    n_pairs = pairs.count()
+    t["minhash_lsh_pairs"] = round(time.time() - t0, 2)
+    t["n_candidate_pairs"] = n_pairs
+
+    t["n_rows"] = n
+    print(json.dumps(t))
+
+
+if __name__ == "__main__":
+    main()
