@@ -212,13 +212,16 @@ def evaluate_fused_vs_exact(
 def report(spark: SparkSession, results: list[dict]) -> DataFrame:
     """A5 grouped-mean report (evaluate.py:113-129)."""
     df = spark.createDataFrame(results)
+    keys = ["num_harmonics"]
+    if "interval_epsilon" in df.columns:
+        keys.append("interval_epsilon")
     return (
-        df.groupBy("num_harmonics")
+        df.groupBy(*keys)
         .agg(
             F.round(F.avg("recall"), 4).alias("mean_recall"),
             F.round(F.avg("r_precision"), 4).alias("mean_r_precision"),
         )
-        .orderBy("num_harmonics")
+        .orderBy(*keys)
     )
 
 

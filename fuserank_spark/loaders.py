@@ -58,6 +58,10 @@ def load_restaurants(
     # pandas index 8620, 3513 → Restaurant IDs 18489509 ("InnerChef",
     # mislabeled city) and 18419884 ("Test Restaruants for Medio")
     df = df.filter(~F.col("Restaurant ID").cast("long").isin([18489509, 18419884]))
+    # stable key derived from the SOURCE id (§1.4) before it is
+    # dropped — never a partition-layout-dependent generated id; the
+    # embedding cache joins on this across sessions
+    df = df.withColumn("row_id", F.col("Restaurant ID").cast("long"))
     df = prep.zip_geo(df, "Longitude", "Latitude", out="Location")
     df = prep.drop_columns(
         df,
@@ -75,7 +79,6 @@ def load_restaurants(
             "Longitude",
         ],
     )
-    df = df.withColumn("row_id", F.monotonically_increasing_id())
 
     text_schema = {"Restaurant Name": 0.4, "Cuisines": 0.6}
     transforms: dict[str, FittedTransform] = {}
@@ -109,6 +112,8 @@ def load_flipkart(
     df = prep.strip_chars(df, "product_category_tree")
     df = prep.split_category_tree(df, "product_category_tree", prefix="product_category_")
     df = prep.reformat_specs(df, "product_specifications")
+    # stable content-derived key from the source uniq_id (§1.4)
+    df = df.withColumn("row_id", F.xxhash64(F.col("uniq_id")))
     df = prep.drop_columns(
         df,
         [
@@ -122,7 +127,6 @@ def load_flipkart(
             "crawl_timestamp",
         ],
     )
-    df = df.withColumn("row_id", F.monotonically_increasing_id())
 
     text_schema = {"product_name": 0.4, "description": 0.3, "product_specifications": 0.3}
     transforms = (

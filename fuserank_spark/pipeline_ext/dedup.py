@@ -27,7 +27,10 @@ def exact_dup_groups(
     if normalize:
         t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
     return (
-        df.withColumn("content_hash", F.md5(t))
+        # NULL texts are not duplicates of each other — md5(NULL)=NULL
+        # would otherwise collapse them into one bogus cluster
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("content_hash", F.md5(t))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
@@ -279,6 +282,9 @@ def resolve_duplicate_clusters(
                 ).alias("cluster_id"),
             )
         )
+        # checkpoint FIRST (cuts lineage), then count changes from the
+        # materialized frame — otherwise the two-join plan runs twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -286,7 +292,7 @@ def resolve_duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the growing lineage
+        labels = new_labels
         if changed == 0:
             converged = True
             break
@@ -326,25 +332,13 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup: exact pairwise for bounded slices
     (test/oracle path). The scale path is LSH bucketing first — see
     simsearch.lsh_buckets — then this exact check within buckets."""
+    from ..search import dot_expr, l2_norm_expr
+
     if max_id is not None:
         df = df.filter(F.col(key_col) < max_id)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    base = df.select(F.col(key_col), F.col(vec_col), norm.alias("nrm"))
+    base = df.select(F.col(key_col), F.col(vec_col), l2_norm_expr(vec_col).alias("nrm"))
     a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
         a.join(b, F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
         .select(

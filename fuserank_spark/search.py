@@ -76,11 +76,16 @@ def topk(
         faster at 500k×200 dims.
 
     Ties break deterministically on the key column (row_id when
-    present) so results are stable across partition scan orders."""
+    present) so results are stable across partition scan orders.
+    The Arrow path joins hits back by that key — it must be UNIQUE
+    (the engine's row_id contract, §1.4); a non-unique tiebreak
+    column falls back to the expression path."""
     if predicate is not None:
         df = df.filter(predicate)
     if use_arrow is None:
         use_arrow = len(query_vector) >= 100
+    if tiebreak_col is not None and tiebreak_col != "row_id":
+        use_arrow = False  # uniqueness unknown → safe path
     tb = tiebreak_col or ("row_id" if "row_id" in df.columns else None)
     if use_arrow and tb is not None:
         hits = _arrow_partial_topk(
@@ -110,10 +115,11 @@ def _arrow_partial_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
+    key_type = next(f.dataType for f in df.schema.fields if f.name == key_col)
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.IntegerType()),
-            T.StructField(key_col, T.LongType()),
+            T.StructField("query_id", T.LongType()),
+            T.StructField(key_col, key_type),
             T.StructField(score_col, T.DoubleType()),
         ]
     )
@@ -144,7 +150,7 @@ def _arrow_partial_topk(
                 idx = np.lexsort((ks, -ss))[:k]
                 ks, ss = ks[idx], ss[idx]
             rows["query_id"].extend([qids[j]] * len(ks))
-            rows[key_col].extend(int(x) for x in ks)
+            rows[key_col].extend(ks.tolist())
             rows[score_col].extend(float(x) for x in ss)
         yield pd.DataFrame(rows)
 
@@ -203,14 +209,15 @@ def topk_batch(
 ) -> DataFrame:
     """T1 batch variant: broadcast queries ⋈ corpus, two-phase top-k.
 
-    Phase 1 ranks within (query, corpus partition) — fully parallel,
-    no data movement beyond the broadcast. Phase 2 ranks the k·P
-    survivors per query — a shuffle of k·P·Q tiny rows. At 100 TB
-    this is the difference between shuffling the corpus per query
-    and shuffling a few thousand rows.
+    Arrow mode (default): one numpy (n×d)·(d×Q) matmul per corpus
+    partition scores every query in a single pass; only k·P·Q tiny
+    survivor rows shuffle for the global merge. This is the path
+    whose shuffle volume is independent of corpus size.
 
-    Arrow mode (default): one numpy (n×d)·(d×Q) matmul per partition
-    scores every query in a single corpus pass.
+    Expression mode (use_arrow=False): crossJoin-score + two-phase
+    windows. NOTE: phase 1's window still hash-exchanges the N·Q
+    scored rows on (query, bucket) — acceptable at test scale and for
+    oracle-parity plans, but the Arrow path is the 100 TB design.
     """
     if use_arrow:
         qrows = queries.select(query_id_col, query_vec_col).collect()

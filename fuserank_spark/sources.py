@@ -44,30 +44,41 @@ def read_csv(
     return reader.option("inferSchema", "true").csv(path)
 
 
-def embedding_cache_path(cache_dir: str, dataset: str, model_name: str) -> str:
+def embedding_cache_path(cache_dir: str, dataset: str, model_name: str, dim: int | None = None) -> str:
     model_tail = model_name.split("/")[-1]  # reference's file_name convention
-    return os.path.join(cache_dir, dataset, f"text_embeddings_{model_tail}.parquet")
+    suffix = f"_{dim}d" if dim is not None else ""
+    return os.path.join(cache_dir, dataset, f"text_embeddings_{model_tail}{suffix}.parquet")
 
 
 def load_cached_embeddings(
-    spark: SparkSession, cache_dir: str, dataset: str, model_name: str
+    spark: SparkSession, cache_dir: str, dataset: str, model_name: str, dim: int | None = None
 ) -> DataFrame | None:
     """S2: return the cached (row_id, text_emb) table, or None on
-    miss/corruption — matching the reference's silent-miss contract."""
-    path = embedding_cache_path(cache_dir, dataset, model_name)
+    miss/corruption — matching the reference's silent-miss contract.
+    The cache is keyed by (dataset, model, dim): a different target
+    dimension is a different cache, never a silent reuse."""
+    path = embedding_cache_path(cache_dir, dataset, model_name, dim)
     try:
         df = spark.read.parquet(path)
         if {"row_id", "text_emb"} <= set(df.columns):
+            if dim is not None:
+                from pyspark.sql import functions as F2
+
+                got = df.select(F2.size("text_emb").alias("d")).first()
+                if got is not None and got["d"] != dim:
+                    return None
             return df
         return None
     except Exception:
         return None
 
 
-def save_embeddings(df: DataFrame, cache_dir: str, dataset: str, model_name: str) -> str:
+def save_embeddings(
+    df: DataFrame, cache_dir: str, dataset: str, model_name: str, dim: int | None = None
+) -> str:
     """S3: persist the embedding stage output (overwrite = idempotent
     stage semantics)."""
-    path = embedding_cache_path(cache_dir, dataset, model_name)
+    path = embedding_cache_path(cache_dir, dataset, model_name, dim)
     df.select("row_id", "text_emb").write.mode("overwrite").parquet(path)
     return path
 
@@ -87,7 +98,7 @@ def embed_with_cache(
     from .embed import embed_corpus
 
     spark = df.sparkSession
-    cached = load_cached_embeddings(spark, cache_dir, dataset, model_name)
+    cached = load_cached_embeddings(spark, cache_dir, dataset, model_name, dim)
     if cached is not None:
         # a stale cache (corpus grew since it was written) must not
         # silently drop the new rows — treat coverage mismatch as a miss
@@ -95,20 +106,23 @@ def embed_with_cache(
         if missing == 0:
             return df.join(cached, "row_id")
     out = embed_corpus(df, text_encoding_schema, dim=dim, embedder_factory=embedder_factory)
-    save_embeddings(out, cache_dir, dataset, model_name)
-    return df.join(spark.read.parquet(embedding_cache_path(cache_dir, dataset, model_name)), "row_id")
+    save_embeddings(out, cache_dir, dataset, model_name, dim)
+    return df.join(
+        spark.read.parquet(embedding_cache_path(cache_dir, dataset, model_name, dim)), "row_id"
+    )
 
 
 def geocode(address: str) -> tuple[float, float]:
     """S7: address → (lon, lat) at query-compile time (driver-side,
     not a data-plane op). geopy/Nominatim is not available in this
     container; the gate mirrors the reference's UI-time call."""
-    try:  # pragma: no cover - geopy not installed here
+    try:
         from geopy.geocoders import Nominatim
-
-        loc = Nominatim(user_agent="fuserank_spark").geocode(address)
-        return (loc.longitude, loc.latitude)
     except ImportError as e:
         raise NotImplementedError(
             "geocoding requires geopy + network; pass (lon, lat) directly"
         ) from e
+    loc = Nominatim(user_agent="fuserank_spark").geocode(address)  # pragma: no cover
+    if loc is None:  # pragma: no cover
+        raise ValueError(f"address not found: {address!r}")
+    return (loc.longitude, loc.latitude)  # pragma: no cover

@@ -31,11 +31,13 @@ def test_embedding_cache_flow(spark, tmpdir):
         spark.range(50)
         .select(F.col("id").alias("row_id"), F.concat(F.lit("doc "), F.col("id")).alias("text"))
     )
-    assert sources.load_cached_embeddings(spark, tmpdir, "ds", "m") is None  # miss
+    assert sources.load_cached_embeddings(spark, tmpdir, "ds", "m", dim=16) is None  # miss
     out1 = sources.embed_with_cache(docs, {"text": 1.0}, tmpdir, "ds", "m", dim=16)
     assert out1.count() == 50 and "text_emb" in out1.columns
-    cached = sources.load_cached_embeddings(spark, tmpdir, "ds", "m")  # hit
+    cached = sources.load_cached_embeddings(spark, tmpdir, "ds", "m", dim=16)  # hit
     assert cached is not None and cached.count() == 50
+    # a different dim is a different cache — never silently reused
+    assert sources.load_cached_embeddings(spark, tmpdir, "ds", "m", dim=32) is None
     out2 = sources.embed_with_cache(docs, {"text": 1.0}, tmpdir, "ds", "m", dim=16)
     a = {r["row_id"]: r["text_emb"] for r in out1.collect()}
     b = {r["row_id"]: r["text_emb"] for r in out2.collect()}
