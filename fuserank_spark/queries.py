@@ -397,6 +397,28 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- Q-ROLLUP (A5+)
+@register(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sq
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (rollup) — the free-from-Catalyst
+    reporting shape SURVEY §2.4 notes; subtotal rows carry NULL keys,
+    ordering pinned NULLS LAST on both engines."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sq"))
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
 # ------------------------------------------------------------ Q-JSON (events)
 @register(
     "q_json",
