@@ -24,3 +24,12 @@ Layout (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+from .session import get_spark, load_tables  # noqa: E402,F401
+from .schema import DatasetSchema, infer_aux_schema, with_row_id  # noqa: E402,F401
+from .encode import compute_stats, encode_products, record_text_dim  # noqa: E402,F401
+from .query import compile_query  # noqa: E402,F401
+from .search import topk, topk_batch, text_topk_then_rerank  # noqa: E402,F401
+from .rerank import rerank  # noqa: E402,F401
+from .embed import DeterministicStubEmbedder, embed_corpus, embed_query  # noqa: E402,F401
+from .metrics import r_precision, recall  # noqa: E402,F401
