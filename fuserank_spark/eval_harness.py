@@ -100,6 +100,7 @@ def sample_queries(
     seed: int = 42,
     reference_regime: bool = False,
     n_chars_min: float | None = None,
+    include_geo: bool = False,
 ) -> list[dict]:
     """Seeded (query-row, modality-subset) draws mirroring
     evaluate.py:173-181; filter values derive from the sampled row so
@@ -112,10 +113,16 @@ def sample_queries(
     soft-filter stress)."""
     out = []
     weight = 1.0 if reference_regime else 3.0
+    # geolocation has no hard-filter oracle form — the reference
+    # excludes it from the differential eval pool (config.yaml:2,
+    # milvus_experiment.py:51-52); include_geo keeps fused-vs-fused
+    # experiments possible
+    pool = sorted(EVAL_AUX_SCHEMA if include_geo else
+                  {c: k for c, k in EVAL_AUX_SCHEMA.items() if k != S.GEO})
     for i in range(n_queries):
         rng = random.Random(seed * 1000 + i)  # seed = f(i) (evaluate.py:174-175)
         row = rng.choice(corpus_rows)
-        chosen = rng.sample(sorted(EVAL_AUX_SCHEMA), k=n_modalities)
+        chosen = rng.sample(pool, k=min(n_modalities, len(pool)))
         aux: dict[str, tuple] = {c: (None, 1.0) for c in EVAL_AUX_SCHEMA}
         for c in chosen:
             if c == "lang":
