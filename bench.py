@@ -89,12 +89,13 @@ def main() -> None:
     times["topk_batch32"] = round(batch_sec, 3)
     enc.unpersist()
 
-    # fused-vs-exact quality tracker (mean recall@10, K=64, 6 queries)
+    # fused-vs-exact quality tracker (mean recall@10 at the
+    # reference-default K=200, 6 queries)
     from fuserank_spark.eval_harness import evaluate_fused_vs_exact
 
     t0 = time.time()
     eval_results = evaluate_fused_vs_exact(
-        spark, sf_dir, num_harmonics_list=(64,), n_queries=6, n_modalities=2
+        spark, sf_dir, num_harmonics_list=(200,), n_queries=6, n_modalities=2
     )
     recall_mean = round(sum(r["recall"] for r in eval_results) / len(eval_results), 4)
     times["eval_recall_sweep"] = round(time.time() - t0, 3)
