@@ -247,11 +247,17 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- token count
+# empty/NULL text → zero tokens, matching textstats.tokens_expr
+_TOKS_SQL = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
 @register(
     "q_tokencount",
-    """
-    SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    f"""
+    SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
     FROM documents ORDER BY doc_id
     """,
 )
@@ -261,11 +267,12 @@ def q_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- quality
 def _quality_oracle() -> str:
+    toks = _TOKS_SQL
     sw = ", ".join(f"'{w}'" for ws in TX.STOPWORDS.values() for w in ws)
     return f"""
     WITH t AS (
       SELECT doc_id, text,
-             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             {toks} AS toks,
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
@@ -318,9 +325,10 @@ def _langid_oracle() -> str:
     pred = "CASE " + " ".join(
         f"WHEN score_{la} = {best} THEN '{la}'" for la in langs
     ) + " END"
+    toks = _TOKS_SQL
     return f"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+      SELECT doc_id, {toks} AS toks FROM documents
     ), s AS (
       SELECT doc_id, {', '.join(score_cols)} FROM t
     )

@@ -34,6 +34,7 @@ class DocumentCorpus:
     encoded: DataFrame
     stats: CorpusStats
     layout: VectorLayout
+    num_harmonics: int = NUM_HARMONICS
 
 
 def build_corpus(
@@ -53,10 +54,14 @@ def build_corpus(
         embedded, AUX_SCHEMA, stats, num_harmonics=num_harmonics
     )
     record_text_dim(layout, EMB_DIM)
-    return DocumentCorpus(encoded=encoded, stats=stats, layout=layout)
+    return DocumentCorpus(
+        encoded=encoded, stats=stats, layout=layout, num_harmonics=num_harmonics
+    )
 
 
-def flagship_compiled(corpus: DocumentCorpus, num_harmonics: int = NUM_HARMONICS) -> CompiledQuery:
+def flagship_compiled(corpus: DocumentCorpus, num_harmonics: int | None = None) -> CompiledQuery:
+    # query K must equal the corpus's encode K or the vectors misalign
+    num_harmonics = corpus.num_harmonics if num_harmonics is None else num_harmonics
     aux_data = {
         "lang": ((["en", "de"], False), 2.0),
         "source": (None, 1.0),

@@ -47,10 +47,12 @@ def embed_encode_fused(
     factory = embedder_factory or (lambda: DeterministicStubEmbedder(emb_dim))
 
     layout = VectorLayout()
-    layout.segments.append(("__text__", -1))
+    if text_cols:  # textless corpora are valid (encode_products text_emb_col=None twin)
+        layout.segments.append(("__text__", -1))
     for c, kind in aux_encoding_schema.items():
         layout.segments.append((c, segment_dim(kind, stats.columns[c], num_harmonics)))
-    record_text_dim(layout, emb_dim)
+    if text_cols:
+        record_text_dim(layout, emb_dim)
 
     # pre-baked per-column lookup structures (driver-side, tiny)
     specs = []
@@ -76,13 +78,14 @@ def embed_encode_fused(
             blocks: list[np.ndarray] = []
 
             # text: weighted blend + L2 normalize (X2 semantics)
-            acc = None
-            for c, w in zip(text_cols, weights):
-                e = emb.embed(pdf[c].fillna("").astype(str).tolist())
-                acc = w * e if acc is None else acc + w * e
-            norms = np.linalg.norm(acc, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            blocks.append(acc / norms)
+            if text_cols:
+                acc = None
+                for c, w in zip(text_cols, weights):
+                    e = emb.embed(pdf[c].fillna("").astype(str).tolist())
+                    acc = w * e if acc is None else acc + w * e
+                norms = np.linalg.norm(acc, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                blocks.append(acc / norms)
 
             for c, kind, aux, dim in specs:
                 if kind == S.SPARSE:

@@ -29,8 +29,11 @@ def recall_expr(truth_col: Column | str, retrieved_col: Column | str) -> Column:
     """Distributed form over array columns: |∩| / |truth|."""
     t = F.col(truth_col) if isinstance(truth_col, str) else truth_col
     r = F.col(retrieved_col) if isinstance(retrieved_col, str) else retrieved_col
-    inter = F.size(F.array_intersect(t, r)).cast("double")
-    return F.when(F.size(t) > 0, inter / F.size(t)).otherwise(F.lit(0.0))
+    # set semantics like the driver twin: dedup before counting, or a
+    # duplicated truth id inflates the denominator
+    td = F.array_distinct(t)
+    inter = F.size(F.array_intersect(td, r)).cast("double")
+    return F.when(F.size(td) > 0, inter / F.size(td)).otherwise(F.lit(0.0))
 
 
 def r_precision_expr(truth_col: Column | str, retrieved_col: Column | str) -> Column:

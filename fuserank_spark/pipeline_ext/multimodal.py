@@ -50,14 +50,18 @@ def attach_payload(df: DataFrame, text_col: str = "text", out_col: str = "payloa
     return df.withColumn(out_col, F.encode(F.col(text_col), "utf-8"))
 
 
-def decode_stub(payload: bytes, media_type: str = "image") -> dict:
-    """Deterministic fake decode: metadata derived from payload bytes.
+def decode_real(payload: bytes, media_type: str = "image") -> dict:
+    """The real-codec slot (PIL/libav behind the same signature) —
+    intentionally unimplemented in this container."""
+    raise NotImplementedError("wire PIL/libav decode here; use decode_stub for tests")
 
-    A real deployment replaces this body with PIL/libav decode behind
-    the same signature (NotImplementedError path kept explicit).
-    """
-    if HAVE_REAL_CODECS:  # pragma: no cover
-        raise NotImplementedError("real codec path not wired in this container")
+
+def decode_stub(payload: bytes, media_type: str = "image") -> dict:
+    """Deterministic fake decode: metadata derived from payload
+    bytes. Always available (never gated on whether PIL happens to be
+    importable — a heterogeneous cluster must not flip behavior per
+    executor); swap extract_media_metadata to decode_real for a
+    production deployment."""
     h = hashlib.md5(payload or b"").digest()
     return {
         "media_type": media_type,

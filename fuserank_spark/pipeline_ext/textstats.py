@@ -20,7 +20,12 @@ STOPWORDS = {
 
 
 def tokens_expr(text_col: Column) -> Column:
-    return F.split(F.trim(text_col), r"\s+")
+    """Whitespace tokens; empty/NULL text → empty array (a bare
+    split('') yields [''] and size(NULL) is −1 — both wrong
+    denominators for the ratio features)."""
+    return F.when(
+        text_col.isNull() | (F.trim(text_col) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text_col), r"\s+"))
 
 
 def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:

@@ -19,8 +19,10 @@ def split_category_tree(
     df: DataFrame, column: str, sep: str = ">>", n: int = 3, prefix: str = "category_"
 ) -> DataFrame:
     """P2+P4 (src/load_flipkart.py:21-25): split a 'a >> b >> c' tree
-    into the first n trimmed levels as new columns."""
-    parts = F.split(F.col(column), sep)
+    into the first n trimmed levels as new columns. ``sep`` is a
+    LITERAL (quoted for the regex engine), matching pandas
+    str.split's literal default."""
+    parts = F.split(F.col(column), "\\Q" + sep + "\\E")
     return df.withColumns(
         {f"{prefix}{i + 1}": F.trim(parts.getItem(i)) for i in range(n)}
     )
@@ -32,9 +34,11 @@ def strip_chars(df: DataFrame, column: str, pattern: str = r'[\["\]]') -> DataFr
 
 
 def trim_strings(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """P5 (src/load_flipkart.py:24) — trim string columns."""
-    cols = columns or [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
-    return df.withColumns({c: F.trim(F.col(c)) for c in cols})
+    """P5 (src/load_flipkart.py:24) — trim the given string columns;
+    None (not an empty list) means all string columns."""
+    if columns is None:
+        columns = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+    return df.withColumns({c: F.trim(F.col(c)) for c in columns})
 
 
 def reformat_specs(df: DataFrame, column: str, out: str | None = None) -> DataFrame:
@@ -46,14 +50,11 @@ def reformat_specs(df: DataFrame, column: str, out: str | None = None) -> DataFr
     """
     toks = F.expr(f"regexp_extract_all({column}, '=>\"(.*?)\"', 1)")
     # pandas source alternates tokens: even index → key, odd → value
-    kv = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.when(i % 2 == 0, F.concat(t, F.lit(":"))).otherwise(
-                F.concat(t, F.lit(";"))
-            ),
+    kv = F.transform(
+        toks,
+        lambda t, i: F.when(i % 2 == 0, F.concat(t, F.lit(":"))).otherwise(
+            F.concat(t, F.lit(";"))
         ),
-        lambda t: t.isNotNull(),
     )
     return df.withColumn(out or column, F.array_join(kv, " "))
 

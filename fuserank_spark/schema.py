@@ -84,7 +84,13 @@ def infer_aux_schema(
     cands = candidate_columns(df, text_columns, key_column)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
 
-    countable = [c for c in cands if not isinstance(dtypes[c], T.StructType)]
+    # countDistinct requires orderable types: structs/maps/arrays are
+    # handled (geo struct) or rejected via the strict gate below
+    countable = [
+        c
+        for c in cands
+        if not isinstance(dtypes[c], (T.StructType, T.MapType, T.ArrayType))
+    ]
     counts_row = (
         df.agg(*[F.countDistinct(F.col(c)).alias(c) for c in countable]).collect()[0]
         if countable
@@ -97,6 +103,10 @@ def infer_aux_schema(
         dt = dtypes[c]
         if _is_geo_struct(dt):
             out[c] = GEO
+        elif isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
+            if strict:
+                raise ValueError(f"Unsupported modality dtype for column {c!r}: {dt}")
+            continue
         elif counts.get(c) == 2:
             out[c] = BINARY  # nunique()==2 regardless of dtype (src/app.py:44)
         elif counts.get(c, 0) <= 1:
