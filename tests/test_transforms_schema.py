@@ -100,6 +100,15 @@ def test_infer_skips_constant_and_text(spark):
     assert kinds == {}
 
 
+def test_infer_rejects_map_type_strict(spark):
+    df = spark.createDataFrame(
+        [(0, "t", {"a": "b"})], "row_id long, name string, m map<string,string>"
+    )
+    with pytest.raises(ValueError, match="Unsupported modality dtype"):
+        S.infer_aux_schema(df, text_columns={"name"}, strict=True)
+    assert S.infer_aux_schema(df, text_columns={"name"}, strict=False) == {}
+
+
 def test_with_row_id_deterministic(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",)], "s string")
     out = S.with_row_id(df, order_by=["s"]).orderBy("row_id").collect()
