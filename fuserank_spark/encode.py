@@ -286,6 +286,32 @@ def encode_products(
     return out, layout
 
 
+def exact_farthest_point(
+    df: DataFrame, geo_col: str, point: tuple[float, float]
+) -> tuple[float, float] | None:
+    """A6 exact mode (src/encode.py:155-157): argmax haversine over
+    the corpus via max_by — one aggregate job. The default query path
+    serves farthest-point lookups from the precomputed stats sample
+    (stance #5); use this when exactness matters more than latency."""
+    lon, lat = point
+    plon = F.radians(F.col(geo_col).getField("lon"))
+    plat = F.radians(F.col(geo_col).getField("lat"))
+    qlon, qlat = math.radians(lon), math.radians(lat)
+    hav = (
+        F.pow(F.sin((plat - F.lit(qlat)) / 2), 2)
+        + math.cos(qlat) * F.cos(plat) * F.pow(F.sin((plon - F.lit(qlon)) / 2), 2)
+    )
+    dist = 2 * 6371.0 * F.asin(F.sqrt(hav))
+    row = (
+        df.filter(F.col(geo_col).isNotNull())
+        .agg(F.max_by(F.col(geo_col), dist).alias("p"))
+        .collect()[0]
+    )
+    if row["p"] is None:
+        return None
+    return (row["p"]["lon"], row["p"]["lat"])
+
+
 def record_text_dim(layout: VectorLayout, dim: int) -> VectorLayout:
     layout.segments = [("__text__", dim) if n == "__text__" else (n, d) for n, d in layout.segments]
     return layout

@@ -468,6 +468,44 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("q_restaurants_fused", None)
+def q_restaurants_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN dataset end-to-end (rows-only): load
+    restaurants.csv through the parity loader, encode all five
+    modality kinds, run a fused city+cost+delivery+geo query."""
+    csv = "/root/reference/data/restaurants/restaurants.csv"
+    if not os.path.exists(csv):
+        # fall back to the synthetic flagship when the reference data
+        # is absent (keeps the entry runnable in any environment)
+        from .flagship import flagship_query
+
+        return flagship_query(spark, sf_dir)
+    from .embed import DeterministicStubEmbedder, embed_corpus
+    from .encode import compute_stats, encode_products, record_text_dim
+    from .loaders import load_restaurants
+    from .query import compile_query
+    from .search import topk
+
+    ds = load_restaurants(spark, csv, fit_transforms=False)
+    embedded = embed_corpus(ds.df, ds.schema.text_encoding_schema, dim=32)
+    aux = ds.schema.aux_encoding_schema
+    stats = compute_stats(embedded, aux)
+    encoded, layout = encode_products(embedded, aux, stats, num_harmonics=16)
+    record_text_dim(layout, 32)
+    aux_data = {c: (None, 1.0) for c in aux}
+    aux_data["City"] = ((["New Delhi"], False), 4.0)
+    aux_data["Average Cost for two"] = ((200.0, 800.0, False), 2.0)
+    aux_data["Has Online delivery"] = ("Yes", 2.0)
+    aux_data["Location"] = ((77.2, 28.6, False), 2.0)
+    cq = compile_query(
+        "north indian mughlai", aux_data, aux, stats, layout,
+        text_embedder=DeterministicStubEmbedder(32), num_harmonics=16,
+    )
+    return topk(encoded, cq.vector, k=10).select(
+        "row_id", "City", "Has Online delivery", F.round("relevance", 6).alias("relevance")
+    )
+
+
 @register("q_fused_topk", None)
 def q_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship fused multimodal search (stub text embedder →

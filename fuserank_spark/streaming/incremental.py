@@ -80,6 +80,48 @@ def with_ingest_time(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     return stream.withColumn(ts_col, F.current_timestamp())
 
 
+def sliding_arrival_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_len: str = "10 minutes",
+    slide: str = "5 minutes",
+):
+    """Sliding-window variant: overlapping windows (each event counts
+    in window_len/slide windows); same watermark state bound."""
+    if ts_col not in stream.columns:
+        stream = with_ingest_time(stream, ts_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"), F.col("source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), "source", "n_docs")
+    )
+
+
+def session_arrival_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    gap: str = "5 minutes",
+):
+    """Session-window variant: per-source activity sessions closed
+    after ``gap`` of silence — the bursty-ingest monitoring shape."""
+    if ts_col not in stream.columns:
+        stream = with_ingest_time(stream, ts_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "source",
+            "n_docs",
+        )
+    )
+
+
 def arrival_stats_stream(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -46,6 +46,32 @@ def test_incremental_encode_available_now(spark, tmpdir):
     assert spark.read.parquet(sink).count() == 120
 
 
+def test_sliding_and_session_windows(spark):
+    from fuserank_spark.streaming.incremental import (
+        session_arrival_stats,
+        sliding_arrival_stats,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 30))
+    )
+    n = docs.count()
+    slid = sliding_arrival_stats(docs, window_len="10 minutes", slide="5 minutes")
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(r["n_docs"] for r in slid.collect()) == 2 * n
+
+    # doc_ids of one source are 20 apart → per-source spacing is 10min;
+    # a 15min gap keeps each source in one continuous session
+    sess = session_arrival_stats(docs, gap="15 minutes").collect()
+    per_source = {}
+    for r in sess:
+        per_source.setdefault(r["source"], 0)
+        per_source[r["source"]] += 1
+    assert all(v == 1 for v in per_source.values())
+    assert sum(r["n_docs"] for r in sess) == n
+
+
 def test_arrival_stats_batch_equivalence(spark):
     """The windowed-agg plan gives identical results in batch mode —
     the Structured Streaming guarantee the design leans on."""
