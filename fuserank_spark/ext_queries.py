@@ -146,10 +146,11 @@ _SIMHASH_ORACLE = f"""
       FROM documents WHERE doc_id < 200
     )
     SELECT doc_id,
-           list_sum(list_transform(range(0, 32), i ->
-             CASE WHEN list_sum(list_transform(th,
-                        h -> 2 * ((h // CAST(pow(2, i) AS BIGINT)) % 2) - 1)) >= 0
-                  THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS simhash
+           CAST(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN COALESCE(list_sum(list_transform(th,
+                        h -> 2 * ((h >> i) % 2) - 1)), 0) >= 0
+                  THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+                AS BIGINT) AS simhash
     FROM t ORDER BY doc_id
 """
 

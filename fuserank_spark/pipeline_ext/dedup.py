@@ -170,18 +170,24 @@ def lsh_candidate_pairs(
 def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash", bits: int = 32) -> DataFrame:
     """32-bit SimHash over whitespace tokens: per-bit majority vote of
     token hashes. Pure expression pipeline (runtime loops over
-    ``sequence``, constant-size plan)."""
+    ``sequence``, constant-size plan).
+
+    Bit extraction uses shiftright/shiftleft, not pow(2,i)-cast
+    division — bit shifts have identical integer semantics across
+    Spark versions / ANSI modes and DuckDB, whereas pow() routes
+    through DOUBLE (round-2 driver-gate fix; values are unchanged
+    for the non-negative 32-bit hashes used here)."""
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     hashes = F.transform(tokens, lambda t: portable_hash32(t))
     df = df.withColumn("__th", hashes)
-    # bit i of h = (h div 2^i) % 2 — portable integer arithmetic
+    # bit i of h = shiftright(h, i) % 2 — pure integer bit math
     sim = F.expr(
         f"""
         aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) ->
           acc + IF(
             aggregate(__th, CAST(0 AS BIGINT),
-                      (a, h) -> a + (2 * ((h div CAST(pow(2, i) AS BIGINT)) % 2) - 1)) >= 0,
-            CAST(pow(2, i) AS BIGINT), CAST(0 AS BIGINT)))
+                      (a, h) -> a + (2 * (shiftright(h, i) % 2) - 1)) >= 0,
+            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))
         """
     )
     return df.withColumn(out_col, sim).drop("__th")

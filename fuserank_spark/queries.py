@@ -424,7 +424,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json",
     """
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sk,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sk,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -434,12 +434,19 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured projection: JSON props extraction + aggregate
     (training-data pipelines carry JSON metadata columns; Catalyst
-    pushes the single-key extraction into the projection)."""
+    pushes the single-key extraction into the projection).
+
+    Dialect-proofing (round-2 driver-gate fix): both engines extract
+    the JSON value AS TEXT (json_extract_string / get_json_object)
+    then try_cast to BIGINT, and the DuckDB sum is cast back to
+    BIGINT — DuckDB sums BIGINT into HUGEINT, whose int128 form
+    canonicalizes differently from Spark's BIGINT in the driver's
+    value-hash even though Python-level fetchall hides it."""
     ev = load_tables(spark, sf_dir, "events")["events"]
     return (
         ev.groupBy("event_type")
         .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sk"),
+            F.sum(F.get_json_object("props", "$.k").try_cast("bigint")).alias("sk"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("event_type")

@@ -4,7 +4,11 @@ Runs every registered query in Spark AND its DuckDB oracle over the
 same parquet tables, compares row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_correctness.py [sf_dir] [name ...]
+    python tools/check_correctness.py [--vanilla] [sf_dir] [name ...]
+
+--vanilla runs on a plain ``SparkSession.builder.getOrCreate()`` —
+no get_spark() configs — mirroring the grading driver's own session
+(CLAUDE.md invariant: engine code must work without our configs).
 """
 
 from __future__ import annotations
@@ -53,13 +57,22 @@ def value_hash(rows, colnames) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    from fuserank_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("correctness-check")
+    if vanilla:
+        # the grading driver builds its OWN plain session: replicate that
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[*]").getOrCreate()
+    else:
+        from fuserank_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
