@@ -216,6 +216,71 @@ def q_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- embedding near-dup, bucketed (scale path)
+def _neardup_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 2) -> str:
+    """DuckDB oracle that replicates the hyperplane bucketing ITSELF —
+    the seeded planes are embedded as literal doubles (repr round-trip
+    is exact), the bucket ids, candidate set, and exact cosine check
+    are all re-derived in SQL. This checks the bucketed ALGORITHM, not
+    just a recall-lucky slice: both engines fold the same doubles in
+    the same order, so bucket ids and cosines are bit-identical."""
+    from .pipeline_ext.simsearch import hyperplanes
+
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=42 + t)
+        bits = []
+        for j in range(n_planes):
+            lits = "[" + ",".join(repr(float(x)) for x in planes[j]) + "]"
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1,{dim + 1}),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i])) >= 0"
+                f" THEN {1 << j} ELSE 0 END"
+            )
+        per_table.append(
+            f"SELECT vec_id, embedding, nrm, {t} AS table_idx,"
+            f" {' + '.join(bits)} AS bucket FROM e"
+        )
+    union = "\n      UNION ALL\n      ".join(per_table)
+    dot = (
+        f"list_sum(list_transform(range(1,{dim + 1}),"
+        " i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings WHERE vec_id < 300
+    ), b AS (
+      {union}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM b a JOIN b b2
+        ON a.table_idx = b2.table_idx AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT c.id_a, c.id_b, round({dot} / (ea.nrm * eb.nrm), 6) AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {dot} / (ea.nrm * eb.nrm) >= 0.2
+    ORDER BY id_a, id_b
+"""
+
+
+@register("q_neardup_lsh", _neardup_lsh_oracle())
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup (the 100 TB path) on the same 300-row slice
+    the exact oracle uses; the DuckDB twin replicates the bucketing,
+    so the candidate pruning itself is hash-checked."""
+    e = _emb(spark, sf_dir)
+    out = D.embedding_neardup_pairs(
+        e, threshold=0.2, max_id=300, method="lsh", dim=64, n_planes=6, n_tables=2
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ----------------------------------------------------------- exact knn
 _KNN_ORACLE = """
     WITH q AS (

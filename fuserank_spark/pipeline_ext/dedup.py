@@ -334,14 +334,43 @@ def embedding_neardup_pairs(
     key_col: str = "vec_id",
     threshold: float = 0.35,
     max_id: int | None = None,
+    method: str = "auto",
+    dim: int | None = None,
+    **lsh_kwargs,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: exact pairwise for bounded slices
-    (test/oracle path). The scale path is LSH bucketing first — see
-    simsearch.lsh_buckets — then this exact check within buckets."""
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥
+    threshold).
+
+    ``method``:
+    - ``"exact"`` — all-pairs θ-join. O(n²); only for bounded slices
+      (the DuckDB oracle path). Requires ``max_id``.
+    - ``"lsh"`` — hyperplane-LSH bucketing then exact cosine within
+      buckets (:func:`embedding_neardup_pairs_lsh`). Linear in corpus
+      size at fixed duplicate density; the 100 TB path. Requires
+      ``dim``.
+    - ``"auto"`` (default) — exact when ``max_id`` bounds the slice,
+      else LSH. An unbounded corpus NEVER gets the quadratic join.
+    """
     from ..search import dot_expr, l2_norm_expr
 
-    if max_id is not None:
-        df = df.filter(F.col(key_col) < max_id)
+    if method == "auto":
+        method = "exact" if max_id is not None else "lsh"
+    if method == "lsh":
+        if dim is None:
+            raise ValueError("embedding_neardup_pairs(method='lsh') requires dim=")
+        if max_id is not None:
+            df = df.filter(F.col(key_col) < max_id)
+        return embedding_neardup_pairs_lsh(
+            df, dim, vec_col=vec_col, key_col=key_col, threshold=threshold, **lsh_kwargs
+        )
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
+    if max_id is None:
+        raise ValueError(
+            "method='exact' is the all-pairs O(n²) join — pass max_id to bound "
+            "the slice, or use method='lsh' (the scale path)"
+        )
+    df = df.filter(F.col(key_col) < max_id)
     base = df.select(F.col(key_col), F.col(vec_col), l2_norm_expr(vec_col).alias("nrm"))
     a, b = base.alias("a"), base.alias("b")
     dot = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
@@ -353,4 +382,79 @@ def embedding_neardup_pairs(
             (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.35,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    seed: int = 42,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH buckets
+    (simsearch.lsh_buckets), all-pairs ONLY within a bucket via the
+    groupBy pair-generation pattern (no self-join — vectors are
+    bucketed once), exact cosine check on each candidate, distinct
+    across tables.
+
+    Plan shape: one narrow projection (buckets), one shuffle keyed on
+    the uniform (table_idx, bucket), one explode — zero joins, no
+    CartesianProduct (asserted by tests/test_plans.py). Oversized
+    buckets (mass near-dup clusters) degrade to star edges against
+    the bucket minimum, same policy as lsh_candidate_pairs — linear
+    in members, still connects the cluster for deduplicate()."""
+    from ..search import l2_norm_expr
+    from .simsearch import lsh_buckets
+
+    base = df.select(
+        F.col(key_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm_expr(vec_col).alias("nrm"),
+    )
+    b = lsh_buckets(base, dim, n_planes=n_planes, n_tables=n_tables, vec_col="vec", seed=seed)
+    member = F.struct(F.col("id"), F.col("vec"), F.col("nrm"))
+    buckets = (
+        b.groupBy("table_idx", "bucket")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(F.col("ms"), 2, F.size(F.col("ms"))),
+        lambda y: F.struct(F.element_at(F.col("ms"), 1).alias("a"), y.alias("b")),
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.when(F.size("ms") <= max_bucket_size, all_pairs).otherwise(star_pairs)
+        ).alias("p")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("p.a.vec"), F.col("p.b.vec"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            (dot / (F.col("p.a.nrm") * F.col("p.b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cosine").alias("cosine"))
     )

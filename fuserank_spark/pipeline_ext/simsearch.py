@@ -69,6 +69,43 @@ def lsh_bucket_expr(vec_col, planes: np.ndarray):
     return sum(bits[1:], bits[0])
 
 
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table hyperplane bucketing: one output row per (input
+    row, hash table), with ``table_idx`` + ``bucket`` columns added.
+
+    Each table uses independent seeded hyperplanes; a pair at angle θ
+    collides in at least one table with probability
+    1 − (1 − (1 − θ/π)^n_planes)^n_tables — n_tables is the recall
+    knob, n_planes the bucket-size knob. The explode is a narrow map
+    (no shuffle); downstream grouping shuffles on (table_idx, bucket),
+    which is uniform by construction. All n_tables · n_planes
+    projections are computed in ONE projection over the vector —
+    the corpus is scanned once."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"),
+                lsh_bucket_expr(vec_col, hyperplanes(dim, n_planes, seed + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        df.withColumn("__tb", F.explode(tables))
+        .select("*", "__tb.table_idx", "__tb.bucket")
+        .drop("__tb")
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     dim: int,

@@ -65,3 +65,71 @@ def test_dedup_end_to_end_removes_injected_dups(spark):
     ]
     assert both_alive == []
     assert docs.count() - 50 <= survivors.count() < docs.count() + 1
+
+
+# ------------------------------------------- bucketed embedding near-dup
+def test_neardup_lsh_matches_numpy_replication(spark):
+    """Full in-Python replication: recompute the seeded hyperplane
+    buckets with numpy, derive the candidate set, exact cosines —
+    the Spark bucketed path must emit exactly that pair set."""
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext.dedup import embedding_neardup_pairs
+    from fuserank_spark.pipeline_ext.simsearch import hyperplanes
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype="float64")
+    nrm = np.linalg.norm(V, axis=1)
+
+    n_planes, n_tables, threshold = 6, 2, 0.2
+    expected = set()
+    for t in range(n_tables):
+        planes = hyperplanes(64, n_planes, seed=42 + t)
+        buckets = ((V @ planes.T) >= 0).astype(int) @ (1 << np.arange(n_planes))
+        for b in np.unique(buckets):
+            members = np.where(buckets == b)[0]
+            for ii in range(len(members)):
+                for jj in range(ii + 1, len(members)):
+                    x, y = members[ii], members[jj]
+                    cos = (V[x] @ V[y]) / (nrm[x] * nrm[y])
+                    if cos >= threshold:
+                        a, bb = sorted((int(ids[x]), int(ids[y])))
+                        expected.add((a, bb))
+
+    got = embedding_neardup_pairs(
+        e, threshold=threshold, method="lsh", dim=64, n_planes=n_planes, n_tables=n_tables
+    ).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    assert got_pairs == expected
+    assert len(got_pairs) > 0
+
+
+def test_neardup_lsh_subset_of_exact(spark):
+    """Every bucketed pair passes the exact check (precision 1.0) —
+    the LSH path can only prune candidates, never invent them."""
+    from fuserank_spark.pipeline_ext.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(e, threshold=0.2, max_id=200).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            e, threshold=0.2, max_id=200, method="lsh", dim=64
+        ).collect()
+    }
+    assert lsh <= exact
+
+
+def test_neardup_auto_refuses_unbounded_exact(spark):
+    from fuserank_spark.pipeline_ext.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_id"):
+        embedding_neardup_pairs(e, method="exact")
+    with pytest.raises(ValueError, match="dim"):
+        embedding_neardup_pairs(e, method="lsh")

@@ -115,3 +115,19 @@ def test_topk_batch_no_corpus_shuffle(spark):
     # corpus rows shuffle only AFTER local top-k pruning: the first
     # exchange above the scan must be hashpartitioning on (query, bucket)
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_neardup_lsh_plan_has_no_join(spark):
+    """The bucketed near-dup (the unbounded default) must contain NO
+    join of any kind — candidates come from groupBy pair generation,
+    so the quadratic θ-join and the self-join re-evaluation trap are
+    both structurally impossible."""
+    from fuserank_spark.pipeline_ext.dedup import embedding_neardup_pairs
+
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    p = plan_str(embedding_neardup_pairs(df, method="lsh", dim=64))
+    assert "CartesianProduct" not in p
+    assert "NestedLoopJoin" not in p
+    assert "Join" not in p  # no join operator at all
+    # exactly the bucket shuffle + the pair-distinct shuffle
+    assert p.count("+- Exchange") == 2
