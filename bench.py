@@ -45,6 +45,24 @@ def main() -> None:
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             times[name] = -1.0
 
+    # steady-state serve cost: the q_ivf_knn / q_restaurants_fused
+    # entries above include their ONE-TIME builds (k-means training +
+    # partitioned index write; corpus embed+encode). A second call
+    # hits the process-level index/corpus caches, so these measure
+    # the engine's per-query cost — the number that scales with QPS.
+    qs = entry_mod.queries()
+    for serve_name, built_name in (
+        ("q_ivf_serve", "q_ivf_knn"),
+        ("q_restaurants_serve", "q_restaurants_fused"),
+    ):
+        t0 = time.time()
+        try:
+            materialize(qs[built_name](spark, sf_dir))
+            times[serve_name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"bench: {serve_name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            times[serve_name] = -1.0
+
     # corpus-encode throughput (stub embedder + K=16 encodings)
     from fuserank_spark.flagship import build_corpus
 

@@ -140,6 +140,20 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_persist(assigned: DataFrame, path: str) -> None:
+    """The IVF 'index build': write the assigned table partitioned by
+    ``centroid_id``. A probe then reads ONLY its nprobe partition
+    directories — static partition pruning IS the index lookup
+    (asserted by tests/test_plans.py::test_ivf_probe_prunes_partitions).
+    At 100 TB this is the one full pass; every search afterwards
+    touches nprobe/n_centroids of the data."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_load(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def ivf_knn(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -153,9 +167,13 @@ def ivf_knn(
 ) -> DataFrame:
     """IVF search: per query, probe the ``nprobe`` nearest centroids
     (driver-side math over the small centroid matrix), scan only
-    those cells, exact cosine rerank. The probed-cell filter prunes
-    partitions when the assigned table is written partitioned by
-    centroid_id."""
+    those cells, exact cosine rerank.
+
+    The probed cell ids are applied as a STATIC ``isin`` filter
+    before the probe join — when ``assigned`` comes from
+    :func:`ivf_load` (partitioned by centroid_id, see
+    :func:`ivf_persist`), that filter becomes a partition filter and
+    unprobed cells are never read."""
     qrows = queries.collect()
     probe_rows = []
     for r in qrows:
@@ -169,6 +187,8 @@ def ivf_knn(
     probes = spark.createDataFrame(
         probe_rows, f"{query_key} int, centroid_id int, {query_vec} array<double>"
     )
+    probed_cells = sorted({cid for _, cid, _ in probe_rows})
+    assigned = assigned.filter(F.col("centroid_id").isin(probed_cells))
     joined = assigned.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_key),
         F.col(key_col),

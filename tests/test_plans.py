@@ -131,3 +131,15 @@ def test_neardup_lsh_plan_has_no_join(spark):
     assert "Join" not in p  # no join operator at all
     # exactly the bucket shuffle + the pair-distinct shuffle
     assert p.count("+- Exchange") == 2
+
+
+def test_ivf_probe_prunes_partitions(spark):
+    """The IVF index table is written partitionBy(centroid_id); the
+    probe's static isin filter must become a partition filter — the
+    scan reads only the nprobe probed cells, never the full table."""
+    from fuserank_spark.ext_queries import q_ivf_knn
+
+    p = plan_str(q_ivf_knn(spark, SF_SMOKE))
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1].split("]")[0]
+    assert "centroid_id" in pf and " IN " in pf
