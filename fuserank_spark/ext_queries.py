@@ -217,6 +217,24 @@ def q_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------- embedding near-dup, bucketed (scale path)
+def _bucket_sql(dim: int, n_planes: int, seed: int, vec_expr: str = "embedding") -> str:
+    """Sign-of-projection bucket id over seeded hyperplanes as DuckDB
+    SQL — the literal-doubles twin of simsearch.lsh_bucket_expr
+    (repr round-trips exactly; both engines fold left-to-right)."""
+    from .pipeline_ext.simsearch import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bits = []
+    for j in range(n_planes):
+        lits = "[" + ",".join(repr(float(x)) for x in planes[j]) + "]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range(1,{dim + 1}),"
+            f" i -> CAST({vec_expr}[i] AS DOUBLE) * ({lits})[i])) >= 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(bits)
+
+
 def _neardup_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 2) -> str:
     """DuckDB oracle that replicates the hyperplane bucketing ITSELF —
     the seeded planes are embedded as literal doubles (repr round-trip
@@ -224,22 +242,11 @@ def _neardup_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 2) -> 
     are all re-derived in SQL. This checks the bucketed ALGORITHM, not
     just a recall-lucky slice: both engines fold the same doubles in
     the same order, so bucket ids and cosines are bit-identical."""
-    from .pipeline_ext.simsearch import hyperplanes
-
     per_table = []
     for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=42 + t)
-        bits = []
-        for j in range(n_planes):
-            lits = "[" + ",".join(repr(float(x)) for x in planes[j]) + "]"
-            bits.append(
-                f"CASE WHEN list_sum(list_transform(range(1,{dim + 1}),"
-                f" i -> CAST(embedding[i] AS DOUBLE) * ({lits})[i])) >= 0"
-                f" THEN {1 << j} ELSE 0 END"
-            )
         per_table.append(
             f"SELECT vec_id, embedding, nrm, {t} AS table_idx,"
-            f" {' + '.join(bits)} AS bucket FROM e"
+            f" {_bucket_sql(dim, n_planes, 42 + t)} AS bucket FROM e"
         )
     union = "\n      UNION ALL\n      ".join(per_table)
     dot = (
@@ -489,11 +496,158 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("relevance", 6).alias("relevance")).orderBy("doc_id")
 
 
-# ------------------------------------------- rows-only (non-SQL) entries
-@register("q_lsh_knn", None)
+# ----------------------------------------------- fused top-k, oracle-checked
+_FUSED_TEXT_DIM = 16
+_FUSED_TEXT_QUERY = "spark join filter"
+_FUSED_LANG_SELECTION = ("en", "de")
+_FUSED_LANG_WEIGHT = 2.0
+
+
+def _fused_text_oracle() -> str:
+    """DuckDB twin of the FUSED search path: the stub hashed-BOW text
+    embedding (md5-of-token % dim, the exact _token_index math from
+    embed.py), L2 normalization, the sorted-vocab one-hot lang
+    segment, the ±1·weight query segment, layout concatenation, dot
+    product, ORDER BY/LIMIT top-k — all re-derived in SQL. The query
+    text's BOW vector is compiled here (driver-side, data-free) and
+    embedded as literals, mirroring compile_query. Integer token
+    counts make the L2 norms bit-identical across engines (sum of
+    integer squares is order-independent)."""
+    from .embed import DeterministicStubEmbedder
+
+    qv = DeterministicStubEmbedder(_FUSED_TEXT_DIM).embed(_FUSED_TEXT_QUERY)
+    q_lits = "[" + ",".join(repr(float(x)) for x in qv) + "]"
+    sel = ", ".join(f"'{v}'" for v in _FUSED_LANG_SELECTION)
+    d = _FUSED_TEXT_DIM
+    w = _FUSED_LANG_WEIGHT
+    return f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, lang FROM documents WHERE doc_id < 300
+    ), vocab AS (
+      SELECT list_sort(list(DISTINCT lang)) AS vs FROM d WHERE lang IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(t)), '\\s+') END AS toks
+      FROM d
+    ), bow AS (
+      SELECT doc_id, lang,
+             list_transform(range(0, {d}), dd ->
+               CAST(len(list_filter(toks, tk ->
+                 CAST(concat('0x', substring(md5(tk), 1, 16)) AS UBIGINT) % {d} = dd))
+                 AS DOUBLE)) AS c
+      FROM tok
+    ), nb AS (
+      SELECT doc_id, lang, c,
+             sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm
+      FROM bow
+    ), vecs AS (
+      SELECT doc_id,
+             list_concat(
+               list_transform(c, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END),
+               list_transform(vs, v -> CASE WHEN lang = v THEN 1.0 ELSE 0.0 END)
+             ) AS vec
+      FROM nb, vocab
+    ), q AS (
+      SELECT list_concat(
+               {q_lits},
+               list_transform(vs, v ->
+                 CASE WHEN v IN ({sel}) THEN {w} ELSE -{w} END)
+             ) AS qv
+      FROM vocab
+    )
+    SELECT doc_id,
+           round(list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * qv[i])), 6)
+             AS relevance
+    FROM vecs, q
+    ORDER BY list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * qv[i])) DESC,
+             doc_id
+    LIMIT 20
+"""
+
+
+@register("q_fused_text", _fused_text_oracle())
+def q_fused_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused search path under the ORACLE GATE: real operators
+    end-to-end — mapInPandas stub embed (X1-X2), compute_stats +
+    sorted-vocab one-hot encode (A1/C1), driver-side query compile
+    (C2/C5/X3), Arrow-scan top-k (T1) — hash-checked against a DuckDB
+    re-derivation of the whole pipeline (geo/dense stay out: geo has
+    no oracle form, dense trig integrals are checked by unit
+    parity)."""
+    from . import schema as S2
+    from .embed import DeterministicStubEmbedder, embed_corpus
+    from .encode import compute_stats, encode_products, record_text_dim
+    from .query import compile_query
+    from .search import topk
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text", "lang")
+        .withColumn("row_id", F.col("doc_id"))
+    )
+    embedded = embed_corpus(docs, {"text": 1.0}, dim=_FUSED_TEXT_DIM)
+    aux = {"lang": S2.SPARSE}
+    stats = compute_stats(embedded, aux)
+    encoded, layout = encode_products(embedded, aux, stats, num_harmonics=4)
+    record_text_dim(layout, _FUSED_TEXT_DIM)
+    cq = compile_query(
+        _FUSED_TEXT_QUERY,
+        {"lang": ((list(_FUSED_LANG_SELECTION), False), _FUSED_LANG_WEIGHT)},
+        aux,
+        stats,
+        layout,
+        text_embedder=DeterministicStubEmbedder(_FUSED_TEXT_DIM),
+        num_harmonics=4,
+    )
+    out = topk(encoded, cq.vector, k=20, use_arrow=True)
+    return out.select("doc_id", F.round("relevance", 6).alias("relevance")).orderBy(
+        F.desc("relevance"), "doc_id"
+    )
+
+
+def _lsh_knn_oracle(dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+    """DuckDB twin of the multiprobe LSH ANN: same seeded hyperplane
+    buckets (literal doubles), Hamming-distance-1 probe expansion via
+    xor, bucket equi-join, per-(query, vec) dedup, exact cosine
+    rerank, row_number cutoff — the full ANN algorithm re-derived."""
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_planes)])
+    dot = (
+        f"list_sum(list_transform(range(1,{dim + 1}),"
+        " i -> CAST(embedding[i] AS DOUBLE) * qe[i]))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
+             {_bucket_sql(dim, n_planes, 42)} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+             unnest([{probe_list}]) AS bucket
+      FROM e WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, max({dot} / (e.nrm * q.qn)) AS cosine
+      FROM e JOIN q ON e.bucket = q.bucket
+      GROUP BY q.query_id, e.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, rnk, round(cosine, 6) AS cosine
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+@register("q_lsh_knn", _lsh_knn_oracle())
 def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN path: random-hyperplane LSH buckets + exact rerank; not
-    SQL-expressible (multiprobe bucket expansion)."""
+    """ANN path under the oracle gate: random-hyperplane LSH buckets,
+    Hamming-1 multiprobe, exact in-bucket rerank — the DuckDB twin
+    replicates the bucketing + probing, so the ANN candidate set
+    itself is hash-checked."""
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -540,10 +694,40 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_media_pipeline", None)
+_MEDIA_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id < 100
+    ), m AS (
+      SELECT doc_id, t, md5(t) AS h,
+             CASE WHEN length(t) = 0 THEN [0]
+                  ELSE list_transform(range(1, length(t) + 1),
+                                      i -> unicode(substring(t, i, 1))) END AS bytes
+      FROM d
+    ), cnts AS (
+      SELECT doc_id, t, h,
+             list_transform(range(0, 16), dd ->
+               CAST(len(list_filter(bytes, b -> b % 16 = dd)) AS DOUBLE)) AS c
+      FROM m
+    ), n AS (
+      SELECT *, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM cnts
+    )
+    SELECT doc_id,
+           octet_length(encode(t)) AS n_bytes,
+           64 + CAST(concat('0x', substring(h, 1, 2)) AS INT) % 192 AS width,
+           64 + CAST(concat('0x', substring(h, 3, 2)) AS INT) % 192 AS height,
+           round(list_sum(list_transform(c, x -> (x / nrm) * (x / nrm))), 6)
+             AS feat_sq_norm
+    FROM n ORDER BY doc_id
+"""
+
+
+@register("q_media_pipeline", _MEDIA_ORACLE)
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: payload → metadata decode (stub) →
-    hashed features; mapInPandas stages, rows-only check."""
+    """Multimodal plumbing under the oracle gate: payload attach →
+    metadata decode (deterministic md5 stub) → hashed byte-histogram
+    features — all mapInPandas stages; the DuckDB twin re-derives the
+    stub math (md5 bytes, histogram, L2 norm) from the text column
+    (ASCII corpus ⇒ code points == utf-8 bytes)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
     d = M.attach_payload(d)
     d = M.extract_media_metadata(d)
