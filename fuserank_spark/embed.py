@@ -54,19 +54,52 @@ class DeterministicStubEmbedder:
 
 
 class HFEmbedder:
-    """X1 (src/embed.py:25-41): tokenizer → model → mean-pool. Gated:
-    transformers/torch are not installed in this container."""
+    """X1 (src/embed.py:25-41): tokenizer → model →
+    last_hidden_state.mean(dim=1). Parity notes: the reference embeds
+    ONE text per call, so the plain (unmasked) token mean never sees
+    pad positions — this mirror therefore loops per text rather than
+    batch-padding, which would silently change the pooled value.
+    Normalization happens downstream (embed_corpus / embed_query),
+    exactly as the reference normalizes in src/encode.py.
+
+    Gated: torch/transformers are not installed in this container;
+    tests/test_embed_hf.py verifies the gate both ways and checks
+    mean-pool parity against a manual forward pass when the libs ARE
+    present."""
 
     def __init__(self, model_name: str = "mixedbread-ai/mxbai-embed-large-v1"):
         try:
             import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover
+            from transformers import AutoModel, AutoTokenizer  # noqa: F401
+        except ImportError as e:
             raise NotImplementedError(
                 "HF embedding path requires torch+transformers; use "
                 "DeterministicStubEmbedder in this environment"
             ) from e
         self.model_name = model_name  # pragma: no cover
+        self._torch = torch  # pragma: no cover
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)  # pragma: no cover
+        self.model = AutoModel.from_pretrained(model_name)  # pragma: no cover
+        self.model.eval()  # pragma: no cover
+
+    def embed(self, texts: str | list[str]) -> np.ndarray:  # pragma: no cover
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        out = []
+        torch = self._torch
+        with torch.no_grad():
+            for t in texts:
+                inputs = self.tokenizer(
+                    str(t) if t is not None else "",
+                    return_tensors="pt",
+                    padding=True,
+                    truncation=True,
+                )
+                hidden = self.model(**inputs).last_hidden_state
+                out.append(hidden.mean(dim=1).squeeze(0).cpu().numpy().astype("float64"))
+        arr = np.stack(out)
+        return arr[0] if single else arr
 
 
 def embed_corpus(

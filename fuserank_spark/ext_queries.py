@@ -496,6 +496,77 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("relevance", 6).alias("relevance")).orderBy("doc_id")
 
 
+# ----------------------------------------------- batch rerank (W1-W8, batched)
+_RERANK_BATCH_ORACLE = """
+    WITH r AS (
+      SELECT doc_id, doc_id % 3 AS query_id,
+             CAST(doc_id % 100 AS DOUBLE)/100 AS relevance, lang, n_chars
+      FROM documents WHERE doc_id < 300
+    ), k AS (
+      SELECT *,
+        CASE WHEN lang IN ('en','de') THEN 0 WHEN lang IS NULL THEN 1 ELSE 2 END AS lvl,
+        CASE WHEN lang IN ('en','de') OR lang IS NULL THEN NULL ELSE lang END AS raw,
+        CASE WHEN n_chars BETWEEN 150 AND 300 THEN 2.2250738585072014e-308
+             ELSE CAST(n_chars AS DOUBLE) END AS dkey
+      FROM r
+    ), ranked AS (
+      SELECT *,
+        rank() OVER (PARTITION BY query_id ORDER BY lvl DESC, raw DESC NULLS LAST)
+          + (count(*) OVER (PARTITION BY query_id, lvl, raw) - 1)/2.0 AS rk_s,
+        rank() OVER (PARTITION BY query_id ORDER BY dkey DESC)
+          + (count(*) OVER (PARTITION BY query_id, dkey) - 1)/2.0 AS rk_d,
+        count(*) OVER (PARTITION BY query_id) AS n,
+        max(CASE WHEN lang IN ('en','de') THEN 1 ELSE 0 END)
+          OVER (PARTITION BY query_id) AS g
+      FROM k
+    )
+    SELECT query_id, doc_id,
+           round(relevance
+                 + CASE WHEN g = 1 THEN 2.0*(2*(rk_s-1)/(n-1)-1) ELSE 0.0 END
+                 + 1.5*(2*(rk_d-1)/(n-1)-1), 6) AS relevance
+    FROM ranked ORDER BY query_id, doc_id
+"""
+
+
+@register("q_rerank_batch", _RERANK_BATCH_ORACLE)
+def q_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W8 in BATCH mode (query_id_col): every re-rank window
+    partitions by the query id — the shape that serves a batch of
+    queries in one plan at scale. Same modality math as q_rerank,
+    now hash-checked per-partition."""
+    from . import schema as S2
+    from .encode import ColumnStats, CorpusStats
+    from .rerank import rerank
+
+    r = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 3).alias("query_id"),
+            ((F.col("doc_id") % 100).cast("double") / 100).alias("relevance"),
+            "lang",
+            "n_chars",
+        )
+    )
+    aux = {
+        "lang": ((["en", "de"], False), 2.0),
+        "n_chars": ((150.0, 300.0, False), 1.5),
+    }
+    stats = CorpusStats(
+        columns={
+            "lang": ColumnStats(S2.SPARSE),
+            "n_chars": ColumnStats(S2.DENSE, min=0.0, max=600.0),
+        }
+    )
+    out = rerank(
+        r, aux, {"lang": S2.SPARSE, "n_chars": S2.DENSE}, stats, query_id_col="query_id"
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("relevance", 6).alias("relevance")
+    ).orderBy("query_id", "doc_id")
+
+
 # ----------------------------------------------- fused top-k, oracle-checked
 _FUSED_TEXT_DIM = 16
 _FUSED_TEXT_QUERY = "spark join filter"

@@ -10,7 +10,12 @@ Semantics preserved exactly (SURVEY §2.5):
   * nulls rank between matches and mismatches for binary/sparse
     (src/encode.py:193-194) via explicit 3-level keys replacing the
     reference's char-sentinel hack — but mismatches keep their
-    raw-value ordering (the reference ranks un-replaced values);
+    raw-value ordering (the reference ranks un-replaced values).
+    DELIBERATE DEVIATION (SURVEY gotcha #2b): under the reference's
+    sentinels a mismatch value starting with one of ``!"#$%&`` (below
+    ``"'"``) would interleave between match and null; the 3-level key
+    always ranks null above every mismatch. Identical on any data
+    whose values start with letters/digits;
   * dense lowest/highest keeps pandas' NaN-rank→NaN behavior: null
     rows contribute a NULL delta, sinking them in the final sort.
 
