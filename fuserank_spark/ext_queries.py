@@ -738,7 +738,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _IVF_CACHE:
         e = _emb(spark, sf_dir)
-        assigned, centroids = SS.ivf_build(e, dim=64, n_centroids=8)
+        assigned, centroids = SS.ivf_build(e, dim=64, n_centroids=8, max_iter=8)
         sf = sf_dir.rstrip("/").split("sf")[-1]
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

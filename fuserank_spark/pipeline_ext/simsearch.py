@@ -113,6 +113,7 @@ def ivf_build(
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
     seed: int = 42,
+    max_iter: int = 20,
 ):
     """IVF coarse quantizer: k-means centroids trained on a (sampled)
     pass, then one projection assigns every row to its nearest
@@ -128,7 +129,7 @@ def ivf_build(
 
     train = corpus.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else corpus
     train = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
 
     with_feat = corpus.withColumn(
