@@ -97,6 +97,50 @@ def main():
     t["minhash_lsh_pairs"] = round(time.time() - t0, 2)
     t["n_candidate_pairs"] = n_pairs
 
+    # bucketed embedding near-dup at volume: replicate each base vector
+    # `factor`× with per-replica jitter → mass near-dup clusters, which
+    # exercises BOTH the bucket pair-gen and the star-edge guard. The
+    # unbounded (no max_id) call proves the default path is the LSH one.
+    from fuserank_spark.pipeline_ext.dedup import embedding_neardup_pairs
+    from fuserank_spark.pipeline_ext.simsearch import ivf_build, ivf_knn, ivf_load, ivf_persist
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bigv = (
+        emb.crossJoin(spark.range(factor).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + (F.col("rep") % 7).cast("float") * 1e-4
+            ).alias("embedding"),
+        )
+        .repartition(64, "vec_id")
+        .persist()
+    )
+    nv = bigv.count()
+    t0 = time.time()
+    nd = embedding_neardup_pairs(bigv, threshold=0.95, method="lsh", dim=64)
+    t["neardup_lsh_pairs"] = round(time.time() - t0 + 0, 2)
+    n_nd = nd.count()
+    t["neardup_lsh_pairs"] = round(time.time() - t0, 2)
+    t["n_neardup_pairs"] = n_nd
+
+    # IVF at volume: sampled training, partitioned index write, pruned probe
+    t0 = time.time()
+    assigned, cents = ivf_build(bigv, dim=64, n_centroids=32, sample_fraction=0.02, max_iter=8)
+    idx_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            ".cache", "ivf_smoke")
+    ivf_persist(assigned, idx_path)
+    t["ivf_build_persist"] = round(time.time() - t0, 2)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    t0 = time.time()
+    ivf_knn(ivf_load(spark, idx_path), cents, queries, k=10, nprobe=4).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t["ivf_serve8"] = round(time.time() - t0, 2)
+    t["n_vectors"] = nv
+
     t["n_rows"] = n
     print(json.dumps(t))
 
