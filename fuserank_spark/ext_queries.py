@@ -870,11 +870,151 @@ def q_restaurants_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fused_topk", None)
+def _flagship_oracle() -> str:
+    """DuckDB twin of the FLAGSHIP fused query — the whole engine in
+    one SQL string: hashed-BOW text embed (64-d), sparse lang segment,
+    the dense Fourier product block (half-circle + K=64 Lanczos-damped
+    harmonics + bias + null-ind) against the interval-integral query
+    segment (N4·N5), min/max stats derived in-SQL, portable-md5 source
+    bucketing, dot-score, top-10.
+
+    Exactness: every constant (π, σ_k, 1−ε, query BOW) is computed by
+    the SAME numpy code the engine uses and emitted via repr (exact
+    round-trip); every expression mirrors the engine's operation
+    ORDER (e.g. integrate_pair's cos(a·π·k) associates (a·π)·k while
+    fourier_series' ang associates (k·π)·x — both preserved), so the
+    only FP divergence left is sub-ulp trig/summation noise, far
+    below the round(6) output grain.
+
+    The source one-hot segment is dotted against a ZERO query segment
+    (aux weight None) and is therefore omitted from the dot; the lang
+    one-hot · (±w) dot collapses to a CASE on lang (exactly one hot
+    position). Parity quirk preserved: integrate_pair evaluates σ at
+    a single k, which yields σ₁=1.0, while the corpus/probe Fourier
+    σ₁=sinc(π/64) — two different sigma literal lists below."""
+    import math
+
+    import numpy as np
+
+    from . import fourier
+    from .embed import DeterministicStubEmbedder
+    from .flagship import EMB_DIM, NUM_HARMONICS
+    from .pipeline_ext.hashing import portable_hash32_sql
+
+    K = NUM_HARMONICS
+    D = EMB_DIM
+    qv = DeterministicStubEmbedder(D).embed("spark join filter vector search")
+    q_lits = "[" + ",".join(repr(float(x)) for x in qv) + "]"
+    sig_fs = fourier.sigma(np.arange(1, K + 1), K, math.pi)
+    sig_int = sig_fs.copy()
+    sig_int[0] = 1.0  # integrate_pair's single-k sigma special case
+    sfs = "[" + ",".join(repr(float(s)) for s in sig_fs) + "]"
+    sint = "[" + ",".join(repr(float(s)) for s in sig_int) + "]"
+    pi = repr(math.pi)
+    hpi = repr(math.pi / 2)
+    eps = repr(1.0 - 0.01)  # 1 − range_epsilon, as the engine computes it
+    ieps = repr(0.01)  # interval_epsilon
+    lo, hi = "120.0", "360.0"
+    wl, wd = "2.0", "1.5"
+    kd = "CAST(k AS DOUBLE)"
+    src = f"('srcb' || CAST({portable_hash32_sql('source')} % 16 AS VARCHAR))"
+    # fourier_series(p, K) inline: ang associates (k·π)·p
+    fs = (
+        f"flatten(list_transform(range(1, {K + 1}), k -> "
+        f"[sin(({kd}*{pi})*{{p}})*({sfs})[k], cos(({kd}*{pi})*{{p}})*({sfs})[k]]))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, lang, source, n_chars FROM documents
+    ), st AS (
+      SELECT min(CAST(n_chars AS DOUBLE)) AS mn, max(CAST(n_chars AS DOUBLE)) AS mx
+      FROM d
+    ), tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(t)), '\\s+') END AS toks
+      FROM d
+    ), bow AS (
+      SELECT doc_id,
+             list_transform(range(0, {D}), dd ->
+               CAST(len(list_filter(toks, tk ->
+                 CAST(concat('0x', substring(md5(tk), 1, 16)) AS UBIGINT) % {D} = dd))
+                 AS DOUBLE)) AS c
+      FROM tok
+    ), txt AS (
+      SELECT doc_id,
+             list_transform(c, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS tv
+      FROM (SELECT doc_id, c,
+                   sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM bow)
+    ), qiv AS (
+      -- query dense interval: scaled+epsilon bounds, analytic integrals
+      SELECT a, b,
+        flatten(list_transform(range(1, {K + 1}), k ->
+          [(((1.0/(b - a)) * ((cos((a*{pi})*{kd}) - cos((b*{pi})*{kd}))
+              / (({pi}*{kd}) * (b - a)))) * ({sint})[k]),
+           (((1.0/(b - a)) * ((sin((b*{pi})*{kd}) - sin((a*{pi})*{kd}))
+              / (({pi}*{kd}) * (b - a)))) * ({sint})[k])])) AS ivec,
+        (a + b)/2.0 AS p_in,
+        CASE WHEN abs(a + 1.0) > abs(1.0 - b) THEN (a - 1.0)/2.0
+             ELSE (b + 1.0)/2.0 END AS p_out
+      FROM (SELECT {eps} * ((2.0*(({lo} - mn)/(mx - mn)) - 1.0) - {ieps}) AS a,
+                   {eps} * ((2.0*(({hi} - mn)/(mx - mn)) - 1.0) + {ieps}) AS b
+            FROM st)
+    ), qseg AS (
+      -- probe-normalized interval segment ‖ shift ‖ null-ind, ×weight
+      SELECT list_transform(
+               list_concat([0.0, 0.0, 0.0],
+                 list_concat(list_transform(ivec, v -> v * scale),
+                             [((-scale) * shift), 1.0])),
+               v -> v * {wd}) AS qd
+      FROM (SELECT ivec, 2.0/(dot_in - dot_out) AS scale,
+                   (dot_in + dot_out)/2.0 AS shift
+            FROM (SELECT ivec,
+                    list_sum(list_transform(range(1, {2 * K + 1}),
+                      i -> ({fs.format(p="p_in")})[i] * ivec[i])) AS dot_in,
+                    list_sum(list_transform(range(1, {2 * K + 1}),
+                      i -> ({fs.format(p="p_out")})[i] * ivec[i])) AS dot_out
+                  FROM qiv))
+    ), cvec AS (
+      -- corpus dense product block per doc: [half(2)|1|full(2K)|1|null]
+      SELECT doc_id,
+        list_concat(
+          [coalesce(sin((1.0*{hpi})*sx)*1.0, 0.0),
+           coalesce(cos((1.0*{hpi})*sx)*1.0, 0.0), 1.0],
+          list_concat(
+            flatten(list_transform(range(1, {K + 1}), k ->
+              [coalesce(sin(({kd}*{pi})*sx)*({sfs})[k], 0.0),
+               coalesce(cos(({kd}*{pi})*sx)*({sfs})[k], 0.0)])),
+            [1.0, CASE WHEN n_chars IS NULL THEN -1.0 ELSE 0.0 END])) AS cv
+      FROM (SELECT doc_id, n_chars,
+                   {eps} * (2.0*((CAST(n_chars AS DOUBLE) - mn)/(mx - mn)) - 1.0) AS sx
+            FROM d, st)
+    ), scored AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             list_sum(list_transform(range(1, {D + 1}), i -> tv[i]*({q_lits})[i]))
+             + CASE WHEN d.lang IS NULL THEN 0.0
+                    WHEN d.lang IN ('en', 'de') THEN {wl} ELSE -{wl} END
+             + list_sum(list_transform(range(1, {2 * K + 6}), i -> cv[i]*qd[i]))
+               AS rel
+      FROM d
+      JOIN txt ON txt.doc_id = d.doc_id
+      JOIN cvec ON cvec.doc_id = d.doc_id
+      CROSS JOIN qseg
+    )
+    SELECT doc_id AS row_id, lang, {src} AS source, n_chars,
+           round(rel, 6) AS relevance
+    FROM scored
+    ORDER BY rel DESC, row_id
+    LIMIT 10
+"""
+
+
+@register("q_fused_topk", _flagship_oracle())
 def q_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship fused multimodal search (stub text embedder →
-    modality encodings → single IP top-k); embedder not expressible
-    in SQL → rows-only."""
+    modality encodings → single Arrow-scan IP top-k), hash-checked
+    against a full SQL re-derivation of the engine (see
+    _flagship_oracle)."""
     from .flagship import flagship_query
 
     return flagship_query(spark, sf_dir)

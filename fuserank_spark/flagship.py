@@ -44,9 +44,15 @@ def build_corpus(
         "row_id", F.col("doc_id")
     )
     # source has high-ish cardinality at larger SF; cap the sparse vocab
-    # story by bucketing to 16 sources (still a real categorical filter)
+    # story by bucketing to 16 sources (still a real categorical filter).
+    # Portable md5 bucketing, not xxhash64: the flagship is oracle-checked
+    # (q_fused_topk) and the hashing invariant requires engine-neutral
+    # hashes anywhere a DuckDB twin must reproduce the value.
+    from .pipeline_ext.hashing import portable_hash32
+
     docs = docs.withColumn(
-        "source", F.concat(F.lit("srcb"), F.pmod(F.xxhash64("source"), F.lit(16)))
+        "source",
+        F.concat(F.lit("srcb"), F.pmod(portable_hash32(F.col("source")), F.lit(16))),
     )
     embedded = embed_corpus(docs, TEXT_SCHEMA, dim=EMB_DIM)
     stats = compute_stats(embedded, AUX_SCHEMA)
