@@ -1018,3 +1018,319 @@ def q_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .flagship import flagship_query
 
     return flagship_query(spark, sf_dir)
+
+
+# ======================================================================
+# Corpus-curation operators (pipeline_ext/curation.py): deterministic
+# splits, quota sampling, decontamination, PII scrub, repetition,
+# keep-best dedup, end-to-end curation. Extends the reference's prep
+# surface (src/prep.py) with LLM-corpus curation steps; every entry is
+# oracle-checked.
+# ======================================================================
+
+_SPLIT_H = _H.format(expr="concat('split:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "q_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_H} % 100 < 90 THEN 'train'
+                WHEN {_SPLIT_H} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val/test assignment — pure
+    projection, reproducible across engines and cluster sizes."""
+    from .pipeline_ext import curation as CU
+
+    return CU.assign_split(_docs(spark, sf_dir)).select("doc_id", "split").orderBy("doc_id")
+
+
+_QUOTA_H = _H.format(expr="concat('quota:', CAST(doc_id AS VARCHAR))")
+
+
+@register(
+    "q_quota_sample",
+    f"""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_QUOTA_H} ASC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10 ORDER BY source, doc_id
+    """,
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic quota sample (smallest salted hash
+    wins) — the domain-balancing step of a corpus mix."""
+    from .pipeline_ext import curation as CU
+
+    return (
+        CU.quota_sample(_docs(spark, sf_dir), group_col="source", n_per_group=10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+def _decontam_oracle(n: int = 8) -> str:
+    gram = "concat_ws(' ', " + ", ".join(f"tk[i+{j}]" for j in range(n)) + ")"
+    gh = _H.format(expr=gram)
+    toks = _TOKS_SQL
+    return f"""
+    WITH tr AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 34 = 0
+    ), te AS (
+      SELECT text FROM documents WHERE doc_id % 17 = 0
+    ), trg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= {n}
+             THEN list_transform(generate_series(1, len(tk) - {n - 1}), i -> {gh})
+             ELSE CAST([] AS BIGINT[]) END) AS g
+      FROM (SELECT doc_id, {toks} AS tk FROM tr)
+    ), teg AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(tk) >= {n}
+             THEN list_transform(generate_series(1, len(tk) - {n - 1}), i -> {gh})
+             ELSE CAST([] AS BIGINT[]) END) AS g
+      FROM (SELECT {toks} AS tk FROM te)
+    )
+    SELECT DISTINCT doc_id FROM trg WHERE g IN (SELECT g FROM teg)
+    ORDER BY doc_id
+    """
+
+
+@register("q_decontam", _decontam_oracle())
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: train docs sharing any token 8-gram
+    with the held-out slice (doc_id % 17 == 0); planted contamination
+    re-appends every 34th doc into train under a shifted id. Train
+    side stays shuffle-free (test-gram set broadcast)."""
+    from .pipeline_ext import curation as CU
+
+    d = _docs(spark, sf_dir)
+    test = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text").union(
+        d.filter(F.col("doc_id") % 34 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return CU.contaminated_keys(train, test).orderBy("doc_id")
+
+
+_PII_T2 = """concat(text,
+      CASE WHEN doc_id % 7 = 0
+           THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+           ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END,
+      CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.0.1 here' ELSE '' END)"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "q_pii_scrub",
+    f"""
+    WITH d AS (SELECT doc_id, {_PII_T2} AS t2 FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t2, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS scrubbed
+    FROM d ORDER BY doc_id
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4) with per-kind match counts
+    over deterministically planted PII; regex subset chosen where
+    Java regex and RE2 agree."""
+    from .pipeline_ext import curation as CU
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" from 10.0.0.1 here")).otherwise(""),
+        ).alias("t2"),
+    )
+    return (
+        CU.pii_scrub(d, text_col="t2")
+        .select("doc_id", "n_email", "n_phone", "n_ip", "scrubbed")
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM x GROUP BY doc_id, tok),
+    a AS (SELECT doc_id,
+                 round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+                   AS top_token_frac
+          FROM c GROUP BY doc_id),
+    g AS (SELECT doc_id, len(toks) AS n_tok,
+                 CASE WHEN len(toks) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                       / len(toks), 6)
+                      ELSE 0.0 END AS dup_token_frac,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                                          i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE CAST([] AS VARCHAR[]) END AS g2
+          FROM t)
+    SELECT g.doc_id,
+           CAST(g.n_tok AS BIGINT) AS n_tokens,
+           g.dup_token_frac,
+           CASE WHEN len(g.g2) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE)
+                                 / len(g.g2), 6)
+                ELSE 0.0 END AS dup_2gram_frac,
+           COALESCE(a.top_token_frac, 0.0) AS top_token_frac
+    FROM g LEFT JOIN a ON a.doc_id = g.doc_id
+    ORDER BY g.doc_id
+"""
+
+
+@register("q_repetition", _REPETITION_ORACLE)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition features (Gopher-style rules):
+    duplicate-token / duplicate-2-gram fractions (per-row
+    expressions) + distributed top-token frequency."""
+    from .pipeline_ext import curation as CU
+
+    return (
+        CU.repetition_stats(_docs(spark, sf_dir))
+        .select("doc_id", "n_tokens", "dup_token_frac", "dup_2gram_frac", "top_token_frac")
+        .orderBy("doc_id")
+    )
+
+
+def _keepbest_oracle() -> str:
+    toks = _TOKS_SQL
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {toks} AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[1], toks[2]) AS block_key,
+             round(1.0
+               - least(1.0, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END * 4.0) * 0.25
+               - least(1.0, CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0 END * 4.0) * 0.25
+               - (CASE WHEN (CASE WHEN len(toks) > 0 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE)/len(toks) ELSE 0 END) < 2.0
+                        OR (CASE WHEN len(toks) > 0 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE)/len(toks) ELSE 0 END) > 12.0
+                       THEN 0.25 ELSE 0.0 END)
+               - (CASE WHEN len(toks) < 5 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+      FROM t
+    )
+    SELECT block_key, keep_id, best_score, n_members FROM (
+      SELECT block_key, doc_id AS keep_id, quality_score AS best_score,
+             row_number() OVER (PARTITION BY block_key
+                                ORDER BY quality_score DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY block_key) AS n_members
+      FROM f
+    ) WHERE rn = 1 ORDER BY block_key
+    """
+
+
+@register("q_dedup_keepbest", _keepbest_oracle())
+def q_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup resolution: within each 2-token prefix block,
+    keep the highest-quality doc (tie-break min id) — the
+    'best copy' policy next to exact_dup_groups' 'first copy'."""
+    from .pipeline_ext import curation as CU
+
+    d = TX.quality_features(_docs(spark, sf_dir))
+    toks = TX.tokens_expr(F.col("text"))
+    d = d.withColumn(
+        "block_key",
+        F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2)),
+    )
+    return CU.keep_best(d, block_col="block_key", score_col="quality_score").orderBy(
+        "block_key"
+    )
+
+
+def _curate_oracle() -> str:
+    toks = _TOKS_SQL
+    split_h = _H.format(expr="concat('split:', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH d AS ({_DUPS_SQL}),
+    t AS (
+      SELECT doc_id, text, {toks} AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM d
+    ), f AS (
+      SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(1.0
+               - least(1.0, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END * 4.0) * 0.25
+               - least(1.0, CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0 END * 4.0) * 0.25
+               - (CASE WHEN (CASE WHEN len(toks) > 0 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE)/len(toks) ELSE 0 END) < 2.0
+                        OR (CASE WHEN len(toks) > 0 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE)/len(toks) ELSE 0 END) > 12.0
+                       THEN 0.25 ELSE 0.0 END)
+               - (CASE WHEN len(toks) < 5 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+      FROM t
+    ), q AS (
+      SELECT * FROM f WHERE quality_score >= 0.75
+    ), dd AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id ASC) AS rn
+      FROM q
+    ), kept AS (
+      SELECT doc_id, n_tokens, quality_score,
+             CASE WHEN {split_h} % 100 < 90 THEN 'train'
+                  WHEN {split_h} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM dd WHERE rn = 1
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM kept GROUP BY split ORDER BY split
+    """
+
+
+@register("q_curate", _curate_oracle())
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline over a dup-bearing corpus:
+    quality filter → exact dedup (keep first) → split assignment →
+    per-split corpus stats. One narrow quality pass + one
+    content-hash shuffle + one split projection."""
+    from .pipeline_ext import curation as CU
+
+    d = _docs_with_dups(_docs(spark, sf_dir))
+    curated = CU.curate_corpus(d)
+    return (
+        curated.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )

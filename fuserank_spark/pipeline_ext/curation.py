@@ -1,0 +1,284 @@
+"""Corpus-curation operators for training-data pipelines:
+deterministic train/val/test splits, per-source quota sampling,
+test-set decontamination, PII scrubbing, within-document repetition
+stats, and keep-best dedup resolution.
+
+These extend the reference's data-prep surface (src/prep.py does
+row-level cleanup only) with the curation steps an LLM-scale corpus
+pipeline needs before training. Everything is pure Column
+expressions or hash-keyed shuffles:
+
+- ``assign_split`` / ``pii_scrub`` are projections — zero shuffle,
+  whole-stage codegen, scale is the scan itself.
+- ``quota_sample`` / ``keep_best`` are one window shuffle keyed on
+  the group/block column; output is bounded (n per group / 1 per
+  block). For pathologically hot groups, pass ``prefilter_top`` to
+  cut each group down by a deterministic hash threshold BEFORE the
+  window sort (turns an O(G log G) per-group sort into O(n') with
+  n' ≈ margin · quota).
+- ``contaminated_keys`` explodes token n-grams on the big (train)
+  side but broadcasts the small (test) side, so the train scan
+  never shuffles — only the final distinct on surviving keys does.
+
+All hashes are md5-derived (``hashing.portable_hash32``) so DuckDB
+oracles reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .hashing import portable_hash32
+from .textstats import tokens_expr
+
+# ---------------------------------------------------------------- splits
+
+
+def split_hash_expr(key_col: Column, salt: str) -> Column:
+    """Deterministic [0, 100) bucket from a salted portable hash of
+    the key — stable across runs, engines, and cluster sizes (the
+    property that makes split assignment reproducible; partition- or
+    rand()-based splits are neither)."""
+    return portable_hash32(F.concat(F.lit(salt + ":"), key_col.cast("string"))) % 100
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a train/val/test split column. Pure projection — no
+    shuffle, no state; adding data never reassigns existing keys."""
+    h = split_hash_expr(F.col(key_col), salt)
+    return df.withColumn(
+        out_col,
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+# ---------------------------------------------------------- quota sample
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    n_per_group: int = 10,
+    salt: str = "quota",
+    prefilter_frac: float | None = None,
+) -> DataFrame:
+    """Deterministic per-group quota: keep the ``n_per_group`` rows
+    with the smallest salted key-hash in each group (tie-break on the
+    key). One window shuffle keyed on ``group_col``.
+
+    At 100 TB a hot group would sort its whole partition just to
+    keep n rows; ``prefilter_frac`` applies the static RANGE gate
+    ``h < 2^32 · frac`` before the window. Because the quota keeps
+    the smallest hashes, a range gate (unlike modulus sampling) is
+    result-preserving whenever it retains ≥ n_per_group rows per
+    group — pick frac ≈ margin · n_per_group / est_group_size
+    (margin 4–10× makes under-selection vanishingly unlikely).
+    """
+    h = portable_hash32(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    out = df.withColumn("__qh", h)
+    if prefilter_frac is not None:
+        out = out.filter(F.col("__qh") < int((1 << 32) * prefilter_frac))
+    w = Window.partitionBy(group_col).orderBy(F.col("__qh").asc(), F.col(key_col).asc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__qh", "__rn")
+    )
+
+
+# ------------------------------------------------------- decontamination
+
+
+def token_ngrams_expr(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams; fewer than n tokens → empty array
+    (guards the Spark sequence(1, m<1) count-DOWN trap, and matches
+    DuckDB generate_series which yields empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_keys(
+    train: DataFrame,
+    test: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: train keys sharing ANY token
+    ``n``-gram with the test set (the standard n-gram-overlap
+    contamination check run before training).
+
+    Plan shape: the train side explodes its n-gram hashes (narrow —
+    no shuffle), the test side collapses to DISTINCT gram hashes and
+    is broadcast (test sets are small by definition), the semi-join
+    is therefore shuffle-free on the 100 TB side; only the final
+    DISTINCT on surviving keys shuffles, and that input is bounded
+    by the contamination rate. Set ``broadcast_test=False`` to let
+    AQE pick a shuffle join when the test side is genuinely large.
+    """
+    gram_hash = lambda c: portable_hash32(c)  # noqa: E731
+    tr = train.select(
+        F.col(key_col),
+        F.explode(
+            F.transform(token_ngrams_expr(tokens_expr(F.col(text_col)), n), gram_hash)
+        ).alias("__g"),
+    )
+    te = (
+        test.select(
+            F.explode(
+                F.transform(token_ngrams_expr(tokens_expr(F.col(text_col)), n), gram_hash)
+            ).alias("__g")
+        )
+        .distinct()
+    )
+    if broadcast_test:
+        te = F.broadcast(te)
+    return tr.join(te, "__g", "left_semi").select(key_col).distinct()
+
+
+# -------------------------------------------------------------- PII scrub
+
+PII_PATTERNS = [
+    # (name, regex, replacement) — patterns restricted to the syntax
+    # subset where Java regex (Spark) and RE2 (DuckDB) agree
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses and count each
+    match kind (counts computed on the ORIGINAL text, replacements
+    applied sequentially in PII_PATTERNS order). Pure expressions —
+    regexp engines run JVM-side inside codegen; no Python, no
+    shuffle."""
+    t = F.col(text_col)
+    cols = {}
+    for name, pat, _ in PII_PATTERNS:
+        cols[f"n_{name}"] = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+    scrub = t
+    for _, pat, repl in PII_PATTERNS:
+        scrub = F.regexp_replace(scrub, pat, repl)
+    cols[out_col] = scrub
+    return df.withColumns(cols)
+
+
+# ------------------------------------------------------ repetition stats
+
+
+def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Within-document repetition features (Gopher-style quality
+    rules): duplicate-token fraction, duplicate-2-gram fraction, and
+    top-token frequency fraction.
+
+    dup fractions are per-row expressions (array_distinct — linear
+    per doc). top_token_frac is computed DISTRIBUTED: explode →
+    count per (doc, token) → max/sum per doc, then a key-equi join
+    back — two uniform hash shuffles, no per-doc quadratic
+    expression, so a single pathological 1 GB document cannot stall
+    an executor the way filter-per-distinct-token would."""
+    toks = tokens_expr(F.col(text_col))
+    g2 = token_ngrams_expr(toks, 2)
+    base = df.select(
+        F.col(key_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("dup_token_frac"),
+        F.when(
+            F.size(g2) > 0,
+            F.round(1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 6),
+        )
+        .otherwise(0.0)
+        .alias("dup_2gram_frac"),
+    )
+    top = (
+        df.select(F.col(key_col), F.explode(tokens_expr(F.col(text_col))).alias("__tok"))
+        .groupBy(key_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy(key_col)
+        .agg(
+            F.round(
+                F.max("__cnt").cast("double") / F.sum("__cnt").cast("double"), 6
+            ).alias("top_token_frac")
+        )
+    )
+    return base.join(top, key_col, "left").withColumn(
+        "top_token_frac", F.coalesce(F.col("top_token_frac"), F.lit(0.0))
+    )
+
+
+# ------------------------------------------------------------- keep-best
+
+
+def keep_best(
+    df: DataFrame,
+    block_col: str,
+    score_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-best dedup resolution: within each block (near-dup
+    cluster key), keep the highest-``score_col`` row, tie-broken on
+    the smallest key — the 'keep the best copy' policy vs
+    exact_dup_groups' 'keep the first copy'. One window shuffle on
+    the block key; emits one row per block."""
+    w = Window.partitionBy(block_col).orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(block_col)))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(block_col),
+            F.col(key_col).alias("keep_id"),
+            F.col(score_col).alias("best_score"),
+            F.col("__n").alias("n_members"),
+        )
+    )
+
+
+# -------------------------------------------------------- full pipeline
+
+
+def curate_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.75,
+) -> DataFrame:
+    """End-to-end curation: quality-score filter → exact dedup
+    (keep min key per normalized content hash) → deterministic
+    split assignment. Composition of the individual operators —
+    one narrow quality projection, one hash-shuffle for dedup, one
+    projection for the split."""
+    from .textstats import quality_features
+
+    q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    hashed = q.withColumn("__ch", F.md5(norm))
+    w = Window.partitionBy("__ch").orderBy(F.col(key_col).asc())
+    deduped = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return assign_split(deduped, key_col=key_col).drop("__ch", "__rn")

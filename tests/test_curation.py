@@ -1,0 +1,136 @@
+"""Curation operators: deterministic splits, quota sampling,
+decontamination, PII scrub, repetition stats, keep-best dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fuserank_spark.pipeline_ext.curation import (
+    assign_split,
+    contaminated_keys,
+    curate_corpus,
+    keep_best,
+    pii_scrub,
+    quota_sample,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_deterministic_and_complete(spark):
+    d = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = assign_split(d).groupBy("split").count().collect()
+    b = assign_split(d).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    # 90/5/5 targets within generous tolerance at n=1000
+    assert 850 <= counts["train"] <= 950
+    assert counts["train"] + counts["val"] + counts["test"] == 1000
+
+
+def test_split_stable_under_new_data(spark):
+    """Adding rows never reassigns existing keys (hash, not rank)."""
+    small = assign_split(spark.range(100).withColumnRenamed("id", "doc_id"))
+    big = assign_split(spark.range(200).withColumnRenamed("id", "doc_id"))
+    sm = {r["doc_id"]: r["split"] for r in small.collect()}
+    bg = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(bg[k] == v for k, v in sm.items())
+
+
+def test_quota_sample_bounds_and_prefilter_identity(spark):
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).cast("string").alias("source")
+    )
+    full = quota_sample(d, n_per_group=7)
+    per = {r["source"]: r["count"] for r in full.groupBy("source").count().collect()}
+    assert all(v == 7 for v in per.values())
+    # range-gate prefilter keeps the result identical (100 rows/group,
+    # frac 0.5 retains ~50 ≫ 7 per group)
+    pre = quota_sample(d, n_per_group=7, prefilter_frac=0.5)
+    assert sorted(r["doc_id"] for r in full.collect()) == sorted(
+        r["doc_id"] for r in pre.collect()
+    )
+
+
+def test_contaminated_keys_finds_planted_overlap(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    train = _docs(
+        spark,
+        [
+            (1, base),  # full overlap with test doc 100
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "k l m n o p q r s t"),  # no 8-gram overlap
+        ],
+    )
+    test = _docs(spark, [(100, base), (101, "x y z w v u t s r q")])
+    got = sorted(r["doc_id"] for r in contaminated_keys(train, test).collect())
+    assert got == [1]
+
+
+def test_contaminated_keys_short_docs_are_clean(spark):
+    train = _docs(spark, [(1, "a b c"), (2, None)])
+    test = _docs(spark, [(9, "a b c")])  # < 8 tokens: no grams either side
+    assert contaminated_keys(train, test).count() == 0
+
+
+def test_pii_scrub_counts_and_replacements(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or alice@test.org thanks"),
+            (2, "call 555-123-4567 from 10.0.0.1 ok"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert got[1]["n_email"] == 2 and "<EMAIL>" in got[1]["scrubbed"]
+    assert "bob@example.com" not in got[1]["scrubbed"]
+    assert got[2]["n_phone"] == 1 and got[2]["n_ip"] == 1
+    assert "<PHONE>" in got[2]["scrubbed"] and "<IP>" in got[2]["scrubbed"]
+    assert got[3]["scrubbed"] == "nothing here"
+
+
+def test_repetition_stats_values(spark):
+    d = _docs(spark, [(1, "a a a b"), (2, "x y z"), (3, "")])
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert abs(got[1]["dup_token_frac"] - 0.5) < 1e-9  # 2 distinct / 4
+    assert abs(got[1]["top_token_frac"] - 0.75) < 1e-9  # 'a' 3/4
+    # 2-grams of doc1: "a a","a a","a b" -> 2 distinct / 3
+    assert abs(got[1]["dup_2gram_frac"] - (1 - 2 / 3)) < 1e-6
+    assert got[2]["dup_token_frac"] == 0.0 and got[2]["top_token_frac"] < 0.34
+    assert got[3]["n_tokens"] == 0 and got[3]["top_token_frac"] == 0.0
+
+
+def test_keep_best_picks_highest_score_min_id(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "b1", 0.5),
+            (2, "b1", 0.9),
+            (3, "b1", 0.9),  # tie with 2 -> keep 2
+            (4, "b2", 0.1),
+        ],
+        "doc_id long, block string, score double",
+    )
+    got = {
+        r["block"]: (r["keep_id"], r["n_members"])
+        for r in keep_best(d, "block", "score").collect()
+    }
+    assert got == {"b1": (2, 3), "b2": (4, 1)}
+
+
+def test_curate_corpus_dedups_and_splits(spark):
+    good = "the quick brown fox jumps over the lazy dog again"
+    d = _docs(
+        spark,
+        [(1, good), (2, good), (3, "x" * 400), (4, "one two three four five six")],
+    )
+    out = curate_corpus(d).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 2 not in ids  # dup of 1 removed
+    assert 3 not in ids  # single 400-char token: avg_tok_len + n_tokens penalty
+    assert set(r["split"] for r in out) <= {"train", "val", "test"}
