@@ -143,3 +143,58 @@ def test_ivf_probe_prunes_partitions(spark):
     assert "PartitionFilters" in p
     pf = p.split("PartitionFilters")[1].split("]")[0]
     assert "centroid_id" in pf and " IN " in pf
+
+
+def test_split_and_pii_are_shuffle_free_projections(spark):
+    """Split assignment and PII scrub are pure projections: no
+    exchange, no Python eval boundary — scale cost is the scan."""
+    from fuserank_spark.pipeline_ext.curation import assign_split, pii_scrub
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for out in (assign_split(df), pii_scrub(df)):
+        p = plan_str(out)
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quota_sample_single_group_shuffle(spark):
+    """Quota sampling shuffles once, keyed on the group column."""
+    from fuserank_spark.pipeline_ext.curation import quota_sample
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = plan_str(quota_sample(df, group_col="source", n_per_group=5), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "source" in p.split("Exchange hashpartitioning")[1].split(")")[0]
+    # Spark inserts WindowGroupLimit: each map task pre-trims to the
+    # quota BEFORE the shuffle, so the exchange moves ≤ n·groups rows
+    assert "WindowGroupLimit" in p
+
+
+def test_decontam_broadcasts_test_side(spark):
+    """Decontamination: the big (train) side must reach the semi-join
+    without shuffling — the test-gram set arrives via broadcast; the
+    only hash exchange is the final distinct on surviving keys."""
+    from fuserank_spark.pipeline_ext.curation import contaminated_keys
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    test = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    p = plan_str(contaminated_keys(train, test), "simple")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # exactly two hash exchanges, both on SMALL data: the test-side
+    # gram distinct (pre-broadcast) and the final surviving-key
+    # distinct — the exploded train side reaches the join unshuffled
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_repetition_stats_no_quadratic_ops(spark):
+    """Repetition stats must stay hash-keyed: no nested-loop or
+    cartesian anywhere, no Python eval, and the per-token path is
+    explode→agg (bounded exchanges), not a per-row quadratic HOF."""
+    from fuserank_spark.pipeline_ext.curation import repetition_stats
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = plan_str(repetition_stats(df))
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 4
