@@ -104,7 +104,13 @@ def quota_sample(
 def token_ngrams_expr(toks: Column, n: int) -> Column:
     """Space-joined token n-grams; fewer than n tokens → empty array
     (guards the Spark sequence(1, m<1) count-DOWN trap, and matches
-    DuckDB generate_series which yields empty)."""
+    DuckDB generate_series which yields empty).
+
+    ``toks`` MUST be a materialized column reference (``F.col``), not
+    an inline split() expression: the lambda body re-evaluates its
+    expression tree per sequence element, so an inline tokenizer
+    turns this into O(tokens²) per document (the CSE-across-HOF
+    trap — measured 5× on q_repetition before materializing)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -132,21 +138,22 @@ def contaminated_keys(
     by the contamination rate. Set ``broadcast_test=False`` to let
     AQE pick a shuffle join when the test side is genuinely large.
     """
-    gram_hash = lambda c: portable_hash32(c)  # noqa: E731
-    tr = train.select(
-        F.col(key_col),
-        F.explode(
-            F.transform(token_ngrams_expr(tokens_expr(F.col(text_col)), n), gram_hash)
-        ).alias("__g"),
-    )
-    te = (
-        test.select(
-            F.explode(
-                F.transform(token_ngrams_expr(tokens_expr(F.col(text_col)), n), gram_hash)
-            ).alias("__g")
+    def gram_hashes(df: DataFrame, *keep: str) -> DataFrame:
+        # tokens materialized as a column BEFORE the n-gram HOF —
+        # an inline split() would re-tokenize per gram position
+        return (
+            df.withColumn("__toks", tokens_expr(F.col(text_col)))
+            .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
+            .select(
+                *keep,
+                F.explode(
+                    F.transform(F.col("__grams"), lambda g: portable_hash32(g))
+                ).alias("__g"),
+            )
         )
-        .distinct()
-    )
+
+    tr = gram_hashes(train, key_col)
+    te = gram_hashes(test).distinct()
     if broadcast_test:
         te = F.broadcast(te)
     return tr.join(te, "__g", "left_semi").select(key_col).distinct()
@@ -196,9 +203,13 @@ def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
     back — two uniform hash shuffles, no per-doc quadratic
     expression, so a single pathological 1 GB document cannot stall
     an executor the way filter-per-distinct-token would."""
-    toks = tokens_expr(F.col(text_col))
-    g2 = token_ngrams_expr(toks, 2)
-    base = df.select(
+    tmp = (
+        df.select(F.col(key_col), F.col(text_col))
+        .withColumn("__toks", tokens_expr(F.col(text_col)))
+        .withColumn("__g2", token_ngrams_expr(F.col("__toks"), 2))
+    )
+    toks, g2 = F.col("__toks"), F.col("__g2")
+    base = tmp.select(
         F.col(key_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.when(
@@ -217,7 +228,7 @@ def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
         .alias("dup_2gram_frac"),
     )
     top = (
-        df.select(F.col(key_col), F.explode(tokens_expr(F.col(text_col))).alias("__tok"))
+        tmp.select(F.col(key_col), F.explode(toks).alias("__tok"))
         .groupBy(key_col, "__tok")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .groupBy(key_col)

@@ -141,6 +141,36 @@ def main():
     t["ivf_serve8"] = round(time.time() - t0, 2)
     t["n_vectors"] = nv
 
+    # curation ops at volume: the window quota (WindowGroupLimit
+    # pre-trim), the decontamination broadcast semi-join (train side
+    # explodes ~n·tokens gram rows without shuffling), and the
+    # distributed repetition stats (explode → two hash aggs)
+    from fuserank_spark.pipeline_ext.curation import (
+        contaminated_keys,
+        quota_sample,
+        repetition_stats,
+    )
+
+    t0 = time.time()
+    quota_sample(big, group_col="lang", key_col="row_id", n_per_group=100).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t["quota_sample"] = round(time.time() - t0, 2)
+
+    test_slice = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    t0 = time.time()
+    n_contam = contaminated_keys(
+        big.select(F.col("row_id").alias("doc_id"), "text"), test_slice
+    ).count()
+    t["decontam"] = round(time.time() - t0, 2)
+    t["n_contaminated"] = n_contam
+
+    t0 = time.time()
+    repetition_stats(big, key_col="row_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t["repetition_stats"] = round(time.time() - t0, 2)
+
     t["n_rows"] = n
     print(json.dumps(t))
 
