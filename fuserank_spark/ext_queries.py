@@ -1266,7 +1266,10 @@ def q_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = TX.tokens_expr(F.col("text"))
     d = d.withColumn(
         "block_key",
-        F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2)),
+        # try_element_at: NULL (not INVALID_ARRAY_INDEX error under ANSI mode)
+        # for docs with <2 tokens, matching DuckDB's toks[2] -> NULL which
+        # concat_ws skips. F.element_at crashes on the driver's ANSI session.
+        F.concat_ws(" ", F.try_element_at(toks, F.lit(1)), F.try_element_at(toks, F.lit(2))),
     )
     return CU.keep_best(d, block_col="block_key", score_col="quality_score").orderBy(
         "block_key"

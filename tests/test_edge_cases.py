@@ -107,3 +107,37 @@ def test_binary_stats_requires_two_values(spark):
     df = spark.createDataFrame([(1, "x")], "row_id long, b string")
     with pytest.raises(ValueError, match="distinct values"):
         compute_stats(df, {"b": S.BINARY})
+
+
+def test_keepbest_block_key_short_docs(spark):
+    """ADVICE r2 (medium): element_at(toks, 2) throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4.x ANSI mode for
+    docs with <2 tokens. q_dedup_keepbest must use try_element_at so
+    empty/one-token docs yield the same NULL-tolerant block key as
+    the DuckDB oracle's toks[2] -> NULL (skipped by concat_ws)."""
+    from fuserank_spark.pipeline_ext import curation as CU
+    from fuserank_spark.pipeline_ext import textstats as TX
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two tokens here"), (3, "two tokens again")],
+        "doc_id long, text string",
+    )
+    d = TX.quality_features(df)
+    toks = TX.tokens_expr(F.col("text"))
+    d = d.withColumn(
+        "block_key",
+        F.concat_ws(
+            " ", F.try_element_at(toks, F.lit(1)), F.try_element_at(toks, F.lit(2))
+        ),
+    )
+    out = (
+        CU.keep_best(d, block_col="block_key", score_col="quality_score")
+        .orderBy("block_key")
+        .collect()
+    )
+    keys = [r["block_key"] for r in out]
+    assert "" in keys  # empty doc -> empty block key, no crash
+    assert "one" in keys  # one-token doc -> single-token key
+    assert "two tokens" in keys
+    two = [r for r in out if r["block_key"] == "two tokens"][0]
+    assert two["n_members"] == 2
