@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -750,11 +751,99 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     return _IVF_CACHE[key]
 
 
-@register("q_ivf_knn", None)
+def _ivf_serve_oracle(dim: int = 64, n_cent: int = 8, nprobe: int = 3, k: int = 10) -> str:
+    """DuckDB twin of IVF serve: the coarse quantizer is FROZEN as
+    the first ``n_cent`` corpus vectors (Forgy seeding — derivable in
+    both engines, so no magic literals), then the full serve
+    algorithm is re-derived: nearest-centroid cell assignment by
+    ``||c||^2 - 2<x,c>`` argmin (ties → lowest cell id, exactly
+    simsearch.ivf_assign's struct-min), top-``nprobe`` probe
+    selection by centroid cosine, in-cell exact cosine rerank,
+    row_number cutoff. K-means *training* stays out (not
+    SQL-expressible) — it is unit-tested and benched separately."""
+    dot_ec = (
+        f"list_sum(list_transform(range(1,{dim + 1}),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))"
+    )
+    dot_qc = (
+        f"list_sum(list_transform(range(1,{dim + 1}),"
+        " i -> CAST(q.qe[i] AS DOUBLE) * c.cvec[i]))"
+    )
+    dot_sq = (
+        f"list_sum(list_transform(range(1,{dim + 1}),"
+        " i -> CAST(s.embedding[i] AS DOUBLE) * p.qe[i]))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT CAST(vec_id AS INT) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS csq
+      FROM embeddings WHERE vec_id < {n_cent}
+    ), assigned AS (
+      SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY c.csq - 2 * {dot_ec} ASC, c.cid ASC) AS arn
+      FROM e CROSS JOIN cent c
+    ), cells AS (
+      SELECT vec_id, embedding, nrm, cid AS centroid_id FROM assigned WHERE arn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 3
+    ), probes AS (
+      SELECT q.query_id, q.qe, q.qn, c.cid,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {dot_qc} / (sqrt(c.csq) * q.qn) DESC,
+                                         c.cid ASC) AS prn
+      FROM q CROSS JOIN cent c
+    ), probed AS (
+      SELECT query_id, qe, qn, cid FROM probes WHERE prn <= {nprobe}
+    ), scored AS (
+      SELECT p.query_id, s.vec_id, {dot_sq} / (s.nrm * p.qn) AS cosine
+      FROM cells s JOIN probed p ON s.centroid_id = p.cid
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, rnk, round(cosine, 6) AS cosine
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+@register("q_ivf_knn", _ivf_serve_oracle())
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: k-means cells, partitioned-by-cell index
-    table, nprobe probing with static partition pruning, exact
-    in-cell rerank; centroid training not SQL-expressible."""
+    """IVF ANN SERVE path under the oracle gate (closes the r2
+    no_oracle row): coarse quantizer frozen as the first 8 corpus
+    vectors (both engines derive it — serve semantics don't depend on
+    how centroids were trained), expression-only cell assignment
+    (simsearch.ivf_assign), driver-side nprobe probe selection,
+    static-isin cell pruning + broadcast probe join + exact cosine
+    rerank (simsearch.ivf_knn — the REAL serve machinery, not an
+    oracle-only twin). The k-means-trained path keeps its own bench
+    entries (q_ivf_build / q_ivf_serve via ivf_trained_knn) and unit
+    tests (recall, nprobe monotonicity, partition pruning)."""
+    e = _emb(spark, sf_dir)
+    cent_rows = e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype="float64")
+    assigned = SS.ivf_assign(e, centroids)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SS.ivf_knn(assigned, centroids, queries, k=10, nprobe=3).orderBy(
+        "query_id", "rnk"
+    )
+
+
+def ivf_trained_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means-trained IVF path (bench-only: training is not
+    SQL-expressible, so it lives outside the oracle registry): build
+    or reuse the cached partitioned index, probe, exact rerank.
+    First call per session measures BUILD (train + partitioned
+    write), subsequent calls measure steady-state SERVE."""
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")

@@ -141,6 +141,42 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Expression-only nearest-centroid assignment: serve NEW rows
+    into an existing IVF index without pyspark.ml on the serve path.
+
+    The (small) centroid matrix is compiled into the plan as
+    literals; per row, argmin over centroids of the squared L2
+    distance ``||c||^2 - 2<x,c>`` (the ``||x||^2`` term is constant
+    across centroids and dropped), ties to the lowest centroid id via
+    struct-min. Narrow map — no join, no shuffle, SQL-expressible on
+    both engines (the q_ivf_knn DuckDB twin replicates this exact
+    formula)."""
+    cents = np.asarray(centroids, dtype="float64")
+    # materialize the cast once: Catalyst does not CSE the cast across
+    # the n_centroids HOF aggregates below (CLAUDE.md trap)
+    tmp = "__ivf_vd"
+    out = corpus.withColumn(tmp, F.col(vec_col).cast("array<double>"))
+    structs = []
+    for cid, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(tmp), carr, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        csq = float(np.dot(c, c))
+        structs.append(
+            F.struct((F.lit(csq) - 2.0 * dot).alias("d"), F.lit(cid).alias("c"))
+        )
+    return out.withColumn(out_col, F.array_min(F.array(*structs))["c"]).drop(tmp)
+
+
 def ivf_persist(assigned: DataFrame, path: str) -> None:
     """The IVF 'index build': write the assigned table partitioned by
     ``centroid_id``. A probe then reads ONLY its nprobe partition

@@ -137,12 +137,23 @@ def test_ivf_probe_prunes_partitions(spark):
     """The IVF index table is written partitionBy(centroid_id); the
     probe's static isin filter must become a partition filter — the
     scan reads only the nprobe probed cells, never the full table."""
-    from fuserank_spark.ext_queries import q_ivf_knn
+    from fuserank_spark.ext_queries import ivf_trained_knn
 
-    p = plan_str(q_ivf_knn(spark, SF_SMOKE))
+    p = plan_str(ivf_trained_knn(spark, SF_SMOKE))
     assert "PartitionFilters" in p
     pf = p.split("PartitionFilters")[1].split("]")[0]
     assert "centroid_id" in pf and " IN " in pf
+
+
+def test_ivf_serve_assignment_is_shuffle_free(spark):
+    """The oracle-checked serve path's cell assignment (ivf_assign)
+    is a pure projection over literal centroids: the only exchange in
+    q_ivf_knn's plan is the final per-query rerank window."""
+    from fuserank_spark.ext_queries import q_ivf_knn
+
+    p = plan_str(q_ivf_knn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_split_and_pii_are_shuffle_free_projections(spark):

@@ -90,3 +90,20 @@ def test_ml_similarity_join_finds_top_pairs(spark, emb):
     got_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
     hit = len(exact_pairs & got_pairs) / len(exact_pairs)
     assert hit >= 0.5, (len(exact_pairs), len(got_pairs), hit)
+
+
+def test_ivf_assign_matches_kmeans_transform(emb):
+    """ivf_assign (expression-only argmin, the serve path under the
+    q_ivf_knn oracle) must agree row-for-row with pyspark.ml KMeans
+    .transform on the SAME trained centroids — both are
+    nearest-centroid-by-Euclidean; this pins the frozen-quantizer
+    serve path to the trained path's semantics."""
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    assigned, centroids = ivf_build(emb, dim=64, n_centroids=5, max_iter=5)
+    ml = {r["vec_id"]: r["centroid_id"] for r in assigned.select("vec_id", "centroid_id").collect()}
+    ex = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(emb, centroids).select("vec_id", "centroid_id").collect()
+    }
+    assert ml == ex
