@@ -107,3 +107,20 @@ def test_ivf_assign_matches_kmeans_transform(emb):
         for r in ivf_assign(emb, centroids).select("vec_id", "centroid_id").collect()
     }
     assert ml == ex
+
+
+def test_brute_force_arrow_matches_expression(emb, queries):
+    """The Arrow scan path (normalized matmul + k·P·Q survivor
+    shuffle) returns the same ranked top-k as the expression path
+    that the DuckDB oracle checks."""
+    expr = brute_force_knn(emb, queries, k=10).orderBy("query_id", "rnk").collect()
+    arrow = (
+        brute_force_knn(emb, queries, k=10, use_arrow=True)
+        .orderBy("query_id", "rnk")
+        .collect()
+    )
+    assert [(r["query_id"], r["vec_id"], r["rnk"]) for r in expr] == [
+        (r["query_id"], r["vec_id"], r["rnk"]) for r in arrow
+    ]
+    for a, b in zip(expr, arrow):
+        assert abs(a["cosine"] - b["cosine"]) < 1e-6
