@@ -110,6 +110,24 @@ def main() -> None:
     materialize(topk_batch(enc, qdf, k=10))
     batch_sec = time.time() - t0
     times["topk_batch32"] = round(batch_sec, 3)
+
+    # query-batch SCALE probe (VERDICT r2 #5): Q=256 stub query
+    # vectors through the same Arrow path. The per-partition matmul
+    # scores all 256 queries in one pass and only k·P·Q survivor rows
+    # shuffle — wall-clock should grow far sublinearly vs Q=32
+    # (8× the queries, nowhere near 8× the time).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    qmat = rng.normal(size=(256, corpus.layout.dim))
+    qdf256 = spark.createDataFrame(
+        [(i, [float(x) for x in qmat[i]]) for i in range(256)],
+        "query_id int, qvec array<double>",
+    )
+    t0 = time.time()
+    materialize(topk_batch(enc, qdf256, k=10))
+    batch256_sec = time.time() - t0
+    times["topk_batch256"] = round(batch256_sec, 3)
     enc.unpersist()
 
     # fused-vs-exact quality tracker (mean recall@10 at the
@@ -132,6 +150,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "encode_rows_per_sec": round(n_rows / encode_sec, 1) if encode_sec > 0 else None,
         "topk_queries_per_sec": round(32 / batch_sec, 2) if batch_sec > 0 else None,
+        "topk256_queries_per_sec": round(256 / batch256_sec, 2) if batch256_sec > 0 else None,
         "fused_recall_at_10": recall_mean,
     }
     print(json.dumps(out))
