@@ -72,7 +72,9 @@ def quota_sample(
     key_col: str = "doc_id",
     n_per_group: int = 10,
     salt: str = "quota",
-    prefilter_frac: float | None = None,
+    prefilter_frac: float | str | None = None,
+    margin: float = 8.0,
+    verify: bool = False,
 ) -> DataFrame:
     """Deterministic per-group quota: keep the ``n_per_group`` rows
     with the smallest salted key-hash in each group (tie-break on the
@@ -83,19 +85,68 @@ def quota_sample(
     ``h < 2^32 · frac`` before the window. Because the quota keeps
     the smallest hashes, a range gate (unlike modulus sampling) is
     result-preserving whenever it retains ≥ n_per_group rows per
-    group — pick frac ≈ margin · n_per_group / est_group_size
-    (margin 4–10× makes under-selection vanishingly unlikely).
+    group — pick frac ≈ margin · n_per_group / est_group_size.
+
+    ``prefilter_frac="auto"`` derives the frac from actual group
+    sizes (one count pass; group cardinality is bounded by the nature
+    of quota sampling): ``min(1, margin·n / smallest_group)`` — the
+    smallest group needs the loosest gate, so one global frac is
+    result-preserving for every group while still pruning hot groups
+    by orders of magnitude.
+
+    ``verify=True`` closes the silent-under-selection hole (ADVICE
+    r2): after planning, per-group output counts are compared against
+    ``min(n_per_group, true_group_size)`` (true sizes fetched only
+    for suspect groups, so the check costs one agg over the small
+    output + one filtered count) and a ValueError names any group
+    the gate starved. Runs eagerly — use on samples/CI, not in the
+    hot path.
     """
+    def group_sizes() -> dict:
+        return {
+            r["g"]: r["n"]
+            for r in df.groupBy(F.col(group_col).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
     h = portable_hash32(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     out = df.withColumn("__qh", h)
+    sizes: dict | None = None
+    if prefilter_frac == "auto":
+        sizes = group_sizes()
+        smallest = min(sizes.values()) if sizes else 0
+        prefilter_frac = (
+            min(1.0, margin * n_per_group / smallest) if smallest > 0 else None
+        )
     if prefilter_frac is not None:
         out = out.filter(F.col("__qh") < int((1 << 32) * prefilter_frac))
     w = Window.partitionBy(group_col).orderBy(F.col("__qh").asc(), F.col(key_col).asc())
-    return (
+    result = (
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_group)
         .drop("__qh", "__rn")
     )
+    if verify and prefilter_frac is not None:
+        if sizes is None:
+            sizes = group_sizes()
+        got = {
+            r["g"]: r["n"]
+            for r in result.groupBy(F.col(group_col).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        starved = {
+            g: (got.get(g, 0), min(n_per_group, n))
+            for g, n in sizes.items()
+            if got.get(g, 0) < min(n_per_group, n)
+        }
+        if starved:
+            raise ValueError(
+                f"quota_sample prefilter_frac={prefilter_frac} starved groups "
+                f"{starved} (got, expected) — raise margin or drop the prefilter"
+            )
+    return result
 
 
 # ------------------------------------------------------- decontamination
@@ -124,7 +175,8 @@ def contaminated_keys(
     key_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
-    broadcast_test: bool = True,
+    broadcast_test: bool | str = "auto",
+    broadcast_gram_limit: int = 5_000_000,
 ) -> DataFrame:
     """Test-set decontamination: train keys sharing ANY token
     ``n``-gram with the test set (the standard n-gram-overlap
@@ -135,9 +187,14 @@ def contaminated_keys(
     is broadcast (test sets are small by definition), the semi-join
     is therefore shuffle-free on the 100 TB side; only the final
     DISTINCT on surviving keys shuffles, and that input is bounded
-    by the contamination rate. Set ``broadcast_test=False`` to let
-    AQE pick a shuffle join when the test side is genuinely large.
-    """
+    by the contamination rate.
+
+    ``broadcast_test="auto"`` (default, ADVICE r2) counts the
+    distinct gram set first and broadcasts only when it is under
+    ``broadcast_gram_limit`` (5M hashes ≈ tens of MB) — an oversized
+    test set can no longer blow the driver/broadcast limit because
+    the caller forgot to flip a flag; the count costs one extra pass
+    over the (small) test side only. Pass True/False to force."""
     def gram_hashes(df: DataFrame, *keep: str) -> DataFrame:
         # tokens materialized as a column BEFORE the n-gram HOF —
         # an inline split() would re-tokenize per gram position
@@ -154,6 +211,10 @@ def contaminated_keys(
 
     tr = gram_hashes(train, key_col)
     te = gram_hashes(test).distinct()
+    if broadcast_test == "auto":
+        broadcast_test = (
+            te.limit(broadcast_gram_limit + 1).count() <= broadcast_gram_limit
+        )
     if broadcast_test:
         te = F.broadcast(te)
     return tr.join(te, "__g", "left_semi").select(key_col).distinct()
@@ -199,17 +260,23 @@ def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
 
     dup fractions are per-row expressions (array_distinct — linear
     per doc). top_token_frac is computed DISTRIBUTED: explode →
-    count per (doc, token) → max/sum per doc, then a key-equi join
-    back — two uniform hash shuffles, no per-doc quadratic
-    expression, so a single pathological 1 GB document cannot stall
-    an executor the way filter-per-distinct-token would."""
+    count per (doc, token) → max/sum per doc — two uniform hash
+    shuffles, no per-doc quadratic expression, so a single
+    pathological 1 GB document cannot stall an executor the way
+    filter-per-distinct-token would.
+
+    SINGLE-SCAN shape (ADVICE r2): the per-row metrics ride along
+    the exploded token stream as carried columns (constant within a
+    doc, recovered via first() at each aggregation) instead of a
+    base⟕top self-join — the old join re-evaluated the scan +
+    tokenize lineage twice per run (CLAUDE.md self-join trap)."""
     tmp = (
         df.select(F.col(key_col), F.col(text_col))
         .withColumn("__toks", tokens_expr(F.col(text_col)))
         .withColumn("__g2", token_ngrams_expr(F.col("__toks"), 2))
     )
     toks, g2 = F.col("__toks"), F.col("__g2")
-    base = tmp.select(
+    exploded = tmp.select(
         F.col(key_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.when(
@@ -226,20 +293,34 @@ def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
         )
         .otherwise(0.0)
         .alias("dup_2gram_frac"),
+        # explode_outer keeps empty/NULL-text docs as a NULL-token row
+        F.explode_outer(toks).alias("__tok"),
     )
-    top = (
-        tmp.select(F.col(key_col), F.explode(toks).alias("__tok"))
-        .groupBy(key_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    carried = [
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("dup_token_frac").alias("dup_token_frac"),
+        F.first("dup_2gram_frac").alias("dup_2gram_frac"),
+    ]
+    return (
+        # count("__tok") skips NULL → the empty-doc row contributes 0
+        exploded.groupBy(key_col, "__tok")
+        .agg(F.count("__tok").alias("__cnt"), *carried)
         .groupBy(key_col)
         .agg(
-            F.round(
-                F.max("__cnt").cast("double") / F.sum("__cnt").cast("double"), 6
-            ).alias("top_token_frac")
+            *[F.first(c).alias(c) for c in ("n_tokens", "dup_token_frac", "dup_2gram_frac")],
+            # try_divide: the empty-doc row has cnt sum 0 — NULL (not
+            # an ANSI DIVIDE_BY_ZERO error), coalesced to 0.0
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        F.max("__cnt").cast("double"), F.sum("__cnt").cast("double")
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("top_token_frac"),
         )
-    )
-    return base.join(top, key_col, "left").withColumn(
-        "top_token_frac", F.coalesce(F.col("top_token_frac"), F.lit(0.0))
+        .select(key_col, "n_tokens", "dup_token_frac", "dup_2gram_frac", "top_token_frac")
     )
 
 

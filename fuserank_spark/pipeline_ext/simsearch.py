@@ -282,6 +282,7 @@ def ivf_knn(
     key_col: str = "vec_id",
     query_key: str = "query_id",
     query_vec: str = "qvec",
+    max_query_batch: int = 4096,
 ) -> DataFrame:
     """IVF search: per query, probe the ``nprobe`` nearest centroids
     (driver-side math over the small centroid matrix), scan only
@@ -291,7 +292,21 @@ def ivf_knn(
     before the probe join — when ``assigned`` comes from
     :func:`ivf_load` (partitioned by centroid_id, see
     :func:`ivf_persist`), that filter becomes a partition filter and
-    unprobed cells are never read."""
+    unprobed cells are never read.
+
+    The query-compile step is DRIVER-SIDE by design (probe selection
+    over the small centroid matrix), so ``queries`` must be a bounded
+    batch — ``max_query_batch`` (default 4096) guards the contract;
+    split a larger workload into batches, or use lsh_knn whose
+    bucketing is computed distributed."""
+    over = queries.limit(max_query_batch + 1).count()
+    if over > max_query_batch:
+        raise ValueError(
+            f"ivf_knn compiles probes driver-side: the query batch exceeds "
+            f"max_query_batch={max_query_batch} rows. Split the workload into "
+            f"batches of <= {max_query_batch} queries (or raise max_query_batch "
+            f"deliberately, knowing probes are collected to the driver)."
+        )
     qrows = queries.collect()
     probe_rows = []
     for r in qrows:

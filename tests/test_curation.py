@@ -3,7 +3,10 @@ decontamination, PII scrub, repetition stats, keep-best dedup."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
 
 from fuserank_spark.pipeline_ext.curation import (
     assign_split,
@@ -134,3 +137,64 @@ def test_curate_corpus_dedups_and_splits(spark):
     assert 2 not in ids  # dup of 1 removed
     assert 3 not in ids  # single 400-char token: avg_tok_len + n_tokens penalty
     assert set(r["split"] for r in out) <= {"train", "val", "test"}
+
+
+def test_quota_sample_auto_prefilter_identity_and_verify(spark):
+    """ADVICE r2: 'auto' derives the range-gate frac from real group
+    sizes and must stay result-preserving; verify=True must raise
+    when a manual frac starves a group."""
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).cast("string").alias("source")
+    )
+    full = quota_sample(d, n_per_group=7)
+    auto = quota_sample(d, n_per_group=7, prefilter_frac="auto", verify=True)
+    assert sorted(r["doc_id"] for r in full.collect()) == sorted(
+        r["doc_id"] for r in auto.collect()
+    )
+    # a gate that keeps ~0.05% of rows cannot fill a 7-row quota from
+    # 100-row groups — the silent under-selection must now raise
+    with pytest.raises(ValueError, match="starved"):
+        quota_sample(d, n_per_group=7, prefilter_frac=0.0005, verify=True)
+
+
+def test_contaminated_keys_auto_broadcast_fallback(spark):
+    """'auto' must keep the same answer when the gram count exceeds
+    the broadcast limit and the join falls back to shuffle."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    train = _docs(spark, [(1, base), (2, "one two three four five six seven eight nine ten")])
+    test = _docs(spark, [(100, base)])
+    bc = sorted(r["doc_id"] for r in contaminated_keys(train, test).collect())
+    nobc = sorted(
+        r["doc_id"]
+        for r in contaminated_keys(train, test, broadcast_gram_limit=1).collect()
+    )
+    assert bc == nobc == [1]
+
+
+def test_repetition_stats_single_scan_no_join(spark):
+    """ADVICE r2: the base⟕top join re-evaluated the scan+tokenize
+    lineage twice; the carried-column shape has no join at all."""
+    import contextlib
+    import io
+
+    d = _docs(spark, [(1, "a a b"), (2, "x")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        repetition_stats(d).explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Join" not in p
+
+
+def test_ivf_knn_query_batch_guard(spark):
+    """ivf_knn compiles probes driver-side; an oversized query batch
+    must be rejected, not silently collected."""
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext.simsearch import ivf_knn
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assigned = e.withColumn("centroid_id", (F.col("vec_id") % 4).cast("int"))
+    cents = np.ones((4, 64))
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="max_query_batch"):
+        ivf_knn(assigned, cents, q, k=3, nprobe=2, max_query_batch=3)
