@@ -1506,3 +1506,113 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ------------------------------------------------- BM25 / hybrid RRF
+# Lowercased whitespace tokens (retrieval.lc_tokens_expr's twin).
+_LC_TOKS_SQL = (
+    "CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+# common + common + rare (idf spread) terms from the synthetic vocab
+_BM25_TERMS = ["table", "window", "dup"]
+
+
+def _bm25_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> tuple[str, str]:
+    """(CTE block, per-doc score expression) re-deriving retrieval.bm25
+    in DuckDB: one stats pass (N, avgdl, df per term — avgdl averages
+    INTEGER lengths, exact in double, so both engines agree
+    bit-for-bit), then idf·tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) summed
+    in the same association order as bm25_score_expr."""
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = " + ".join(
+        f"(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * "
+        f"(CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE) * {k1 + 1.0}) / "
+        f"(CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE) + "
+        f"{k1} * (1.0 - {b} + {b} * d.dl / s.avgdl)))"
+        for i, t in enumerate(terms)
+    )
+    ctes = f"""
+    t AS (SELECT doc_id, {_LC_TOKS_SQL} AS toks FROM documents),
+    d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+    s AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl, {df_cols} FROM t),
+    bmscored AS (SELECT d.doc_id, {contribs} AS score FROM d, s)
+    """
+    return ctes, contribs
+
+
+def _bm25_oracle(k: int = 20) -> str:
+    ctes, _ = _bm25_ctes(_BM25_TERMS)
+    return f"""
+    WITH {ctes}
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+           round(score, 6) AS bm25
+    FROM bmscored WHERE score > 0 QUALIFY rnk <= {k} ORDER BY rnk
+    """
+
+
+@register("q_bm25", _bm25_oracle())
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-k under the oracle gate: one stats scan
+    (N + avgdl + all per-term df in a single 1-row agg), then a pure
+    scoring projection whose top-k compiles to TakeOrderedAndProject
+    — no wide shuffle anywhere (retrieval.bm25_topk)."""
+    from .pipeline_ext import retrieval as R
+
+    return R.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20).orderBy("rnk")
+
+
+def _hybrid_oracle(k: int = 10, kr: int = 20, k_rrf: float = 60.0) -> str:
+    ctes, _ = _bm25_ctes(_BM25_TERMS)
+    return f"""
+    WITH {ctes},
+    text_arm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM bmscored WHERE score > 0 QUALIFY rnk <= {kr}
+    ),
+    q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
+      FROM embeddings WHERE vec_id = 0
+    ),
+    dsc AS (
+      SELECT e.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) * q.qn)
+               AS cosine
+      FROM embeddings e, q
+    ),
+    dense_arm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk
+      FROM dsc QUALIFY rnk <= {kr}
+    ),
+    u AS (SELECT doc_id, rnk FROM text_arm UNION ALL SELECT doc_id, rnk FROM dense_arm),
+    fused AS (
+      SELECT doc_id, count(*) AS n_lists,
+             sum(1.0 / ({k_rrf} + CAST(rnk AS DOUBLE))) AS rrf
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_lists AS BIGINT) AS n_lists, round(rrf, 6) AS rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+    FROM fused QUALIFY rnk <= {k} ORDER BY rnk
+    """
+
+
+@register("q_hybrid_rrf", _hybrid_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval under the oracle gate: BM25
+    top-20 over documents, exact cosine top-20 over embeddings
+    (brute_force_knn's two-phase merge), reciprocal-rank fusion —
+    the full fusion pipeline hash-checked end-to-end
+    (retrieval.hybrid_topk)."""
+    from .pipeline_ext import retrieval as R
+
+    e = _emb(spark, sf_dir)
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return R.hybrid_topk(
+        _docs(spark, sf_dir), e, _BM25_TERMS, qvec, k=10, k_retrieve=20
+    ).orderBy("rnk")

@@ -1,0 +1,191 @@
+"""BM25 / hybrid RRF retrieval: pure-Python score parity, batch==single
+identity, RRF manual check, contract guards, and plan posture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark.pipeline_ext.retrieval import (
+    MAX_QUERY_BATCH,
+    MAX_QUERY_TERMS,
+    bm25_corpus_stats,
+    bm25_scores,
+    bm25_topk,
+    bm25_topk_batch,
+    build_postings,
+    idf_value,
+    rrf_fuse,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "cat cat cat dog"),
+    (3, "a completely different document about sparks"),
+    (4, ""),  # empty doc: dl=0, never matches
+    (5, None),  # NULL text
+    (6, "mat mat the"),
+]
+
+
+def py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Independent reference implementation (plain Python floats)."""
+    toks = {i: (t or "").lower().split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for term in terms:
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = float(tk.count(term))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl))
+        out[i] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_bm25_matches_pure_python(docs):
+    terms = ["cat", "mat", "sparks"]
+    want = py_bm25(DOCS, terms)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, terms).select("doc_id", "bm25").collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12), f"doc {i}"
+
+
+def test_bm25_topk_excludes_zero_scores(docs):
+    hits = bm25_topk(docs, ["cat"], k=10).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert ids == [2, 0]  # tf=3 beats tf=1; non-matching docs absent
+    assert [r["rnk"] for r in hits] == [1, 2]
+
+
+def test_bm25_stats_reuse_identical(docs):
+    terms = ["cat", "dog"]
+    stats = bm25_corpus_stats(docs, terms)
+    a = bm25_topk(docs, terms, k=5).collect()
+    b = bm25_topk(docs, terms, k=5, stats=stats).collect()
+    assert a == b
+
+
+def test_bm25_batch_matches_single(docs):
+    queries = [(10, ["cat", "mat"]), (11, ["dog"]), (12, ["sparks", "the"])]
+    batch = bm25_topk_batch(docs, queries, k=5)
+    rows = {
+        (r["query_id"], r["doc_id"]): (r["rnk"], r["bm25"])
+        for r in batch.collect()
+    }
+    for qid, terms in queries:
+        single = bm25_topk(docs, terms, k=5).collect()
+        for r in single:
+            assert rows[(qid, r["doc_id"])] == (r["rnk"], r["bm25"]), (qid, r)
+        assert len([k for k in rows if k[0] == qid]) == len(single)
+
+
+def test_bm25_batch_postings_reuse(docs):
+    queries = [(0, ["cat"]), (1, ["mat", "dog"])]
+    p = build_postings(docs).persist()
+    try:
+        a = sorted(map(tuple, bm25_topk_batch(docs, queries, k=5).collect()))
+        b = sorted(
+            map(tuple, bm25_topk_batch(docs, queries, k=5, postings=p).collect())
+        )
+        assert a == b
+    finally:
+        p.unpersist()
+
+
+def test_idf_always_positive():
+    # even a term present in EVERY doc keeps a positive weight
+    assert idf_value(100, 100) > 0
+    assert idf_value(1, 1) > 0
+
+
+def test_term_guards(docs):
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_scores(docs, [])
+    with pytest.raises(ValueError, match="MAX_QUERY_TERMS"):
+        bm25_scores(docs, [f"t{i}" for i in range(MAX_QUERY_TERMS + 1)])
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_scores(docs, ["cat", "cat"])
+
+
+def test_batch_guards(docs):
+    with pytest.raises(ValueError, match="empty query batch"):
+        bm25_topk_batch(docs, [])
+    too_many = [(i, ["cat"]) for i in range(MAX_QUERY_BATCH + 1)]
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        bm25_topk_batch(docs, too_many)
+
+
+def test_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        bm25_corpus_stats(empty, ["cat"])
+
+
+def test_rrf_manual(spark):
+    # list A ranks docs 1,2,3; list B ranks 2,3,4 — doc 2 wins
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], ["doc_id", "rnk"])
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k_rrf=60, k=10).collect()}
+    want = {
+        1: 1 / 61,
+        2: 1 / 62 + 1 / 61,
+        3: 1 / 63 + 1 / 62,
+        4: 1 / 63,
+    }
+    assert set(out) == set(want)
+    for d, s in want.items():
+        assert out[d]["rrf"] == pytest.approx(round(s, 6), abs=1e-9)
+    assert out[2]["rnk"] == 1 and out[2]["n_lists"] == 2
+    assert out[4]["n_lists"] == 1
+
+
+def test_rrf_requires_two_lists(spark):
+    a = spark.createDataFrame([(1, 1)], ["doc_id", "rnk"])
+    with pytest.raises(ValueError, match="at least two"):
+        rrf_fuse([a])
+
+
+def test_rrf_truncates_to_k(spark):
+    a = spark.createDataFrame([(i, i + 1) for i in range(20)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(i, i + 1) for i in range(20)], ["doc_id", "rnk"])
+    out = rrf_fuse([a, b], k=5).collect()
+    assert len(out) == 5
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+
+
+def test_bm25_topk_plan_is_take_ordered(docs):
+    """Single-query top-k must compile to TakeOrderedAndProject (local
+    heaps + driver merge), never a global sort of the scored corpus."""
+    scored = bm25_scores(docs, ["cat"]).select("doc_id", "bm25")
+    plan = (
+        scored.filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_batch_plan_no_cartesian_and_broadcast(docs):
+    queries = [(0, ["cat"]), (1, ["dog"])]
+    df = bm25_topk_batch(docs, queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
