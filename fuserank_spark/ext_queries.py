@@ -1524,7 +1524,18 @@ def _bm25_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> tuple[str,
     in DuckDB: one stats pass (N, avgdl, df per term — avgdl averages
     INTEGER lengths, exact in double, so both engines agree
     bit-for-bit), then idf·tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) summed
-    in the same association order as bm25_score_expr."""
+    in the same association order as bm25_score_expr.
+
+    Cross-library ln assumption (ADVICE r3): idf is Python
+    math.log on the Spark side (a driver-side literal) and DuckDB
+    ln() here. tf/dl/avgdl are exact in double, but ln is not
+    guaranteed bit-identical across libm implementations — a
+    last-ulp divergence landing exactly on a round(score, 6)
+    boundary could flip the hash gate on other data. Both sides on
+    this container use the same glibc libm (and IEEE-correctly-
+    rounded inputs), so the gate holds; if it ever flips on new
+    data, round idf itself to a coarse fixed precision on BOTH
+    sides before it enters the score."""
     df_cols = ", ".join(
         f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
         for i, t in enumerate(terms)

@@ -269,14 +269,22 @@ def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
     the exploded token stream as carried columns (constant within a
     doc, recovered via first() at each aggregation) instead of a
     base⟕top self-join — the old join re-evaluated the scan +
-    tokenize lineage twice per run (CLAUDE.md self-join trap)."""
+    tokenize lineage twice per run (CLAUDE.md self-join trap).
+
+    The metrics are computed in their OWN projection before the
+    explode: a select mixing metric expressions with a generator
+    lets ExtractGenerator push the Generate below and re-evaluate
+    the array_distinct metrics once per exploded TOKEN row —
+    O(tokens²) per doc (measured 5× on q_repetition at sf0.1).
+    With the metrics as plain attributes, the Project above
+    Generate only forwards them."""
     tmp = (
         df.select(F.col(key_col), F.col(text_col))
         .withColumn("__toks", tokens_expr(F.col(text_col)))
         .withColumn("__g2", token_ngrams_expr(F.col("__toks"), 2))
     )
     toks, g2 = F.col("__toks"), F.col("__g2")
-    exploded = tmp.select(
+    per_doc = tmp.select(
         F.col(key_col),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.when(
@@ -293,8 +301,15 @@ def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
         )
         .otherwise(0.0)
         .alias("dup_2gram_frac"),
+        toks.alias("__toks"),
+    )
+    exploded = per_doc.select(
+        F.col(key_col),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_2gram_frac",
         # explode_outer keeps empty/NULL-text docs as a NULL-token row
-        F.explode_outer(toks).alias("__tok"),
+        F.explode_outer("__toks").alias("__tok"),
     )
     carried = [
         F.first("n_tokens").alias("n_tokens"),

@@ -131,6 +131,12 @@ def bm25_scores(
     _check_terms(terms)
     if stats is None:
         stats = bm25_corpus_stats(docs, terms, text_col=text_col)
+    elif set(stats["idf"]) != set(terms):
+        raise ValueError(
+            "stats was built for a different term set: "
+            f"stats has {sorted(stats['idf'])}, query has {sorted(terms)}; "
+            "rebuild with bm25_corpus_stats(docs, terms)"
+        )
     d = docs.withColumn("_toks", lc_tokens_expr(F.col(text_col))).withColumn(
         "_dl", F.size("_toks").cast("double")
     )
@@ -202,6 +208,13 @@ def bm25_topk_batch(
             f"{len(queries)} queries > MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
             "split the batch — the (query, term, idf) weight table is "
             "broadcast and must stay small"
+        )
+    qids = [qid for qid, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "duplicate query_id in batch: each id would emit duplicate "
+            "(query_id, term, idf) weight rows and the per-(query, doc) "
+            "sum would double-count every term contribution"
         )
     for _, terms in queries:
         _check_terms(list(terms))

@@ -130,6 +130,19 @@ def test_batch_guards(docs):
         bm25_topk_batch(docs, too_many)
 
 
+def test_stats_term_set_mismatch_raises(docs):
+    stats = bm25_corpus_stats(docs, ["cat", "mat"])
+    with pytest.raises(ValueError, match="different term set"):
+        bm25_scores(docs, ["cat", "dog"], stats=stats)
+    # same set, different order: fine
+    assert bm25_scores(docs, ["mat", "cat"], stats=stats).count() == len(DOCS)
+
+
+def test_batch_duplicate_query_id_raises(docs):
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        bm25_topk_batch(docs, [(0, ["cat"]), (0, ["dog"])])
+
+
 def test_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty corpus"):
@@ -188,4 +201,6 @@ def test_bm25_batch_plan_no_cartesian_and_broadcast(docs):
     df = bm25_topk_batch(docs, queries, k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # the weight-table join must actually broadcast — a SortMergeJoin
+    # here would shuffle the full postings table per batch
+    assert "BroadcastHashJoin" in plan
