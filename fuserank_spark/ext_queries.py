@@ -1627,3 +1627,130 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.hybrid_topk(
         _docs(spark, sf_dir), e, _BM25_TERMS, qvec, k=10, k_retrieve=20
     ).orderBy("rnk")
+
+
+# ----------------------------------------------------- time-series ops
+# sessionize / as-of join / interval join (pipeline_ext/timeseries.py).
+# All three compare on exact integer microseconds: Spark unix_micros
+# after load_tables' ns→µs truncation == DuckDB epoch_us on the same
+# parquet (verified element-wise; both truncate the nanos).
+
+_SESSION_GAP_US = 30 * 60_000_000
+
+
+@register(
+    "q_sessionize",
+    f"""
+    WITH lagd AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM lagd
+    )
+    SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization (timeseries.session_stats): 30-min
+    gap, one shuffle on user_id shared by the lag and running-sum
+    windows. The batch twin of the streaming session windows
+    (streaming/incremental.py)."""
+    from .pipeline_ext import timeseries as TS
+    from .session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    return TS.session_stats(ev, gap_minutes=30.0, value_col="value").orderBy(
+        "user_id", "session_seq"
+    )
+
+
+@register(
+    "q_asof",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, ts, max(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, r.err_value AS err_value_r, r.ts AS ts_r
+    FROM c ASOF LEFT JOIN r ON c.user_id = r.user_id AND c.ts >= r.ts
+    ORDER BY c.event_id
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (timeseries.asof_join): every click picks
+    up the most recent error of the same user (ties inclusive; no
+    prior error → NULLs). Union trick — zero joins, a single |L|+|R|
+    shuffle on user_id — vs DuckDB's native ASOF LEFT JOIN. The
+    right side is pre-aggregated to unique (user, ts) so attribute
+    pickup is deterministic on both engines."""
+    from .pipeline_ext import timeseries as TS
+    from .session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    return TS.asof_join(
+        clicks, errors, key_col="user_id", ts_col="ts", right_cols=["err_value"]
+    ).orderBy("event_id")
+
+
+@register(
+    "q_interval_join",
+    """
+    WITH c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    iv AS (
+      SELECT event_id AS interval_id, user_id, ts AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.interval_id, count(*) AS n_clicks, round(sum(c.value), 4) AS sum_value
+    FROM iv JOIN c ON c.user_id = iv.user_id AND c.ts >= iv.s AND c.ts <= iv.e
+    GROUP BY iv.interval_id
+    ORDER BY iv.interval_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join (timeseries.interval_join):
+    clicks inside [error, error+30min] windows of the same user.
+    Spark side explodes intervals into 30-min buckets and hash-joins
+    on (user, bucket) — a point owns exactly one bucket, so no dedup
+    pass — where the DuckDB twin states the naive range predicate."""
+    from .pipeline_ext import timeseries as TS
+    from .session import load_tables
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    return (
+        TS.interval_join(clicks, intervals, key_col="user_id", bucket_minutes=30.0)
+        .groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("interval_id")
+    )
