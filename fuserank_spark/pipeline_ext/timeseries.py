@@ -4,9 +4,16 @@ bucketed interval (range) join.
 The reference engine has no time-series surface; these extend the
 event-stream side of the rebuild (SURVEY §2.11's batch twin) with
 the three ops every event pipeline needs. All three are built on
-integer microsecond arithmetic (``unix_micros`` ↔ DuckDB
-``epoch_us``) so differential checks are exact — never seconds
-casts, which truncate.
+integer microsecond arithmetic (↔ DuckDB ``epoch_us``) so
+differential checks are exact — never seconds casts, which truncate.
+
+Timestamp dtypes: parquet TIMESTAMP(NANOS/MICROS, isAdjusted=false)
+loads as TIMESTAMP_NTZ on Spark 4.x, where ``unix_micros`` does NOT
+apply (LTZ-only). ``_us_for`` therefore branches on the column's
+dtype: NTZ → ``timestampdiff`` from the NTZ epoch (wall time as UTC,
+session-timezone-independent — exactly DuckDB's ``epoch_us``); LTZ →
+``unix_micros``. Never ``to_utc_timestamp`` on NTZ: under a non-UTC
+session timezone it shifts the epoch.
 
 Scale posture (100 TB of events):
 * ``sessionize`` is ONE shuffle on the session key; both windows
@@ -37,9 +44,26 @@ from pyspark.sql.window import Window
 __all__ = ["sessionize", "session_stats", "asof_join", "interval_join"]
 
 
-def _us(col) -> Column:
-    """Timestamp → integer microseconds (exact; DuckDB twin: epoch_us)."""
-    return F.unix_micros(F.col(col) if isinstance(col, str) else col)
+def _us_for(dtype: str, col: str) -> Column:
+    """Timestamp column → integer epoch microseconds, exact and
+    session-timezone-independent (DuckDB twin: epoch_us)."""
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(col))
+    raise TypeError(
+        f"column {col!r} has dtype {dtype!r}; timeseries ops need "
+        "timestamp or timestamp_ntz"
+    )
+
+
+def _us(df: DataFrame, col: str) -> Column:
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        raise ValueError(f"column {col!r} not found in {df.columns}")
+    return _us_for(dt, col)
 
 
 # ---------------------------------------------------------- sessionize
@@ -61,12 +85,13 @@ def sessionize(
     Window.partitionBy(key).orderBy(ts) — one Exchange, one Sort in
     the physical plan (asserted in tests/test_timeseries.py)."""
     gap_us = int(gap_minutes * 60_000_000)
-    w = Window.partitionBy(key_col).orderBy(_us(ts_col))
-    prev = F.lag(_us(ts_col)).over(w)
+    ts_us = _us(df, ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_us)
+    prev = F.lag(ts_us).over(w)
     new_session = F.when(
-        prev.isNull() | ((_us(ts_col) - prev) > F.lit(gap_us)), F.lit(1)
+        prev.isNull() | ((ts_us - prev) > F.lit(gap_us)), F.lit(1)
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(key_col).orderBy(_us(ts_col)).rowsBetween(
+    run = Window.partitionBy(key_col).orderBy(ts_us).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out_col, F.sum(new_session).over(run).cast("bigint"))
@@ -131,20 +156,25 @@ def asof_join(
     missing = [c for c in right_cols if c not in rtypes]
     if missing:
         raise ValueError(f"right side lacks columns: {missing}")
+    if ltypes[ts_col] != rtypes[ts_col]:
+        raise TypeError(
+            f"as-of ts dtypes differ: left {ltypes[ts_col]!r} vs right "
+            f"{rtypes[ts_col]!r} — align them before the join"
+        )
     carry = [(f"{c}{suffix}", rtypes[c], c) for c in right_cols] + [
         (f"{ts_col}{suffix}", ltypes[ts_col], ts_col)
     ]
     pass_cols = [c for c in left.columns]
     l_side = left.select(
         F.col(key_col).alias("__k"),
-        _us(ts_col).alias("__t"),
+        _us(left, ts_col).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in pass_cols],
         *[F.lit(None).cast(t).alias(out) for out, t, _ in carry],
     )
     r_side = right.select(
         F.col(key_col).alias("__k"),
-        _us(ts_col).alias("__t"),
+        _us(right, ts_col).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in pass_cols],
         *[F.col(src).alias(out) for out, _, src in carry],
@@ -164,7 +194,7 @@ def asof_join(
     if tolerance_minutes is not None:
         tol_us = int(tolerance_minutes * 60_000_000)
         ts_r = f"{ts_col}{suffix}"
-        stale = (F.col("__t") - _us(ts_r)) > F.lit(tol_us)
+        stale = (F.col("__t") - _us_for(ltypes[ts_col], ts_r)) > F.lit(tol_us)
         filled = filled.select(
             "__side",
             "__t",
@@ -206,8 +236,8 @@ def interval_join(
     pick bucket_minutes near the TYPICAL interval length so the
     explode factor stays O(1)."""
     width_us = int(bucket_minutes * 60_000_000)
-    b0 = F.floor(_us(start_col) / F.lit(width_us))
-    b1 = F.floor(_us(end_col) / F.lit(width_us))
+    b0 = F.floor(_us(intervals, start_col) / F.lit(width_us))
+    b1 = F.floor(_us(intervals, end_col) / F.lit(width_us))
     n_b = b1 - b0 + 1
     seq = F.when((n_b >= 1) & (n_b <= max_buckets), F.sequence(b0, b1)).otherwise(
         F.raise_error(
@@ -224,18 +254,18 @@ def interval_join(
     iv = intervals.select(
         F.col(interval_id_col),
         F.col(key_col).alias("__ik"),
-        _us(start_col).alias("__s"),
-        _us(end_col).alias("__e"),
+        _us(intervals, start_col).alias("__s"),
+        _us(intervals, end_col).alias("__e"),
         F.explode(seq).alias("__bucket"),
     )
-    pt = points.withColumn(
-        "__bucket", F.floor(_us(ts_col) / F.lit(width_us))
+    pt = points.withColumn("__pt_us", _us(points, ts_col)).withColumn(
+        "__bucket", F.floor(F.col("__pt_us") / F.lit(width_us))
     )
     joined = pt.join(
         iv,
         (pt[key_col] == iv["__ik"])
         & (pt["__bucket"] == iv["__bucket"])
-        & (_us(ts_col) >= iv["__s"])
-        & (_us(ts_col) <= iv["__e"]),
+        & (pt["__pt_us"] >= iv["__s"])
+        & (pt["__pt_us"] <= iv["__e"]),
     )
     return joined.select(interval_id_col, *points.columns).drop("__bucket")
