@@ -52,13 +52,15 @@ def main() -> None:
     # rerun against the cached index — the number that scales with
     # QPS. Same split for the restaurants fused corpus (embed+encode
     # build vs cached serve).
-    from fuserank_spark.ext_queries import ivf_trained_knn
+    from fuserank_spark.ext_queries import ivf_trained_knn, pq_cached_topk
 
     qs = entry_mod.queries()
     for serve_name, fn in (
         ("q_ivf_build", lambda: ivf_trained_knn(spark, sf_dir)),
         ("q_ivf_serve", lambda: ivf_trained_knn(spark, sf_dir)),
         ("q_restaurants_serve", lambda: qs["q_restaurants_fused"](spark, sf_dir)),
+        ("q_pq_build", lambda: pq_cached_topk(spark, sf_dir)),
+        ("q_pq_serve", lambda: pq_cached_topk(spark, sf_dir)),
     ):
         t0 = time.time()
         try:

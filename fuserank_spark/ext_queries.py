@@ -1754,3 +1754,302 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clicks"), F.round(F.sum("value"), 4).alias("sum_value"))
         .orderBy("interval_id")
     )
+
+
+# ------------------------------------------------- product quantization
+# PQ encode + ADC serve (pipeline_ext/quantization.py). Codebooks are
+# FROZEN as the subvectors of the first 16 corpus vectors (Forgy
+# seeding, derivable in both engines — the q_ivf_knn pattern); k-means
+# TRAINING is not SQL-expressible and is unit-tested/benched apart.
+
+_PQ_M, _PQ_W, _PQ_K = 8, 8, 16  # 8 subspaces × 8 dims, 16 codes each
+
+
+def _pq_oracle(dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of PQ encode + ADC top-k. Distances fold in the
+    same order as the Spark expressions (list_sum is sequential; the
+    Spark side builds its dot/csq sums left-to-right and its csq
+    literals with sequential Python sums), so the discrete argmin
+    code assignment is bit-identical. The per-(query, doc) ADC sum
+    is a GROUP BY sum over m=8 parts — order-free up to ulps,
+    absorbed by round(,6) (q_bm25 precedent)."""
+    m, w, kc = _PQ_M, _PQ_W, _PQ_K
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cb AS (
+      SELECT CAST(s.vec_id AS INT) AS code, t.j,
+             list_transform(range(t.j*{w}+1, t.j*{w}+{w}+1), i -> s.v[i]) AS cvec
+      FROM e s CROSS JOIN generate_series(0, {m - 1}) t(j)
+      WHERE s.vec_id < {kc}
+    ), cbq AS (
+      SELECT code, j, cvec,
+             list_sum(list_transform(cvec, x -> x * x)) AS csq
+      FROM cb
+    ), esub AS (
+      SELECT e.vec_id, t.j,
+             list_transform(range(t.j*{w}+1, t.j*{w}+{w}+1), i -> e.v[i]) AS sv
+      FROM e CROSS JOIN generate_series(0, {m - 1}) t(j)
+    ), enc AS (
+      SELECT s.vec_id, s.j, b.code,
+             row_number() OVER (
+               PARTITION BY s.vec_id, s.j
+               ORDER BY b.csq - 2 * list_sum(list_transform(range(1, {w + 1}),
+                        i -> s.sv[i] * b.cvec[i])) ASC,
+                        b.code ASC) AS rn
+      FROM esub s JOIN cbq b ON s.j = b.j
+    ), codes AS (
+      SELECT vec_id, j, code FROM enc WHERE rn = 1
+    ), qsub AS (
+      SELECT vec_id AS query_id, j, sv FROM esub WHERE vec_id < 3
+    ), lut AS (
+      SELECT s.query_id, s.j, b.code,
+             list_sum(list_transform(range(1, {w + 1}),
+                      i -> s.sv[i] * b.cvec[i])) AS part
+      FROM qsub s JOIN cbq b ON s.j = b.j
+    ), scored AS (
+      SELECT l.query_id, c.vec_id, sum(l.part) AS adc
+      FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+      GROUP BY l.query_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, rnk, round(adc, 6) AS adc
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+@register("q_pq_knn", _pq_oracle())
+def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the oracle gate: expression-only
+    PQ encode (8 subspaces × 16 codes, struct-min argmin) + broadcast
+    per-query ADC lookup tables + two-phase top-k merge
+    (quantization.pq_encode / pq_adc_topk — the real serve machinery).
+    Codes are 32× smaller than the raw float32 vectors, so the 100 TB
+    ADC scan reads 1/32nd of the bytes; the DuckDB twin re-derives
+    encode + ADC from the same frozen Forgy codebooks and hash-checks
+    scores. Reference parity: the faiss/Milvus IVF serve family
+    (/root/reference/src/eval/milvus_experiment.py:32) extended one
+    published step to IndexIVFPQ semantics (Jégou et al. 2011)."""
+    from .pipeline_ext import quantization as Q
+
+    e = _emb(spark, sf_dir)
+    seed_rows = e.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    books = Q.forgy_codebooks(
+        [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
+    )
+    codes = Q.pq_encode(e, books, vec_col="embedding")
+    queries = [(r["vec_id"], r["embedding"]) for r in seed_rows[:3]]
+    return Q.pq_adc_topk(codes, books, queries, k=10).orderBy("query_id", "rnk")
+
+
+_PQ_CACHE: dict = {}
+
+
+def pq_cached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only PQ serve split (the q_ivf_build/q_ivf_serve
+    pattern): first call builds + persists the code table (one-time
+    cost), later calls measure steady-state ADC serve — the number
+    that scales with QPS. Not in the oracle registry (q_pq_knn covers
+    correctness; this measures the cached path)."""
+    from .pipeline_ext import quantization as Q
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _PQ_CACHE:
+        e = _emb(spark, sf_dir)
+        seed_rows = e.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+        books = Q.forgy_codebooks(
+            [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
+        )
+        codes = Q.pq_encode(e, books).persist()
+        codes.count()
+        _PQ_CACHE[key] = (codes, books, [(r["vec_id"], r["embedding"]) for r in seed_rows[:3]])
+    codes, books, queries = _PQ_CACHE[key]
+    return Q.pq_adc_topk(codes, books, queries, k=10)
+
+
+# ------------------------------------------------ training-corpus assembly
+# pack_split / mixture_sample / gopher_features (packing.py, curation.py,
+# textstats.py): the layout + mixing + quality steps between a curated
+# corpus and a training run.
+
+_PACK_H = _H.format(expr="concat('pack:', CAST(doc_id AS VARCHAR))")
+_PACK_BUDGET = 512
+
+
+@register(
+    "q_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ), h AS (
+      SELECT doc_id, n_tokens, {_PACK_H} AS hh FROM t WHERE n_tokens > 0
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY hh, doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+      FROM h
+    )
+    SELECT doc_id, n_tokens,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS start_seq,
+           CAST(off % {_PACK_BUDGET} AS BIGINT) AS start_offset,
+           CAST((off + n_tokens - 1) // {_PACK_BUDGET}
+                - off // {_PACK_BUDGET} + 1 AS BIGINT) AS n_seqs
+    FROM o ORDER BY doc_id
+    """,
+)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (packing.pack_split): global
+    token offsets in salted-hash order, cut every 512 tokens. The
+    Spark side computes the offset cumsum with the scale-safe
+    bucketed two-phase shape (range-bucket by hash prefix → local
+    window → driver prefix of ≤256 bucket totals); the DuckDB twin
+    states the equivalent single global window — the hash gate
+    proves them identical."""
+    from .pipeline_ext import packing as P
+    from .pipeline_ext import textstats as TX2
+
+    docs = TX2.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return (
+        P.pack_split(docs, budget=_PACK_BUDGET)
+        .select("doc_id", "n_tokens", "start_seq", "start_offset", "n_seqs")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_H = _H.format(expr="concat('mix:', CAST(doc_id AS VARCHAR))")
+_MIX_RATES = {"src0": 2.5, "src1": 0.5, "src2": 1.0, "src3": 0.25}
+_MIX_DEFAULT = 0.75
+
+
+def _mix_oracle() -> str:
+    span = 1 << 32
+
+    def parts(r: float) -> tuple[int, int]:
+        return int(r), int(round((r - int(r)) * span))
+
+    whole_cases = " ".join(
+        f"WHEN '{s}' THEN {parts(r)[0]}" for s, r in _MIX_RATES.items()
+    )
+    thr_cases = " ".join(
+        f"WHEN '{s}' THEN {parts(r)[1]}" for s, r in _MIX_RATES.items()
+    )
+    dw, dt = parts(_MIX_DEFAULT)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE source {whole_cases} ELSE {dw} END AS whole,
+             CASE source {thr_cases} ELSE {dt} END AS thr,
+             {_MIX_H} AS hh
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             whole + CASE WHEN hh < thr THEN 1 ELSE 0 END AS copies
+      FROM t
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, copies)) AS BIGINT) AS copy_idx
+    FROM c ORDER BY doc_id, copy_idx
+    """
+
+
+@register("q_mixture", _mix_oracle())
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture sampling
+    (curation.mixture_sample): src0 oversampled 2.5 epochs, src1
+    halved, src3 quartered, everything else at 0.75 — per-key salted
+    hash decides the fractional copy, copy_idx distinguishes repeats.
+    The guarded sequence() (descending-sequence trap) is what the
+    DuckDB unnest(range(0, copies)) twin checks."""
+    from .pipeline_ext import curation as CU
+
+    return (
+        CU.mixture_sample(
+            _docs(spark, sf_dir), _MIX_RATES, default_rate=_MIX_DEFAULT
+        )
+        .select("doc_id", "source", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+def _gopher_oracle() -> str:
+    from .pipeline_ext.textstats import GOPHER_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks) ELSE 0 END AS mwl,
+             length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+             len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellip,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / len(toks) ELSE 0 END AS alpha_frac,
+             CAST(len(list_intersect(list_transform(toks, x -> lower(x)),
+                  [{sw}])) AS BIGINT) AS stop_hits
+      FROM t
+    ), g AS (
+      SELECT doc_id, n_tokens, mwl,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_hash + n_ellip AS DOUBLE) / n_tokens
+                  ELSE 0 END AS sym,
+             alpha_frac, stop_hits
+      FROM f
+    )
+    SELECT doc_id, n_tokens,
+           round(mwl, 6) AS mean_word_len,
+           round(sym, 6) AS symbol_ratio,
+           round(alpha_frac, 6) AS alpha_word_frac,
+           stop_hits AS stopword_hits,
+           (n_tokens >= 50 AND n_tokens <= 100000) AS pass_n_tokens,
+           (mwl >= 3.0 AND mwl <= 10.0) AS pass_mean_word_len,
+           (sym <= 0.1) AS pass_symbol_ratio,
+           (alpha_frac >= 0.8) AS pass_alpha_words,
+           (stop_hits >= 2) AS pass_stopwords,
+           ((n_tokens >= 50 AND n_tokens <= 100000)
+            AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND (sym <= 0.1)
+            AND (alpha_frac >= 0.8)
+            AND (stop_hits >= 2)) AS gopher_pass
+    FROM g ORDER BY doc_id
+    """
+
+
+@register("q_gopher", _gopher_oracle())
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering (textstats.gopher_features):
+    token bounds, mean-word-length band, #/... symbol ratio,
+    alphabetic-word fraction, stopword presence — metrics, per-rule
+    booleans, and the composite, all pure expressions hash-checked
+    against the DuckDB re-derivation. Booleans compare UNROUNDED
+    doubles on both sides (rounding only for display), so the gate
+    also pins the cross-engine bit-identity of the ratios."""
+    from .pipeline_ext import textstats as TX2
+
+    return (
+        TX2.gopher_features(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_word_len",
+            "symbol_ratio",
+            "alpha_word_frac",
+            "stopword_hits",
+            "pass_n_tokens",
+            "pass_mean_word_len",
+            "pass_symbol_ratio",
+            "pass_alpha_words",
+            "pass_stopwords",
+            "gopher_pass",
+        )
+        .orderBy("doc_id")
+    )

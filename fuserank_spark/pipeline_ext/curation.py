@@ -389,3 +389,59 @@ def curate_corpus(
     w = Window.partitionBy("__ch").orderBy(F.col(key_col).asc())
     deduped = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return assign_split(deduped, key_col=key_col).drop("__ch", "__rn")
+
+
+# ---------------------------------------------------- mixture sampling
+
+_H32 = 1 << 32
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted corpus mixing — the step that turns per-source corpora
+    into a training mixture: each source is sampled at ``rates[src]``
+    epochs. Rates < 1 downsample (hash range gate, like assign_split);
+    rates ≥ 1 OVERSAMPLE: ``floor(rate)`` full copies plus one more
+    when the key's salted hash falls under the fractional part. The
+    emitted ``copy_idx`` (0-based) distinguishes repeats so downstream
+    shuffling/packing can interleave them.
+
+    Pure projection + explode — zero shuffle, append-stable,
+    reproducible across engines (portable md5 hash). Expected output
+    size is Σ_src |src| · rate_src exactly in distribution, and every
+    decision is per-key deterministic.
+
+    The copies sequence is GUARDED against Spark's descending
+    ``sequence(0, -1)`` when copies = 0 (CLAUDE.md trap): zero-copy
+    rows get an empty array, which explode drops — identical to the
+    DuckDB twin's ``unnest(range(0, copies))``."""
+    for src, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for {src!r}")
+    if default_rate < 0:
+        raise ValueError("negative default_rate")
+    h = portable_hash32(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    whole = None
+    thresh = None
+    for src, r in rates.items():
+        w_val, t_val = int(r), int(round((r - int(r)) * _H32))
+        cond = F.col(source_col) == src
+        whole = F.when(cond, w_val) if whole is None else whole.when(cond, w_val)
+        thresh = F.when(cond, t_val) if thresh is None else thresh.when(cond, t_val)
+    dw, dt = int(default_rate), int(round((default_rate - int(default_rate)) * _H32))
+    whole = (whole.otherwise(dw) if whole is not None else F.lit(dw)).cast("long")
+    thresh = (thresh.otherwise(dt) if thresh is not None else F.lit(dt)).cast("long")
+    copies = whole + (h < thresh).cast("long")
+    seq = F.when(
+        copies >= 1, F.sequence(F.lit(0).cast("long"), copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn("copy_idx", F.explode(seq))

@@ -1,0 +1,183 @@
+"""Sequence packing for training pipelines: lay a token-counted
+corpus out into fixed-budget training sequences.
+
+Two variants, matching the two layouts real LLM data loaders use:
+
+* :func:`pack_split` — concat-and-split (the GPT-style layout):
+  documents are concatenated in a deterministic pseudo-random order
+  and cut at exact ``budget`` boundaries; a document may span the cut.
+  The assignment is a pure function of the global token OFFSET of
+  each document, which makes it fully SQL-expressible and
+  differentially checkable (q_pack).
+* :func:`pack_greedy` — boundary-respecting next-fit: documents never
+  cross sequences; a document that does not fit the remaining room
+  starts a new bin. Inherently sequential (each decision depends on
+  the running fill), so it runs as exact per-shard next-fit inside
+  ``applyInPandas`` — the standard practice at scale, where every
+  worker packs its own shard independently and bin ids are
+  (shard, local) pairs. Unit-tested invariants instead of an oracle.
+
+Scale posture (100 TB corpus):
+* The global offset cumsum in :func:`pack_split` NEVER uses a
+  global-order window (one task would see the whole corpus). The
+  order key is a salted portable hash ``h``; rows are range-bucketed
+  by the TOP BITS of ``h`` (bucket is an order-prefix, so
+  bucket-major order ≡ global hash order), each bucket cumsums
+  locally under one window, and the ≤ ``n_buckets`` per-bucket totals
+  are collected, prefix-summed driver-side, and folded back as a
+  literal map — two narrow scans, one bounded collect, zero joins.
+  Result is BIT-IDENTICAL to the single-window formulation the
+  DuckDB oracle states.
+* :func:`pack_greedy` shuffles once on the shard key; each shard's
+  pandas group is ~corpus/n_buckets rows — size ``n_buckets`` so a
+  group fits an executor (the same knob as every applyInPandas op).
+
+Both orderings are salted-hash, so packing is reproducible across
+runs/engines/cluster sizes and append-stable in distribution (adding
+docs perturbs only the sequences after each insertion point — and
+nothing at all in :func:`pack_greedy`'s other shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .hashing import portable_hash32
+
+__all__ = ["pack_split", "pack_greedy"]
+
+_H32_SPAN = 1 << 32
+
+
+def _order_hash(key_col: Column, salt: str) -> Column:
+    return portable_hash32(F.concat(F.lit(salt + ":"), key_col.cast("string")))
+
+
+def pack_split(
+    df: DataFrame,
+    *,
+    budget: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-and-split packing: deterministic order by salted hash,
+    exact cuts every ``budget`` tokens. Adds:
+
+    * ``start_seq`` — index of the training sequence where the doc
+      begins (``offset div budget``),
+    * ``start_offset`` — position inside that sequence,
+    * ``n_seqs`` — how many sequences the doc touches.
+
+    Zero-token rows are dropped (they occupy no layout space and
+    would make ``n_seqs`` ill-defined). ``n_buckets`` must divide
+    2^32 so the range bucketing preserves hash order exactly."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if _H32_SPAN % n_buckets != 0:
+        raise ValueError(f"n_buckets={n_buckets} must divide 2^32")
+    div = _H32_SPAN // n_buckets
+    t = (
+        df.filter(F.col(token_col) > 0)
+        .withColumn("__h", _order_hash(F.col(key_col), salt))
+        .withColumn("__b", F.expr(f"__h div {div}"))
+    )
+    # per-bucket totals → driver prefix sum → literal map (bounded:
+    # n_buckets rows; no join back into the big side)
+    totals = {
+        r["__b"]: r["s"]
+        for r in t.groupBy("__b").agg(F.sum(token_col).alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for b in range(n_buckets):
+        prefix[b] = acc
+        acc += int(totals.get(b, 0))
+    pmap = F.create_map(
+        *[x for b in sorted(prefix) for x in (F.lit(b), F.lit(prefix[b]))]
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_end = F.sum(F.col(token_col)).over(w)
+    off = (pmap[F.col("__b")] + local_end - F.col(token_col)).alias("__off")
+    t = t.withColumn("__off", off)
+    start_seq = F.expr(f"__off div {budget}")
+    end_seq = F.expr(f"(__off + {token_col} - 1) div {budget}")
+    return (
+        t.withColumn("start_seq", start_seq)
+        .withColumn("start_offset", F.col("__off") % F.lit(budget))
+        .withColumn("n_seqs", end_seq - start_seq + F.lit(1))
+        .drop("__h", "__b", "__off")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    *,
+    budget: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+    n_buckets: int = 256,
+    oversize: str = "own_bin",
+) -> DataFrame:
+    """Boundary-respecting next-fit packing: within each hash shard,
+    walk documents in salted-hash order and append to the current bin
+    while it fits, else open a new bin. Returns the input columns +
+    ``bin_id`` (bigint, globally unique: ``shard · 2^32 + local``).
+
+    ``oversize``: what to do with a single document longer than
+    ``budget`` — ``"own_bin"`` (default) gives it a dedicated bin
+    (loaders truncate or chunk it downstream); ``"error"`` raises.
+
+    Exact next-fit is order-sequential, so it cannot be a window
+    expression; per-shard ``applyInPandas`` keeps it exact AND
+    distributed (shards pack independently — bins never span shards,
+    which is also what a multi-worker loader wants)."""
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if oversize not in ("own_bin", "error"):
+        raise ValueError("oversize must be 'own_bin' or 'error'")
+    if _H32_SPAN % n_buckets != 0:
+        raise ValueError(f"n_buckets={n_buckets} must divide 2^32")
+    div = _H32_SPAN // n_buckets
+    t = (
+        df.filter(F.col(token_col) > 0)
+        .withColumn("__h", _order_hash(F.col(key_col), salt))
+        .withColumn("__b", F.expr(f"__h div {div}"))
+    )
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema_out = f"{out_fields}, bin_id bigint"
+    names = [f.name for f in df.schema.fields]
+    err = oversize == "error"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", key_col], kind="mergesort")
+        shard = int(pdf["__b"].iloc[0]) if len(pdf) else 0
+        bins, fill, local = [], 0, -1
+        for n in pdf[token_col]:
+            n = int(n)
+            if n > budget and err:
+                raise ValueError(
+                    f"document with {n} tokens exceeds budget={budget} "
+                    "(oversize='error')"
+                )
+            if local < 0 or fill + n > budget:
+                local += 1
+                fill = 0
+            bins.append(shard * _H32_SPAN + local)
+            fill += n
+        out = pdf[names].copy()
+        out["bin_id"] = bins
+        return out
+
+    return t.groupBy("__b").applyInPandas(pack, schema_out)

@@ -1,0 +1,351 @@
+"""Product quantization (PQ) for embedding columns: train per-subspace
+codebooks, encode vectors to m small codes, and serve top-k via
+asymmetric-distance (ADC) lookup-table scoring — the memory-bandwidth
+scale path for vector search over a 100 TB corpus.
+
+Reference parity: the reference serves ANN through faiss/Milvus
+IVF_FLAT (/root/reference/src/eval/milvus_experiment.py:32,
+src/eval/experiment.py FAISS index) — flat (uncompressed) cells. PQ
+is the standard next step of the same published family (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+faiss IndexIVFPQ everyone runs in production): split each vector into
+``m`` subvectors, vector-quantize each subspace with its own
+``k``-centroid codebook, store only the m code ids.
+
+Why this is THE 100 TB path:
+* A 64-dim float32 vector is 256 B; its PQ code (m=8, k=16) is 8
+  small ints — a 32× scan-size reduction BEFORE parquet encoding
+  (dictionary + RLE shrink low-cardinality code columns further).
+  The ADC scan over codes is memory-bandwidth-bound, so the speedup
+  is proportional to the compression.
+* ADC never reconstructs vectors: the query is cut into the same m
+  subvectors, a per-query (m × k) lookup table of partial inner
+  products is computed driver-side (tiny: m·k doubles), and each
+  corpus row's score is ``Σ_j lut[j][code_j]`` — m array lookups +
+  adds per row, pure JVM expressions inside whole-stage codegen.
+* The optional REFINE step re-scores only the top ``k·refine_factor``
+  ADC survivors with exact cosine via a broadcast semi-join on ids —
+  the raw-vector table is touched for O(k) rows per query, never
+  scanned.
+* Composes with IVF (simsearch.ivf_*): partition-prune cells first,
+  ADC-scan only probed cells — faiss IndexIVFPQ's exact layout,
+  expressed as parquet partition pruning + codegen projection.
+
+Determinism / oracle posture: encode + ADC serve are differentially
+checked against DuckDB (q_pq_knn) with codebooks FROZEN as the
+subvectors of the first ``k`` corpus rows (Forgy seeding — both
+engines derive them; serve semantics don't depend on training).
+All driver-side float reductions here use SEQUENTIAL Python sums,
+bit-matching DuckDB's list_sum fold order — never np.sum, whose
+pairwise summation can differ in the last ulp and flip a discrete
+argmin code assignment. K-means *training* (Lloyd, bounded sample)
+is not SQL-expressible and carries unit tests + bench entries
+instead, exactly like IVF's split (ext_queries q_ivf_knn docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .simsearch import _merge_topk
+
+MAX_QUERY_BATCH = 1024
+
+
+def subspace_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    """[(start, end)) index ranges of the m equal subspaces."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    w = dim // m
+    return [(j * w, (j + 1) * w) for j in range(m)]
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential-order float64 dot — DuckDB list_sum fold order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def forgy_codebooks(rows: list, dim: int, m: int, k: int) -> np.ndarray:
+    """Codebooks frozen as the subvectors of the first ``k`` corpus
+    vectors (Forgy seeding): codebooks[j][c] = rows[c][slice_j].
+    Derivable in any engine from the data itself — no magic literals
+    in the oracle twin."""
+    if len(rows) < k:
+        raise ValueError(f"need {k} seed rows, got {len(rows)}")
+    slices = subspace_slices(dim, m)
+    return np.array(
+        [[[float(v) for v in rows[c][s:e]] for c in range(k)] for s, e in slices],
+        dtype="float64",
+    )
+
+
+def train_pq(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train per-subspace codebooks with Lloyd k-means on a BOUNDED
+    deterministic sample (orderBy id, limit) — driver-side numpy over
+    at most ``sample_n`` rows, like simsearch.ivf_build's bounded
+    training. Returns (m, k, dim/m) float64 codebooks.
+
+    Empty-cluster repair: a cluster that loses all members is re-
+    seeded to the sample point farthest from its nearest centroid
+    (deterministic, no RNG in the loop)."""
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype="float64")
+    if x.shape[0] < k:
+        raise ValueError(f"sample has {x.shape[0]} rows < k={k} codes")
+    if x.shape[1] != dim:
+        raise ValueError(f"vectors are {x.shape[1]}-dim, expected {dim}")
+    rng = np.random.default_rng(seed)
+    books = []
+    for s, e in subspace_slices(dim, m):
+        sub = x[:, s:e]
+        cents = sub[rng.choice(sub.shape[0], size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+                else:
+                    cents[c] = sub[d2.min(axis=1).argmax()]
+        books.append(cents)
+    return np.array(books, dtype="float64")
+
+
+def _sub_expr(vec_col: str, s: int, e: int) -> F.Column:
+    """array<double> slice [s, e) of the (cast) vector column."""
+    return F.slice(F.col(vec_col).cast("array<double>"), s + 1, e - s)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Assign each vector its m-code PQ word — EXPRESSION-ONLY, whole
+    plan stays in codegen. Per subspace j the nearest code minimizes
+    ``csq_c − 2·<x_j, c>`` (the ‖x_j‖² term is constant across codes
+    and dropped); ties go to the lowest code id via struct-min, the
+    same shape as simsearch.ivf_assign.
+
+    csq literals are computed with SEQUENTIAL Python sums so they
+    bit-match an engine that folds ``list_sum(x*x)`` left-to-right
+    (see module docstring). Output code array is array<int>."""
+    m, k, _w = codebooks.shape
+    slices = subspace_slices(m * _w, m)
+    code_cols = []
+    for j, (s, e) in enumerate(slices):
+        # materialize the subvector once per subspace — Catalyst does
+        # not CSE it across the k distance expressions (CLAUDE.md trap)
+        sub_name = f"__pq_sub{j}"
+        df = df.withColumn(sub_name, _sub_expr(vec_col, s, e))
+        cands = []
+        for c in range(k):
+            cent = [float(v) for v in codebooks[j][c]]
+            csq = 0.0
+            for v in cent:
+                csq += v * v
+            dot = None
+            for i, v in enumerate(cent):
+                term = F.element_at(F.col(sub_name), i + 1) * F.lit(v)
+                dot = term if dot is None else dot + term
+            dist = F.lit(csq) - F.lit(2.0) * dot
+            cands.append(F.struct(dist.alias("d"), F.lit(c).alias("c")))
+        code_cols.append(F.array_min(F.array(*cands))["c"])
+    out = df.withColumn(out_col, F.array(*code_cols))
+    drop = [f"__pq_sub{j}" for j in range(m)]
+    if not keep_vec:
+        drop.append(vec_col)
+    return out.drop(*drop)
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`pq_encode` for wide vectors
+    / large k where 2·m·k expression terms outgrow codegen: one
+    einsum per subspace per batch. Unit-tested code-identical to the
+    expression path (argmin ties break to the lowest code in both)."""
+    import pandas as pd
+
+    m, k, w = codebooks.shape
+    books = codebooks.copy()
+    csq = np.einsum("mkw,mkw->mk", books, books)
+    keep = [f for f in df.schema.fields if keep_vec or f.name != vec_col]
+    schema_out = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in keep]
+        + [f"`{out_col}` array<int>"]
+    )
+    names = [f.name for f in keep]
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if len(vecs) == 0:
+                yield pd.DataFrame({n: pdf[n] for n in names} | {out_col: []})
+                continue
+            codes = np.empty((len(vecs), m), dtype="int32")
+            for j in range(m):
+                sub = vecs[:, j * w : (j + 1) * w]
+                # dist = csq - 2 x·c  (+‖x‖², constant per row)
+                d = csq[j][None, :] - 2.0 * sub @ books[j].T
+                codes[:, j] = d.argmin(axis=1)
+            out = pd.DataFrame({n: pdf[n] for n in names})
+            out[out_col] = [list(map(int, c)) for c in codes]
+            yield out
+
+    return df.mapInPandas(encode, schema_out)
+
+
+def adc_lut(codebooks: np.ndarray, qvec) -> list[list[float]]:
+    """Per-query (m × k) table of partial inner products
+    ``<q_j, c_{j,code}>`` — sequential-sum doubles (oracle fold
+    order). Driver-side and tiny: m·k floats."""
+    m, k, w = codebooks.shape
+    q = [float(v) for v in qvec]
+    if len(q) != m * w:
+        raise ValueError(f"query is {len(q)}-dim, codebooks expect {m * w}")
+    return [
+        [_seq_dot(q[j * w : (j + 1) * w], codebooks[j][c]) for c in range(k)]
+        for j in range(m)
+    ]
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: list[tuple],
+    *,
+    k: int = 10,
+    key_col: str = "vec_id",
+    code_col: str = "pq_code",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ADC top-k over PQ codes: broadcast the per-query lookup
+    tables, score every code row with m array lookups + adds (pure
+    expressions), two-phase top-k merge (_merge_topk — no per-query
+    hot key). ``queries`` is a bounded driver-side batch of
+    (query_id, vector), like simsearch.ivf_knn's contract.
+
+    Output: (query_id, vec_id, rnk, adc). With ``refine_with`` (the
+    raw-vector table) the top ``k·refine_factor`` ADC survivors are
+    re-scored with exact cosine via a broadcast id join — output
+    column becomes ``cosine`` and ranks follow the exact scores
+    (faiss IVFPQ + refine layout)."""
+    if not queries:
+        raise ValueError("empty query batch")
+    if len(queries) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"{len(queries)} queries > MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
+            "per-query luts are broadcast and must stay small"
+        )
+    qids = [qid for qid, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("duplicate query_id in batch")
+    spark = codes.sparkSession
+    m, kk, _w = codebooks.shape
+    lut_rows = [(qid, adc_lut(codebooks, qv)) for qid, qv in queries]
+    luts = spark.createDataFrame(
+        lut_rows, f"query_id bigint, __lut array<array<double>>"
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("__lut", j + 1),
+            F.element_at(F.col(code_col), j + 1) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "query_id", F.col(key_col), score.alias("adc")
+    )
+    if refine_with is None:
+        return _merge_topk(scored, k, "query_id", key_col, score_col="adc")
+    cand = _merge_topk(
+        scored, k * refine_factor, "query_id", key_col, score_col="adc"
+    ).select("query_id", key_col)
+    qdf = spark.createDataFrame(
+        [(qid, [float(v) for v in qv]) for qid, qv in queries],
+        "query_id bigint, __qv array<double>",
+    )
+    from .simsearch import _cosine
+
+    rescored = (
+        refine_with.join(F.broadcast(cand), key_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(key_col),
+            _cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+    )
+    return _merge_topk(rescored, k, "query_id", key_col, score_col="cosine")
+
+
+def pq_recall_at_k(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    queries: list[tuple],
+    *,
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_factor: int = 4,
+) -> float:
+    """Recall@k of the refined ADC path vs exact cosine — the eval
+    loop for choosing (m, k, refine_factor), mirroring the
+    reference's fused-vs-oracle recall methodology
+    (/root/reference/src/eval/evaluate.py:156-202)."""
+    from .simsearch import brute_force_knn
+
+    spark = embeddings.sparkSession
+    codes = pq_encode(embeddings, codebooks, vec_col=vec_col)
+    approx = pq_adc_topk(
+        codes,
+        codebooks,
+        queries,
+        k=k,
+        key_col=key_col,
+        refine_with=embeddings,
+        refine_factor=refine_factor,
+        vec_col=vec_col,
+    )
+    qdf = spark.createDataFrame(
+        [(qid, [float(v) for v in qv]) for qid, qv in queries],
+        "query_id bigint, qvec array<double>",
+    )
+    exact = brute_force_knn(embeddings, qdf, k=k, vec_col=vec_col, key_col=key_col)
+    hit = approx.join(
+        exact.select("query_id", key_col), ["query_id", key_col], "left_semi"
+    ).count()
+    return hit / (len(queries) * k)

@@ -97,3 +97,72 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     for whole-document identity)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out_col, portable_hash32(norm))
+
+
+# --------------------------------------------------- Gopher quality rules
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_features(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public filtering heuristics used by most LLM corpus pipelines):
+    token-count bounds, mean word length band, symbol-to-word ratio
+    ('#' and '...'), alphabetic-word fraction, and stopword presence.
+    Emits the metric columns, one boolean per rule, and the composite
+    ``gopher_pass``. Pure expressions — the token array is
+    materialized ONCE (Catalyst does not CSE the split across the
+    five consumers, CLAUDE.md trap) and dropped."""
+    t = F.col(text_col)
+    df = df.withColumn("__gt", tokens_expr(t))
+    toks = F.col("__gt")
+    n_tokens = F.size(toks).cast("bigint")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    mean_wl = _ratio(tok_chars, n_tokens)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellip = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+    sym_ratio = _ratio(n_hash + n_ellip, n_tokens)
+    alpha_frac = _ratio(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))), n_tokens
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("bigint")
+    rules = {
+        "pass_n_tokens": (n_tokens >= min_tokens) & (n_tokens <= max_tokens),
+        "pass_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "pass_symbol_ratio": sym_ratio <= max_symbol_ratio,
+        "pass_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "pass_stopwords": stop_hits >= min_stopword_hits,
+    }
+    out = {
+        "n_tokens": n_tokens,
+        "mean_word_len": F.round(mean_wl, 6),
+        "symbol_ratio": F.round(sym_ratio, 6),
+        "alpha_word_frac": F.round(alpha_frac, 6),
+        "stopword_hits": stop_hits,
+        **rules,
+    }
+    allpass = None
+    for c in rules.values():
+        allpass = c if allpass is None else (allpass & c)
+    out["gopher_pass"] = allpass
+    return df.withColumns(out).drop("__gt")

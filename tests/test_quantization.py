@@ -1,0 +1,143 @@
+"""Product quantization (pipeline_ext/quantization.py): encode-path
+equivalence (expression vs Arrow), training determinism, ADC serve
+properties, and the refine-path exactness guarantee."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark.pipeline_ext import quantization as Q
+from fuserank_spark.pipeline_ext.simsearch import brute_force_knn
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def forgy_books(emb):
+    rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    return Q.forgy_codebooks([r["embedding"] for r in rows], dim=64, m=8, k=16)
+
+
+def test_subspace_slices_guard():
+    assert Q.subspace_slices(64, 8) == [(i * 8, (i + 1) * 8) for i in range(8)]
+    with pytest.raises(ValueError, match="not divisible"):
+        Q.subspace_slices(64, 7)
+
+
+def test_forgy_needs_enough_rows():
+    with pytest.raises(ValueError, match="seed rows"):
+        Q.forgy_codebooks([[0.0] * 64] * 3, dim=64, m=8, k=16)
+
+
+def test_expression_and_arrow_encode_identical(emb, forgy_books):
+    """The codegen expression path and the Arrow numpy path must
+    assign IDENTICAL codes (same argmin, same lowest-code ties)."""
+    a = {
+        r["vec_id"]: r["pq_code"]
+        for r in Q.pq_encode(emb, forgy_books).select("vec_id", "pq_code").collect()
+    }
+    b = {
+        r["vec_id"]: r["pq_code"]
+        for r in Q.pq_encode_arrow(emb, forgy_books)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_train_pq_deterministic_and_shaped(emb):
+    b1 = Q.train_pq(emb, dim=64, m=8, k=16, sample_n=256, iters=5, seed=7)
+    b2 = Q.train_pq(emb, dim=64, m=8, k=16, sample_n=256, iters=5, seed=7)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+
+
+def test_adc_lut_rejects_wrong_dim(forgy_books):
+    with pytest.raises(ValueError, match="dim"):
+        Q.adc_lut(forgy_books, [0.0] * 63)
+
+
+def test_adc_topk_batch_guards(emb, forgy_books):
+    codes = Q.pq_encode(emb, forgy_books)
+    with pytest.raises(ValueError, match="empty"):
+        Q.pq_adc_topk(codes, forgy_books, [])
+    qv = [0.0] * 64
+    with pytest.raises(ValueError, match="duplicate"):
+        Q.pq_adc_topk(codes, forgy_books, [(1, qv), (1, qv)])
+
+
+def test_self_query_ranks_first_on_seed_vector(emb, forgy_books):
+    """A seed vector quantizes to itself with zero subspace error, so
+    its ADC self-score is exactly ||v||^2 — it must rank first for
+    its own query on the (near-unit-norm) corpus."""
+    codes = Q.pq_encode(emb, forgy_books)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    out = Q.pq_adc_topk(codes, forgy_books, [(0, qrow["embedding"])], k=5).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["rnk"] == 1
+
+
+def test_refine_with_full_coverage_equals_exact(emb, forgy_books):
+    """With refine_factor spanning the whole corpus, the refine path
+    re-scores every ADC candidate with exact cosine — the result must
+    EQUAL brute-force exact top-k (same ids, same ranks, same
+    rounded scores). This pins the refine join + rerank wiring."""
+    n = emb.count()
+    qrows = emb.filter(F.col("vec_id") < 2).collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+    codes = Q.pq_encode(emb, forgy_books)
+    k = 5
+    refined = Q.pq_adc_topk(
+        codes,
+        forgy_books,
+        queries,
+        k=k,
+        refine_with=emb,
+        refine_factor=(n // k) + 1,
+    )
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, [float(v) for v in qv]) for qid, qv in queries],
+        "query_id bigint, qvec array<double>",
+    )
+    exact = brute_force_knn(emb, qdf, k=k)
+    got = sorted(
+        (r["query_id"], r["rnk"], r["vec_id"], r["cosine"]) for r in refined.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rnk"], r["vec_id"], r["cosine"]) for r in exact.collect()
+    )
+    assert got == want
+
+
+def test_trained_books_beat_forgy_recall(emb, forgy_books):
+    """Lloyd-trained codebooks should recover exact neighbors at
+    least as well as raw Forgy seeds on the refined path (equal is
+    possible on easy corpora — both can saturate)."""
+    qrows = emb.filter(F.col("vec_id") < 4).collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+    trained = Q.train_pq(emb, dim=64, m=8, k=16, sample_n=500, iters=8, seed=42)
+    r_forgy = Q.pq_recall_at_k(emb, forgy_books, queries, k=10, refine_factor=4)
+    r_train = Q.pq_recall_at_k(emb, trained, queries, k=10, refine_factor=4)
+    assert r_train >= r_forgy - 0.05
+    assert r_train >= 0.5
+
+
+def test_pq_plan_no_cartesian_and_broadcast(emb, forgy_books):
+    """ADC scoring must broadcast the lut table (bounded query batch)
+    — never a CartesianProduct of corpus x queries."""
+    codes = Q.pq_encode(emb, forgy_books)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = Q.pq_adc_topk(codes, forgy_books, [(0, qv)], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
