@@ -2053,3 +2053,45 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------- table profiling
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(f"""
+      SELECT '{c}' AS col_name,
+             count({c}) AS n,
+             CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             count(DISTINCT {c}) AS n_distinct,
+             round(CAST(min({c}) AS DOUBLE), 6) AS min,
+             round(CAST(max({c}) AS DOUBLE), 6) AS max,
+             round(avg({c}), 6) AS mean,
+             round(quantile_cont({c}, 0.25), 6) AS p25,
+             round(quantile_cont({c}, 0.50), 6) AS p50,
+             round(quantile_cont({c}, 0.75), 6) AS p75
+      FROM lineitem""")
+    return " UNION ALL ".join(arms) + " ORDER BY col_name"
+
+
+@register("q_profile", _profile_oracle())
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (pipeline_ext/profile.profile):
+    every per-column aggregate — counts, nulls, exact distinct,
+    min/max/mean, exact interpolated quartiles — rides ONE
+    partial+final aggregation over the scan; the long-format unpivot
+    is driver-side over the 1-row result. exact=False swaps in
+    HLL++/t-digest sketches for the 100 TB profile with the same
+    plan shape. Both engines interpolate quantiles at p·(n−1)."""
+    from .pipeline_ext.profile import profile
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        profile(li, _PROFILE_COLS)
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    )

@@ -263,6 +263,19 @@ def pq_adc_topk(
     re-scored with exact cosine via a broadcast id join — output
     column becomes ``cosine`` and ranks follow the exact scores
     (faiss IVFPQ + refine layout)."""
+    _check_query_batch(queries)
+    spark = codes.sparkSession
+    m = codebooks.shape[0]
+    luts = _lut_frame(spark, codebooks, queries)
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "query_id", F.col(key_col), _adc_score_expr(code_col, m).alias("adc")
+    )
+    return _finish_topk(
+        scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
+    )
+
+
+def _check_query_batch(queries: list[tuple]) -> None:
     if not queries:
         raise ValueError("empty query batch")
     if len(queries) > MAX_QUERY_BATCH:
@@ -273,12 +286,16 @@ def pq_adc_topk(
     qids = [qid for qid, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError("duplicate query_id in batch")
-    spark = codes.sparkSession
-    m, kk, _w = codebooks.shape
-    lut_rows = [(qid, adc_lut(codebooks, qv)) for qid, qv in queries]
-    luts = spark.createDataFrame(
-        lut_rows, f"query_id bigint, __lut array<array<double>>"
+
+
+def _lut_frame(spark, codebooks: np.ndarray, queries: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(qid), adc_lut(codebooks, qv)) for qid, qv in queries],
+        "query_id bigint, __lut array<array<double>>",
     )
+
+
+def _adc_score_expr(code_col: str, m: int):
     score = None
     for j in range(m):
         term = F.element_at(
@@ -286,9 +303,19 @@ def pq_adc_topk(
             F.element_at(F.col(code_col), j + 1) + F.lit(1),
         )
         score = term if score is None else score + term
-    scored = codes.crossJoin(F.broadcast(luts)).select(
-        "query_id", F.col(key_col), score.alias("adc")
-    )
+    return score
+
+
+def _finish_topk(
+    scored: DataFrame,
+    queries: list[tuple],
+    k: int,
+    key_col: str,
+    refine_with: DataFrame | None,
+    refine_factor: int,
+    vec_col: str,
+    spark,
+) -> DataFrame:
     if refine_with is None:
         return _merge_topk(scored, k, "query_id", key_col, score_col="adc")
     cand = _merge_topk(
@@ -310,6 +337,61 @@ def pq_adc_topk(
         )
     )
     return _merge_topk(rescored, k, "query_id", key_col, score_col="cosine")
+
+
+def ivf_pq_knn(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+    key_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str = "centroid_id",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ serve — the faiss IndexIVFPQ layout on Spark: ``codes``
+    carries both the coarse cell (simsearch.ivf_assign; persist with
+    ivf_persist so the cell filter prunes parquet partitions) and the
+    PQ code word. Per query, the ``nprobe`` nearest cells by centroid
+    cosine are chosen driver-side (tiny centroid matrix); a STATIC
+    ``isin`` over the union of probed cells does the pruning, the
+    broadcast (query, cell) probe table restricts scoring to each
+    query's own cells, and ADC + two-phase merge (+ optional exact
+    refine) finish exactly like :func:`pq_adc_topk`.
+
+    With ``nprobe == n_centroids`` the result is identical to
+    unpartitioned ADC (tested); smaller nprobe trades recall for
+    scanning nprobe/n_cells of the codes."""
+    _check_query_batch(queries)
+    spark = codes.sparkSession
+    m = codebooks.shape[0]
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe_rows: list[tuple[int, int]] = []
+    for qid, qv in queries:
+        q = np.asarray([float(x) for x in qv], dtype="float64")
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        sims = cn @ qn
+        for c in np.argsort(-sims, kind="stable")[:nprobe]:
+            probe_rows.append((int(qid), int(c)))
+    probed_cells = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")
+    luts = _lut_frame(spark, codebooks, queries)
+    scored = (
+        codes.filter(F.col(cell_col).isin(probed_cells))
+        .join(F.broadcast(probes), cell_col)
+        .join(F.broadcast(luts), "query_id")
+        .select("query_id", F.col(key_col), _adc_score_expr(code_col, m).alias("adc"))
+    )
+    return _finish_topk(
+        scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
+    )
 
 
 def pq_recall_at_k(

@@ -191,3 +191,43 @@ def test_gopher_empty_text_fails_cleanly(spark):
     assert out[1]["n_tokens"] == 0 and not out[1]["gopher_pass"]
     assert out[2]["n_tokens"] == 0 and not out[2]["gopher_pass"]
     assert out[3]["pass_stopwords"] and out[3]["pass_n_tokens"]
+
+
+# --------------------------------------------------------------- profile
+
+
+def test_profile_matches_pandas(spark):
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext.profile import profile
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    out = {r["column"]: r for r in profile(li, ["l_quantity", "l_tax"]).collect()}
+    pdf = li.select("l_quantity", "l_tax").toPandas()
+    for c in ("l_quantity", "l_tax"):
+        r = out[c]
+        assert r["n"] == pdf[c].notna().sum()
+        assert r["n_distinct"] == pdf[c].nunique()
+        assert abs(r["mean"] - pdf[c].mean()) < 1e-5
+        assert abs(r["p50"] - np.percentile(pdf[c].dropna(), 50)) < 1e-5
+
+
+def test_profile_guards(spark):
+    from fuserank_spark.pipeline_ext.profile import profile
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    with pytest.raises(ValueError, match="at least one"):
+        profile(li, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        profile(li, ["nope"])
+
+
+def test_profile_handles_nulls(spark):
+    from fuserank_spark.pipeline_ext.profile import profile
+
+    d = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0), (4, None)], "id bigint, x double"
+    )
+    r = profile(d, ["x"]).collect()[0]
+    assert r["n"] == 2 and r["n_null"] == 2 and r["n_distinct"] == 2
+    assert r["min"] == 1.0 and r["max"] == 3.0 and r["mean"] == 2.0

@@ -141,3 +141,39 @@ def test_pq_plan_no_cartesian_and_broadcast(emb, forgy_books):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_ivf_pq_full_probe_equals_pure_adc(emb, forgy_books):
+    """nprobe == n_centroids must reproduce unpartitioned ADC top-k
+    exactly — pins the probe-table join + cell filter wiring."""
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    cents = np.array([r["embedding"] for r in rows], dtype="float64")
+    assigned = ivf_assign(emb, cents)
+    codes = Q.pq_encode(assigned, forgy_books, keep_vec=False)
+    queries = [(r["vec_id"], r["embedding"]) for r in rows[:2]]
+    full = Q.ivf_pq_knn(codes, cents, forgy_books, queries, k=5, nprobe=8)
+    pure = Q.pq_adc_topk(codes.drop("centroid_id"), forgy_books, queries, k=5)
+    a = sorted((r["query_id"], r["rnk"], r["vec_id"], r["adc"]) for r in full.collect())
+    b = sorted((r["query_id"], r["rnk"], r["vec_id"], r["adc"]) for r in pure.collect())
+    assert a == b
+
+
+def test_ivf_pq_narrow_probe_subsets_cells(emb, forgy_books):
+    """With nprobe=1 every hit must come from the single probed cell
+    of its query."""
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    cents = np.array([r["embedding"] for r in rows], dtype="float64")
+    assigned = ivf_assign(emb, cents)
+    codes = Q.pq_encode(assigned, forgy_books, keep_vec=False)
+    queries = [(r["vec_id"], r["embedding"]) for r in rows[:2]]
+    out = Q.ivf_pq_knn(codes, cents, forgy_books, queries, k=5, nprobe=1)
+    cells = {r["vec_id"]: r["centroid_id"] for r in codes.select("vec_id", "centroid_id").collect()}
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for r in out.collect():
+        q = np.asarray(dict(queries)[r["query_id"]], dtype="float64")
+        probe = int(np.argsort(-(cn @ (q / np.linalg.norm(q))), kind="stable")[0])
+        assert cells[r["vec_id"]] == probe
