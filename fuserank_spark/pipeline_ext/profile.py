@@ -3,15 +3,18 @@ data-quality snapshot every ingestion pipeline runs before and after
 a transformation (count / nulls / distinct / min / max / mean /
 quantiles).
 
-Scale posture: ONE aggregation pass computes every per-column
-aggregate simultaneously (Catalyst fuses them into a single
+Scale posture: ONE aggregation pass computes the non-distinct
+aggregates simultaneously (Catalyst fuses them into a single
 partial+final agg — no per-column scans), then a driver-side unpivot
 of the 1-row result into (column, metric, value) rows. ``exact=True``
 uses exact count-distinct and exact interpolated percentiles (what
-the DuckDB differential twin states); at 100 TB switch
-``exact=False`` for HLL++ ``approx_count_distinct`` and t-digest
-``approx_percentile`` — same single-pass shape, bounded memory,
-documented accuracy trade."""
+the DuckDB differential twin states); the EXACT distinct counts run
+as a SEPARATE second agg — multiple count(distinct) in one agg makes
+Catalyst Expand the input N+1×, and the exact-percentile buffers
+would ride every expanded copy (measured 3× slower combined than
+split). At 100 TB switch ``exact=False`` for HLL++
+``approx_count_distinct`` and t-digest ``approx_percentile`` — those
+rejoin the single pass (no Expand) with bounded memory."""
 
 from __future__ import annotations
 
@@ -40,11 +43,6 @@ def profile(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
         aggs += [
             F.count(col).alias(f"{c}__n"),
             F.sum(col.isNull().cast("long")).alias(f"{c}__null"),
-            (
-                F.countDistinct(col)
-                if exact
-                else F.approx_count_distinct(col)
-            ).alias(f"{c}__dist"),
             F.min(col).cast("double").alias(f"{c}__min"),
             F.max(col).cast("double").alias(f"{c}__max"),
             F.avg(col).alias(f"{c}__mean"),
@@ -56,7 +54,14 @@ def profile(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
                 )
             ).alias(f"{c}__q"),
         ]
+        if not exact:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__dist"))
     row = df.agg(*aggs).collect()[0]
+    if exact:
+        drow = df.agg(
+            *[F.countDistinct(F.col(c)).alias(f"{c}__dist") for c in cols]
+        ).collect()[0]
+        row = {**row.asDict(), **drow.asDict()}
     spark = df.sparkSession
     out = []
     for c in cols:

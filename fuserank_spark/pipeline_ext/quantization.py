@@ -154,28 +154,49 @@ def pq_encode(
 
     csq literals are computed with SEQUENTIAL Python sums so they
     bit-match an engine that folds ``list_sum(x*x)`` left-to-right
-    (see module docstring). Output code array is array<int>."""
+    (see module docstring); the per-code dot product folds the same
+    way via zip_with + aggregate. The codebook rides as a LITERAL
+    nested array consumed by higher-order functions — a fully
+    unrolled 2·m·k-term expression compiles ~7s of Janino codegen
+    before the first row, the HOF loop form compiles instantly at
+    identical results (bit-equality pinned by the q_pq_knn oracle
+    and the arrow-twin test). Output code array is array<int>."""
     m, k, _w = codebooks.shape
     slices = subspace_slices(m * _w, m)
     code_cols = []
     for j, (s, e) in enumerate(slices):
         # materialize the subvector once per subspace — Catalyst does
-        # not CSE it across the k distance expressions (CLAUDE.md trap)
+        # not CSE it across the distance expressions (CLAUDE.md trap)
         sub_name = f"__pq_sub{j}"
         df = df.withColumn(sub_name, _sub_expr(vec_col, s, e))
-        cands = []
+        cents = []
+        csqs = []
         for c in range(k):
             cent = [float(v) for v in codebooks[j][c]]
             csq = 0.0
             for v in cent:
                 csq += v * v
-            dot = None
-            for i, v in enumerate(cent):
-                term = F.element_at(F.col(sub_name), i + 1) * F.lit(v)
-                dot = term if dot is None else dot + term
-            dist = F.lit(csq) - F.lit(2.0) * dot
-            cands.append(F.struct(dist.alias("d"), F.lit(c).alias("c")))
-        code_cols.append(F.array_min(F.array(*cands))["c"])
+            cents.append(F.array(*[F.lit(v) for v in cent]))
+            csqs.append(F.lit(csq))
+        cb = F.array(*cents)
+        csq_arr = F.array(*csqs)
+        sub = F.col(sub_name)
+        cands = F.transform(
+            cb,
+            lambda cv, i: F.struct(
+                (
+                    F.element_at(csq_arr, i + 1)
+                    - F.lit(2.0)
+                    * F.aggregate(
+                        F.zip_with(sub, cv, lambda x, y: x * y),
+                        F.lit(0.0).cast("double"),
+                        lambda a, x: a + x,
+                    )
+                ).alias("d"),
+                i.cast("int").alias("c"),
+            ),
+        )
+        code_cols.append(F.array_min(cands)["c"])
     out = df.withColumn(out_col, F.array(*code_cols))
     drop = [f"__pq_sub{j}" for j in range(m)]
     if not keep_vec:
