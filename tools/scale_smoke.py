@@ -171,6 +171,39 @@ def main():
     ).save()
     t["repetition_stats"] = round(time.time() - t0, 2)
 
+    # PQ at volume: Arrow encode of the replicated vectors (the wide-
+    # vector scale path), then ADC top-k over the 32×-compressed codes
+    from fuserank_spark.pipeline_ext.quantization import (
+        forgy_codebooks,
+        pq_adc_topk,
+        pq_encode_arrow,
+    )
+
+    seed_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    books = forgy_codebooks([r["embedding"] for r in seed_rows], dim=64, m=8, k=16)
+    t0 = time.time()
+    codes = pq_encode_arrow(bigv, books, vec_col="embedding").persist()
+    codes.write.format("noop").mode("overwrite").save()
+    t["pq_encode"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pq_adc_topk(
+        codes, books, [(r["vec_id"], r["embedding"]) for r in seed_rows[:8]], k=10
+    ).write.format("noop").mode("overwrite").save()
+    t["pq_adc_topk8"] = round(time.time() - t0, 2)
+    codes.unpersist()
+
+    # sequence packing at volume: the bucketed two-phase cumsum must
+    # hold its shape (no global-window task) on the replicated corpus
+    from fuserank_spark.pipeline_ext.packing import pack_split
+    from fuserank_spark.pipeline_ext.textstats import token_count
+
+    toks = token_count(big, text_col="text").select("row_id", "n_tokens")
+    t0 = time.time()
+    pack_split(toks, budget=2048, key_col="row_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t["pack_split"] = round(time.time() - t0, 2)
+
     t["n_rows"] = n
     print(json.dumps(t))
 
