@@ -2095,3 +2095,78 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("column", "col_name")
         .orderBy("col_name")
     )
+
+
+# -------------------------------------------------------- OLAP breadth
+# cube (grouping sets) + pivot over orders: the subtotal/crosstab
+# shapes every analytics surface needs next to q_rollup.
+
+
+@register(
+    "q_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE subtotals (all four grouping sets) with grouping-id
+    disambiguation — Spark df.cube == DuckDB GROUP BY CUBE; NULLS
+    FIRST stated explicitly (Spark defaults nulls-first ascending,
+    DuckDB nulls-last)."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("bigint")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            gid.alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "q_pivot",
+    f"""
+    SELECT o_orderpriority,
+           {", ".join(
+               f"round(coalesce(sum(CASE WHEN o_orderstatus = '{s}' "
+               f"THEN o_totalprice END), 0.0), 4) AS total_{s}"
+               for s in _PIVOT_STATUSES
+           )}
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: priority × status total-price matrix. Spark pivot
+    with an EXPLICIT value list (no extra distinct scan, stable
+    column order) == DuckDB conditional aggregation; absent cells
+    coalesce to 0.0 on both engines."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(F.sum("o_totalprice"))
+    )
+    cols = [
+        F.round(F.coalesce(F.col(s), F.lit(0.0)), 4).alias(f"total_{s}")
+        for s in _PIVOT_STATUSES
+    ]
+    return p.select("o_orderpriority", *cols).orderBy("o_orderpriority")
