@@ -2170,3 +2170,24 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in _PIVOT_STATUSES
     ]
     return p.select("o_orderpriority", *cols).orderBy("o_orderpriority")
+
+
+@register("q_pack_greedy", None)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting next-fit packing (packing.pack_greedy) —
+    exact per-shard sequential algorithm inside applyInPandas, so no
+    SQL oracle form exists (rows-only driver check; the bin-capacity /
+    determinism / density invariants live in tests/test_assembly.py).
+    Output: every token-bearing doc with its training-bin id and the
+    per-bin fill summary joined back on."""
+    from .pipeline_ext import packing as P
+    from .pipeline_ext import textstats as TX2
+
+    toks = TX2.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    packed = P.pack_greedy(toks, budget=512)
+    fills = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_fill"), F.count(F.lit(1)).alias("bin_docs")
+    )
+    return packed.join(fills, "bin_id").select(
+        "doc_id", "n_tokens", "bin_id", "bin_fill", "bin_docs"
+    ).orderBy("doc_id")

@@ -84,3 +84,44 @@ def test_arrival_stats_batch_equivalence(spark):
     assert len(rows) > 0
     total = sum(r["n_docs"] for r in rows)
     assert total == docs.count()
+
+
+def test_mixture_and_gopher_are_stream_safe(spark, tmpdir):
+    """mixture_sample and gopher_features are stateless projections —
+    they must run unmodified on a stream and emit exactly the batch
+    result (the stream-batch equivalence Structured Streaming
+    promises for stateless ops)."""
+    from fuserank_spark.pipeline_ext.curation import mixture_sample
+    from fuserank_spark.pipeline_ext.textstats import gopher_features
+    from fuserank_spark.streaming.incremental import read_document_stream
+
+    src = f"{tmpdir}/src"
+    sink = f"{tmpdir}/sink"
+    ck = f"{tmpdir}/ck"
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.limit(200).repartition(2).write.parquet(src)
+    batch_docs = spark.read.parquet(src)
+
+    def transform(df):
+        return gopher_features(
+            mixture_sample(df, {"src0": 2.0, "src1": 0.5}, default_rate=1.0)
+        ).select("doc_id", "source", "copy_idx", "n_tokens", "gopher_pass")
+
+    stream = transform(read_document_stream(spark, src, max_files=1))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["doc_id"], r["copy_idx"], r["n_tokens"], r["gopher_pass"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["copy_idx"], r["n_tokens"], r["gopher_pass"])
+        for r in transform(batch_docs).collect()
+    )
+    assert got == want and len(got) > 0
