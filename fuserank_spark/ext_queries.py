@@ -2191,3 +2191,46 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.join(fills, "bin_id").select(
         "doc_id", "n_tokens", "bin_id", "bin_fill", "bin_docs"
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------- bloom prefilter
+
+_BLOOM_BITS = 256  # deliberately tight so false positives FIRE and get hash-checked
+
+
+def _bloom_oracle() -> str:
+    hs = [
+        portable_hash32_sql(f"concat('bloom{i}:', CAST(doc_id AS VARCHAR))")
+        + f" % {_BLOOM_BITS}"
+        for i in range(4)
+    ]
+    conds = " AND ".join(f"({h}) IN (SELECT p FROM pos)" for h in hs)
+    return f"""
+    WITH pos AS (
+      SELECT DISTINCT unnest([{", ".join(hs)}]) AS p
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id FROM documents
+    WHERE {conds}
+    ORDER BY doc_id
+    """
+
+
+@register("q_bloom", _bloom_oracle())
+def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level Bloom prefilter (partitioning.bloom_build /
+    bloom_prefilter): the small side's k=4 salted md5 positions become
+    a literal bigint bitset; the big side is cut by pure bit-test
+    expressions BEFORE any join or shuffle. The DuckDB twin states
+    membership against the distinct position set — bit-for-bit the
+    same predicate, so the hash check pins the exact survivor set
+    INCLUDING the deterministic false positives (bitset deliberately
+    tight at 256 bits here; production sizing ≥15 bits/key ≈ 1% FP).
+    No false negatives by construction — the guarantee the downstream
+    exact join relies on."""
+    from .partitioning import bloom_build, bloom_prefilter
+
+    d = _docs(spark, sf_dir)
+    small = d.filter(F.col("doc_id") % 17 == 0)
+    words = bloom_build(small, "doc_id", n_bits=_BLOOM_BITS)
+    return bloom_prefilter(d, words, "doc_id").select("doc_id").orderBy("doc_id")

@@ -98,3 +98,80 @@ def layout_corpus(
     same partitioning is reusable across encode → export stages."""
     n = max(1, df.count() // target_rows_per_partition)
     return df.repartition(n, F.col(key))
+
+
+# ------------------------------------------------------ bloom prefilter
+
+_BLOOM_K = 4
+
+
+def _bloom_positions(key_col: Column, n_bits: int, salt: str) -> list[Column]:
+    from .pipeline_ext.hashing import portable_hash32
+
+    return [
+        portable_hash32(
+            F.concat(F.lit(f"{salt}{i}:"), key_col.cast("string"))
+        ) % n_bits
+        for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_build(
+    small: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 1 << 16,
+    salt: str = "bloom",
+) -> list[int]:
+    """Build a Bloom bitset (as ``n_bits/64`` Python ints) from the
+    SMALL side of a prospective join: k=4 salted portable-md5 hash
+    positions per key, distinct-collected (bounded by ``n_bits``, not
+    by |small|). The third pattern Catalyst cannot choose for you:
+    shrinking the BIG side before it ever shuffles.
+
+    Size ``n_bits`` ≈ 15–20 bits per expected distinct key for ~1%
+    false positives (k=4 optimum near m/n=14). The bitset becomes a
+    literal array<bigint> in the probe plan — keep it ≤ a few MiB
+    (n_bits ≤ 2^24) so the plan stays broadcastable."""
+    if n_bits <= 0 or n_bits % 64 != 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    pos_cols = _bloom_positions(F.col(key_col), n_bits, salt)
+    pos = (
+        small.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit (Spark bigint literals)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    words: list[int],
+    key_col: str,
+    *,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Keep only big-side rows whose key MIGHT be in the small side:
+    all k bloom bits set. Pure projection+filter — zero shuffle, no
+    join; runs inside whole-stage codegen via element_at + shiftright
+    + bitwiseAND on the literal word array. NO false negatives (a
+    matching key always survives — the property the downstream exact
+    join relies on); false-positive rows merely ride to that join.
+
+    At 100 TB this is the difference between shuffling the full big
+    side into a SortMergeJoin and shuffling ~|matches| + FP·|big|
+    rows: for a 1% FP bloom of a small dimension, a ~99% shuffle cut
+    without touching the join's correctness."""
+    n_bits = len(words) * 64
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = None
+    for pos in _bloom_positions(F.col(key_col), n_bits, salt):
+        word = F.element_at(arr, F.floor(pos / F.lit(64)).cast("int") + F.lit(1))
+        c = F.bit_get(word, (pos % 64).cast("int")) == 1
+        cond = c if cond is None else (cond & c)
+    return big.filter(cond)

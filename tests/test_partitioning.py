@@ -51,3 +51,57 @@ def test_salted_agg_matches_plain(spark):
     got = [(r["l_returnflag"], r["count"], round(r["sum_l_quantity"], 4)) for r in salted.collect()]
     exp = [(r["l_returnflag"], r["count"], round(r["sum_l_quantity"], 4)) for r in plain.collect()]
     assert got == exp
+
+
+# -------------------------------------------------------- bloom prefilter
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key of the small side MUST survive the prefilter — the
+    guarantee the downstream exact join relies on."""
+    from fuserank_spark.partitioning import bloom_build, bloom_prefilter
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = d.filter(F.col("doc_id") % 13 == 0)
+    words = bloom_build(small, "doc_id", n_bits=256)
+    kept = {r["doc_id"] for r in bloom_prefilter(d, words, "doc_id").select("doc_id").collect()}
+    truth = {r["doc_id"] for r in small.select("doc_id").collect()}
+    assert truth <= kept
+
+
+def test_bloom_fp_rate_shrinks_with_bits(spark):
+    from fuserank_spark.partitioning import bloom_build, bloom_prefilter
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = d.filter(F.col("doc_id") % 13 == 0)
+    truth = small.count()
+    tight = bloom_prefilter(
+        d, bloom_build(small, "doc_id", n_bits=256), "doc_id"
+    ).count()
+    wide = bloom_prefilter(
+        d, bloom_build(small, "doc_id", n_bits=1 << 14), "doc_id"
+    ).count()
+    assert truth <= wide <= tight
+    assert wide - truth <= 2  # 16k bits for ~40 keys: FPs ~0
+
+
+def test_bloom_plan_is_shuffle_free(spark):
+    from fuserank_spark.partitioning import bloom_build, bloom_prefilter
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = bloom_build(d.filter(F.col("doc_id") % 13 == 0), "doc_id", n_bits=256)
+    plan = (
+        bloom_prefilter(d, words, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bloom_build_guards(spark):
+    from fuserank_spark.partitioning import bloom_build
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(d, "doc_id", n_bits=100)
