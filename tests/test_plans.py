@@ -242,3 +242,55 @@ def test_brute_force_arrow_path_is_mapinpandas(spark):
     p = plan_str(brute_force_knn(e, q, k=5, use_arrow=True))
     assert "MapInPandas" in p
     assert "CartesianProduct" not in p
+
+
+def test_pack_split_never_single_partition_window(spark):
+    """The offset cumsum must run per hash-bucket — an empty
+    partitionBy window would plan Exchange SinglePartition and put
+    the whole corpus on one task."""
+    from fuserank_spark.pipeline_ext.packing import pack_split
+    from fuserank_spark.pipeline_ext.textstats import token_count
+
+    d = token_count(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).select("doc_id", "n_tokens")
+    plan = (
+        pack_split(d, budget=512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan  # prefix offsets fold in as a literal map
+
+
+def test_mixture_and_gopher_shuffle_free(spark):
+    from fuserank_spark.pipeline_ext.curation import mixture_sample
+    from fuserank_spark.pipeline_ext.textstats import gopher_features
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        mixture_sample(d, {"src0": 2.5}, default_rate=0.5),
+        gopher_features(d),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_ivf_pq_isin_prunes_cells(spark):
+    """The probed-cell restriction must appear as a static In filter
+    (partition-prunable under an ivf_persist layout), not as a join."""
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext import quantization as Q
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    cents = np.array([r["embedding"] for r in rows[:8]], dtype="float64")
+    books = Q.forgy_codebooks([r["embedding"] for r in rows], dim=64, m=8, k=16)
+    codes = Q.pq_encode(ivf_assign(e, cents), books)
+    out = Q.ivf_pq_knn(codes, cents, books, [(0, rows[0]["embedding"])], k=5, nprobe=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "centroid_id IN" in plan or "centroid_id#" in plan and " IN (" in plan
+    assert "CartesianProduct" not in plan
