@@ -1526,22 +1526,18 @@ def _bm25_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> tuple[str,
     bit-for-bit), then idf·tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) summed
     in the same association order as bm25_score_expr.
 
-    Cross-library ln assumption (ADVICE r3): idf is Python
-    math.log on the Spark side (a driver-side literal) and DuckDB
-    ln() here. tf/dl/avgdl are exact in double, but ln is not
-    guaranteed bit-identical across libm implementations — a
-    last-ulp divergence landing exactly on a round(score, 6)
-    boundary could flip the hash gate on other data. Both sides on
-    this container use the same glibc libm (and IEEE-correctly-
-    rounded inputs), so the gate holds; if it ever flips on new
-    data, round idf itself to a coarse fixed precision on BOTH
-    sides before it enters the score."""
+    idf is rounded to 9 decimals on BOTH sides before it enters the
+    score (retrieval.idf_value does the same): ln is the one input
+    not guaranteed bit-identical across libm implementations, and a
+    last-ulp divergence landing on a round(score, 6) boundary would
+    flip the hash gate (ADVICE r3 fragility, fixed r5). tf/dl/avgdl
+    are exact in double and need no such treatment."""
     df_cols = ", ".join(
         f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
         for i, t in enumerate(terms)
     )
     contribs = " + ".join(
-        f"(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * "
+        f"(round(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)), 9) * "
         f"(CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE) * {k1 + 1.0}) / "
         f"(CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE) + "
         f"{k1} * (1.0 - {b} + {b} * d.dl / s.avgdl)))"
@@ -1809,7 +1805,11 @@ def _pq_oracle(dim: int = 64, k: int = 10) -> str:
                       i -> s.sv[i] * b.cvec[i])) AS part
       FROM qsub s JOIN cbq b ON s.j = b.j
     ), scored AS (
-      SELECT l.query_id, c.vec_id, sum(l.part) AS adc
+      -- round BEFORE ranking: the GROUP BY sum folds the m parts in
+      -- arbitrary order vs Spark's fixed-order sum, so ranks must be
+      -- taken over the rounded score to share a tie-break domain
+      -- (the Spark side rounds identically in pq_adc_topk)
+      SELECT l.query_id, c.vec_id, round(sum(l.part), 6) AS adc
       FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
       GROUP BY l.query_id, c.vec_id
     ), ranked AS (
@@ -1818,7 +1818,7 @@ def _pq_oracle(dim: int = 64, k: int = 10) -> str:
                                 ORDER BY adc DESC, vec_id) AS rnk
       FROM scored
     )
-    SELECT query_id, vec_id, rnk, round(adc, 6) AS adc
+    SELECT query_id, vec_id, rnk, adc
     FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
 """
 

@@ -37,6 +37,17 @@ def profile(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
     missing = [c for c in cols if c not in dtypes]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    bad = [
+        c
+        for c in cols
+        if not (dtypes[c] in numeric or dtypes[c].startswith("decimal"))
+    ]
+    if bad:
+        raise ValueError(
+            "profile() aggregates (mean/percentile/min-max-as-double) need "
+            f"numeric columns; non-numeric: {[(c, dtypes[c]) for c in bad]}"
+        )
     aggs = []
     for c in cols:
         col = F.col(c)

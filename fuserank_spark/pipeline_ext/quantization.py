@@ -101,9 +101,10 @@ def train_pq(
     at most ``sample_n`` rows, like simsearch.ivf_build's bounded
     training. Returns (m, k, dim/m) float64 codebooks.
 
-    Empty-cluster repair: a cluster that loses all members is re-
-    seeded to the sample point farthest from its nearest centroid
-    (deterministic, no RNG in the loop)."""
+    Empty-cluster repair: clusters that lose all members are re-
+    seeded to DISTINCT sample points, in decreasing order of distance
+    from their nearest centroid (deterministic, no RNG in the loop);
+    simultaneously-empty clusters never collapse onto one point."""
     rows = (
         embeddings.orderBy(id_col)
         .limit(sample_n)
@@ -123,12 +124,17 @@ def train_pq(
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            far_order = np.argsort(-d2.min(axis=1), kind="stable")
+            next_far = 0
             for c in range(k):
                 mask = assign == c
                 if mask.any():
                     cents[c] = sub[mask].mean(axis=0)
                 else:
-                    cents[c] = sub[d2.min(axis=1).argmax()]
+                    # each empty cluster takes the NEXT farthest point
+                    # so two empties never share a centroid
+                    cents[c] = sub[far_order[next_far]]
+                    next_far += 1
         books.append(cents)
     return np.array(books, dtype="float64")
 
@@ -160,8 +166,27 @@ def pq_encode(
     unrolled 2·m·k-term expression compiles ~7s of Janino codegen
     before the first row, the HOF loop form compiles instantly at
     identical results (bit-equality pinned by the q_pq_knn oracle
-    and the arrow-twin test). Output code array is array<int>."""
+    and the arrow-twin test). Output code array is array<int>.
+
+    A short / long / NULL vector would otherwise slice to nulls and
+    silently produce wrong codes — guarded with raise_error, the
+    runtime mirror of train_pq's dim check."""
     m, k, _w = codebooks.shape
+    dim = m * _w
+    df = df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pq_encode: vector length != {dim} (got "),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
+                    F.lit(")"),
+                )
+            )
+        ),
+    )
     slices = subspace_slices(m * _w, m)
     code_cols = []
     for j, (s, e) in enumerate(slices):
@@ -234,6 +259,11 @@ def pq_encode_arrow(
             if len(vecs) == 0:
                 yield pd.DataFrame({n: pdf[n] for n in names} | {out_col: []})
                 continue
+            if vecs.ndim != 2 or vecs.shape[1] != m * w:
+                raise ValueError(
+                    f"pq_encode_arrow: vector length != {m * w} "
+                    f"(batch shape {vecs.shape})"
+                )
             codes = np.empty((len(vecs), m), dtype="int32")
             for j in range(m):
                 sub = vecs[:, j * w : (j + 1) * w]
@@ -288,8 +318,14 @@ def pq_adc_topk(
     spark = codes.sparkSession
     m = codebooks.shape[0]
     luts = _lut_frame(spark, codebooks, queries)
+    # rank on the ROUNDED score: Spark sums the m LUT terms in fixed
+    # order while a SQL oracle's GROUP BY sum folds arbitrarily, so
+    # near-tied raw doubles could flip ranks across engines; rounding
+    # before ranking makes the tie-break domain identical.
     scored = codes.crossJoin(F.broadcast(luts)).select(
-        "query_id", F.col(key_col), _adc_score_expr(code_col, m).alias("adc")
+        "query_id",
+        F.col(key_col),
+        F.round(_adc_score_expr(code_col, m), 6).alias("adc"),
     )
     return _finish_topk(
         scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
@@ -408,7 +444,12 @@ def ivf_pq_knn(
         codes.filter(F.col(cell_col).isin(probed_cells))
         .join(F.broadcast(probes), cell_col)
         .join(F.broadcast(luts), "query_id")
-        .select("query_id", F.col(key_col), _adc_score_expr(code_col, m).alias("adc"))
+        .select(
+            "query_id",
+            F.col(key_col),
+            # rounded before ranking — same rationale as pq_adc_topk
+            F.round(_adc_score_expr(code_col, m), 6).alias("adc"),
+        )
     )
     return _finish_topk(
         scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark

@@ -66,8 +66,15 @@ def _check_terms(terms: list[str]) -> None:
 
 def idf_value(n: int, df: int) -> float:
     """Lucene-form BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)).
-    Always positive, so a matching term never penalizes a doc."""
-    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    Always positive, so a matching term never penalizes a doc.
+
+    Rounded to 9 decimals BEFORE entering any score: ln is the one
+    input not guaranteed bit-identical across libm implementations
+    (Python math.log here vs a SQL engine's ln()), and a last-ulp
+    divergence landing on a round(score, 6) boundary would flip the
+    differential hash gate. Oracle twins round their ln identically
+    (ADVICE r3 / VERDICT r4 'What's wrong' #1)."""
+    return round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 9)
 
 
 def bm25_corpus_stats(
