@@ -1847,6 +1847,137 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.pq_adc_topk(codes, books, queries, k=10).orderBy("query_id", "rnk")
 
 
+_PQT_SAMPLE, _PQT_ITERS = 256, 2
+
+
+def _lloyd_iter_ctes(t: int, prev: str, w: int) -> str:
+    """One unrolled portable-Lloyd iteration as CTE text: assign each
+    sample subvector to its nearest ``prev`` centroid (sequential-fold
+    distance, lowest-code tie-break), per-dimension member mean
+    quantized by the EXPLICIT half-up formula floor(x·1e9 + 0.5)/1e9
+    (same three IEEE ops as quantization._round9 — bit-identical to
+    the Python trainer, unlike engine round() whose half-way rule
+    differs from Python's banker's rounding), empty clusters keep
+    their previous centroid via LEFT JOIN + coalesce."""
+    return f"""a{t} AS (
+      SELECT s.vec_id, s.j, s.sv, b.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY list_sum(list_transform(b.cvec, x -> x * x))
+                        - 2 * list_sum(list_transform(range(1, {w + 1}),
+                              i -> s.sv[i] * b.cvec[i])) ASC,
+                        b.code ASC) AS rn
+      FROM ssub s JOIN {prev} b ON s.j = b.j
+    ), m{t} AS (
+      SELECT vec_id, j, sv, code FROM a{t} WHERE rn = 1
+    ), u{t} AS (
+      SELECT j, code, t.i,
+             floor((sum(sv[t.i]) / count(*)) * 1000000000.0 + 0.5)
+               / 1000000000.0 AS val
+      FROM m{t} CROSS JOIN generate_series(1, {w}) t(i)
+      GROUP BY j, code, t.i
+    ), uv{t} AS (
+      SELECT j, code, list(val ORDER BY i) AS cvec FROM u{t} GROUP BY j, code
+    ), cb{t} AS (
+      SELECT b.code, b.j, coalesce(u.cvec, b.cvec) AS cvec
+      FROM {prev} b LEFT JOIN uv{t} u ON b.j = u.j AND b.code = u.code
+    )"""
+
+
+def _pq_trained_oracle(k: int = 10) -> str:
+    """DuckDB twin of PORTABLE Lloyd training (train_pq portable=True)
+    + PQ encode + ADC top-k. Training is unrolled as _PQT_ITERS CTE
+    iterations over the first _PQT_SAMPLE vectors (Forgy init from the
+    first k sample rows); centroid updates are quantized to 9 decimals
+    on both sides, which absorbs the engine-dependent member-sum fold
+    order before it can feed the next argmin (the residual risk — a
+    mean landing within a fold-order ulp of a 5e-10 boundary AND that
+    flip mattering to a later discrete argmin — is the same accepted
+    class as q_pq_knn's GROUP-BY-sum note). Serve tail is identical to
+    _pq_oracle with the trained codebooks in place of raw Forgy."""
+    m, w, kc = _PQ_M, _PQ_W, _PQ_K
+    iters = "".join(
+        ", " + _lloyd_iter_ctes(t, f"cb{t - 1}", w)
+        for t in range(1, _PQT_ITERS + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), esub AS (
+      SELECT e.vec_id, t.j,
+             list_transform(range(t.j*{w}+1, t.j*{w}+{w}+1), i -> e.v[i]) AS sv
+      FROM e CROSS JOIN generate_series(0, {m - 1}) t(j)
+    ), ssub AS (
+      SELECT * FROM esub WHERE vec_id < {_PQT_SAMPLE}
+    ), cb0 AS (
+      SELECT CAST(vec_id AS INT) AS code, j, sv AS cvec
+      FROM ssub WHERE vec_id < {kc}
+    ){iters}, cbq AS (
+      SELECT code, j, cvec,
+             list_sum(list_transform(cvec, x -> x * x)) AS csq
+      FROM cb{_PQT_ITERS}
+    ), enc AS (
+      SELECT s.vec_id, s.j, b.code,
+             row_number() OVER (
+               PARTITION BY s.vec_id, s.j
+               ORDER BY b.csq - 2 * list_sum(list_transform(range(1, {w + 1}),
+                        i -> s.sv[i] * b.cvec[i])) ASC,
+                        b.code ASC) AS rn
+      FROM esub s JOIN cbq b ON s.j = b.j
+    ), codes AS (
+      SELECT vec_id, j, code FROM enc WHERE rn = 1
+    ), qsub AS (
+      SELECT vec_id AS query_id, j, sv FROM esub WHERE vec_id < 3
+    ), lut AS (
+      SELECT s.query_id, s.j, b.code,
+             list_sum(list_transform(range(1, {w + 1}),
+                      i -> s.sv[i] * b.cvec[i])) AS part
+      FROM qsub s JOIN cbq b ON s.j = b.j
+    ), scored AS (
+      SELECT l.query_id, c.vec_id, round(sum(l.part), 6) AS adc
+      FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+      GROUP BY l.query_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, rnk, adc
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+@register("q_pq_trained", _pq_trained_oracle())
+def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-TRAINED PQ under the oracle gate (VERDICT r4 next-round
+    #3): train_pq(portable=True) runs the cross-engine-deterministic
+    Lloyd variant (sequential folds, 9-decimal centroid quantization,
+    keep-previous empty repair) on the first 256 vectors, then the
+    REAL serve machinery (pq_encode + pq_adc_topk) scores the full
+    corpus; the DuckDB twin re-derives the training itself as
+    unrolled CTE iterations and hash-checks the served scores —
+    training, encode, and ADC all under one differential check.
+    Reference analog: the trained-quantizer IVF serve arm
+    (/root/reference/src/eval/milvus_experiment.py:32)."""
+    from .pipeline_ext import quantization as Q
+
+    e = _emb(spark, sf_dir)
+    books = Q.train_pq(
+        e,
+        dim=64,
+        m=_PQ_M,
+        k=_PQ_K,
+        sample_n=_PQT_SAMPLE,
+        iters=_PQT_ITERS,
+        portable=True,
+    )
+    codes = Q.pq_encode(e, books, vec_col="embedding")
+    seed_rows = e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in seed_rows]
+    return Q.pq_adc_topk(codes, books, queries, k=10).orderBy("query_id", "rnk")
+
+
 _PQ_CACHE: dict = {}
 
 

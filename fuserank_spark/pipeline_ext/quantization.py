@@ -70,6 +70,19 @@ def _seq_dot(a, b) -> float:
     return acc
 
 
+def _round9(x: float) -> float:
+    """Portable half-up decimal rounding to 9 places: the EXPLICIT
+    IEEE formula ``floor(x·1e9 + 0.5)/1e9`` rather than Python's
+    banker's ``round`` or an engine's round() — a SQL twin evaluates
+    the very same three IEEE ops on the same double and lands on the
+    same bits. Used by portable Lloyd centroid updates, where the
+    member-sum fold order is engine-dependent and must be quantized
+    away before it feeds the next iteration's argmin."""
+    import math as _m
+
+    return _m.floor(x * 1e9 + 0.5) / 1e9
+
+
 def forgy_codebooks(rows: list, dim: int, m: int, k: int) -> np.ndarray:
     """Codebooks frozen as the subvectors of the first ``k`` corpus
     vectors (Forgy seeding): codebooks[j][c] = rows[c][slice_j].
@@ -95,6 +108,7 @@ def train_pq(
     sample_n: int = 4096,
     iters: int = 10,
     seed: int = 42,
+    portable: bool = False,
 ) -> np.ndarray:
     """Train per-subspace codebooks with Lloyd k-means on a BOUNDED
     deterministic sample (orderBy id, limit) — driver-side numpy over
@@ -104,16 +118,31 @@ def train_pq(
     Empty-cluster repair: clusters that lose all members are re-
     seeded to DISTINCT sample points, in decreasing order of distance
     from their nearest centroid (deterministic, no RNG in the loop);
-    simultaneously-empty clusters never collapse onto one point."""
+    simultaneously-empty clusters never collapse onto one point.
+
+    ``portable=True`` runs the CROSS-ENGINE-DETERMINISTIC Lloyd
+    variant (same objective, three differences that make every
+    centroid bit-reproducible in a SQL engine, enabling the
+    q_pq_trained differential oracle):
+    * Forgy init from the FIRST k sample rows (derivable in SQL; no
+      RNG), like forgy_codebooks;
+    * centroid updates quantized with :func:`_round9` — member-sum
+      fold order is engine-dependent, so the mean is rounded to 9
+      decimals before feeding the next argmin;
+    * empty clusters KEEP their previous centroid (a LEFT JOIN +
+      coalesce in SQL) instead of farthest-point reseeding.
+    All distance sums fold sequentially (DuckDB list_sum order)."""
     rows = (
         embeddings.orderBy(id_col)
         .limit(sample_n)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(f"sample has {len(rows)} rows < k={k} codes")
+    if portable:
+        return _train_pq_portable([r["v"] for r in rows], dim, m, k, iters)
     x = np.array([r["v"] for r in rows], dtype="float64")
-    if x.shape[0] < k:
-        raise ValueError(f"sample has {x.shape[0]} rows < k={k} codes")
     if x.shape[1] != dim:
         raise ValueError(f"vectors are {x.shape[1]}-dim, expected {dim}")
     rng = np.random.default_rng(seed)
@@ -135,6 +164,45 @@ def train_pq(
                     # so two empties never share a centroid
                     cents[c] = sub[far_order[next_far]]
                     next_far += 1
+        books.append(cents)
+    return np.array(books, dtype="float64")
+
+
+def _train_pq_portable(
+    sample: list, dim: int, m: int, k: int, iters: int
+) -> np.ndarray:
+    """Pure-Python sequential-arithmetic Lloyd (see train_pq
+    ``portable=True``). Every float op here has an exact SQL twin:
+    distances fold left-to-right over each w-dim subvector, member
+    sums accumulate in sample order but are quantized by _round9
+    before use, assignment ties break to the lowest code id."""
+    if any(len(v) != dim for v in sample):
+        raise ValueError(f"portable sample has vectors != {dim}-dim")
+    slices = subspace_slices(dim, m)
+    books = []
+    for s, e in slices:
+        w = e - s
+        sub = [[float(v) for v in row[s:e]] for row in sample]
+        cents = [list(sub[c]) for c in range(k)]
+        for _ in range(iters):
+            csqs = [_seq_dot(c, c) for c in cents]
+            sums = [[0.0] * w for _ in range(k)]
+            counts = [0] * k
+            for row in sub:
+                best, bestd = 0, None
+                for c in range(k):
+                    d = csqs[c] - 2.0 * _seq_dot(row, cents[c])
+                    if bestd is None or d < bestd:
+                        best, bestd = c, d
+                for i in range(w):
+                    sums[best][i] += row[i]
+                counts[best] += 1
+            for c in range(k):
+                if counts[c]:
+                    cents[c] = [
+                        _round9(sums[c][i] / counts[c]) for i in range(w)
+                    ]
+                # else: keep previous centroid (SQL: LEFT JOIN + coalesce)
         books.append(cents)
     return np.array(books, dtype="float64")
 

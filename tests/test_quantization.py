@@ -62,6 +62,47 @@ def test_train_pq_deterministic_and_shaped(emb):
     assert np.array_equal(b1, b2)
 
 
+def test_train_pq_portable_properties(emb):
+    """Portable Lloyd: deterministic, 9-decimal-quantized centroids,
+    and a LOWER total quantization error than its own Forgy init
+    (Lloyd iterations must not hurt the objective)."""
+    kw = dict(dim=64, m=8, k=16, sample_n=256, iters=2)
+    b1 = Q.train_pq(emb, portable=True, **kw)
+    b2 = Q.train_pq(emb, portable=True, **kw)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+    # every updated coordinate sits exactly on the 1e-9 grid
+    assert np.allclose(b1 * 1e9, np.round(b1 * 1e9), atol=1e-5)
+    sample = np.array(
+        [
+            r["v"]
+            for r in emb.orderBy("vec_id")
+            .limit(256)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .collect()
+        ]
+    )
+    forgy = Q.forgy_codebooks([list(v) for v in sample[:16]], dim=64, m=8, k=16)
+
+    def sq_err(books):
+        tot = 0.0
+        for j in range(8):
+            sub = sample[:, j * 8 : (j + 1) * 8]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).sum()
+        return tot
+
+    assert sq_err(b1) <= sq_err(forgy)
+
+
+def test_round9_half_up_formula():
+    """_round9 is the explicit floor(x*1e9+0.5)/1e9 — half-up, NOT
+    Python banker's round (the SQL twin evaluates the same ops)."""
+    assert Q._round9(-1.25e-9) == -1e-9
+    assert Q._round9(0.123456789123) == 0.123456789
+    assert Q._round9(-0.1234567894) == -0.123456789
+
+
 def test_adc_lut_rejects_wrong_dim(forgy_books):
     with pytest.raises(ValueError, match="dim"):
         Q.adc_lut(forgy_books, [0.0] * 63)
