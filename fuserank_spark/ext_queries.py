@@ -2365,3 +2365,68 @@ def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = d.filter(F.col("doc_id") % 17 == 0)
     words = bloom_build(small, "doc_id", n_bits=_BLOOM_BITS)
     return bloom_prefilter(d, words, "doc_id").select("doc_id").orderBy("doc_id")
+
+
+# ----------------------------------------------------- Y-layer oracle
+# Frozen-parameter numeric transforms (transforms.FittedTransform):
+# the closed-form APPLY path of Y1-Y4 is SQL-expressible, so it can
+# sit under the hash gate (VERDICT r4 next-round #5). λ-FITTING stays
+# driver-side (scipy mle / grid search, not SQL-expressible) and is
+# unit-tested against scipy in test_transforms_schema.py.
+
+_YJ_LAMBDA = 0.5  # frozen: both engines apply the same closed form
+
+_TRANSFORM_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS q,
+             CAST(l_quantity AS DOUBLE) - 25.0 AS cq,
+             CAST(l_discount AS DOUBLE) AS disc,
+             CAST(l_extendedprice AS DOUBLE) AS price
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(CASE WHEN cq >= 0
+                 THEN (pow(cq + 1.0, {_YJ_LAMBDA}) - 1.0) / {_YJ_LAMBDA}
+                 ELSE -(pow(-cq + 1.0, {2.0 - _YJ_LAMBDA}) - 1.0)
+                      / {2.0 - _YJ_LAMBDA} END, 6) AS yj_qty,
+           round(1.0 / (disc + 1e-10), 6) AS inv_disc,
+           round(log2(q + 1.0), 6) AS log2_qty,
+           round(sqrt(price), 6) AS sqrt_price
+    FROM li ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("q_transform", _TRANSFORM_ORACLE)
+def q_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y-layer apply path under the oracle gate: Yeo-Johnson with a
+    FROZEN λ=0.5 (both branches exercised by centering l_quantity at
+    25), inverse (1/(x+1e-10)), log2(x+1), and sqrt — all through
+    transforms.FittedTransform.expr, the same closed-form Column
+    expressions the query compiler layers over corpora
+    (reference: /root/reference/src/transform.py:32-72). Application
+    is pure whole-stage-codegen arithmetic; at 100 TB it rides the
+    scan with zero extra shuffles. pow/log2/sqrt cross-libm ulp risk
+    is absorbed by round(,6) — the accepted class used by every
+    cosine/ln entry."""
+    from .transforms import FittedTransform
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).filter(
+        F.col("l_orderkey") % 10 == 0
+    )
+    yj = FittedTransform("yeojohnson", lmbda=_YJ_LAMBDA)
+    centered = F.col("l_quantity").cast("double") - F.lit(25.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(yj.expr(centered), 6).alias("yj_qty"),
+        F.round(FittedTransform("inverse").expr(F.col("l_discount")), 6).alias(
+            "inv_disc"
+        ),
+        F.round(FittedTransform("log").expr(F.col("l_quantity")), 6).alias(
+            "log2_qty"
+        ),
+        F.round(FittedTransform("sqrt").expr(F.col("l_extendedprice")), 6).alias(
+            "sqrt_price"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
