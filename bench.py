@@ -143,6 +143,14 @@ def main() -> None:
     recall_mean = round(sum(r["recall"] for r in eval_results) / len(eval_results), 4)
     times["eval_recall_sweep"] = round(time.time() - t0, 3)
 
+    # fused-IVF quality tracker: recall@10 of the pruned serve path
+    # vs the exact fused scan at the oracle entry's nprobe=3 (of 8)
+    from fuserank_spark.flagship import fused_ivf_recall_at_k
+
+    t0 = time.time()
+    ivf_recall = round(fused_ivf_recall_at_k(spark, sf_dir, k=10, nprobe=3), 4)
+    times["eval_fused_ivf_recall"] = round(time.time() - t0, 3)
+
     total = round(sum(t for t in times.values() if t >= 0), 3)
     out = {
         "metric": "total_query_wall_sec",
@@ -154,6 +162,7 @@ def main() -> None:
         "topk_queries_per_sec": round(32 / batch_sec, 2) if batch_sec > 0 else None,
         "topk256_queries_per_sec": round(256 / batch256_sec, 2) if batch256_sec > 0 else None,
         "fused_recall_at_10": recall_mean,
+        "fused_ivf_recall_at_10": ivf_recall,
     }
     print(json.dumps(out))
 

@@ -232,6 +232,29 @@ def report(spark: SparkSession, results: list[dict]) -> DataFrame:
     )
 
 
+def fused_ivf_nprobe_sweep(
+    spark: SparkSession, sf_dir: str, nprobes=(1, 2, 3, 4, 8), k: int = 10
+) -> DataFrame:
+    """Recall@k of the fused-IVF serve path per nprobe, against the
+    exact fused scan (the ann-index analog of the harmonics sweep;
+    reference eval loop src/eval/evaluate.py:156-202). One corpus
+    build is shared across the sweep; recall at nprobe=n_cells is
+    1.0 by construction and anchors the table."""
+    from .flagship import build_corpus, fused_ivf_recall_at_k
+
+    corpus = build_corpus(spark, sf_dir)
+    corpus.encoded = corpus.encoded.persist()
+    corpus.encoded.count()
+    try:
+        rows = [
+            (int(np_), float(fused_ivf_recall_at_k(spark, sf_dir, k=k, nprobe=np_, corpus=corpus)))
+            for np_ in nprobes
+        ]
+    finally:
+        corpus.encoded.unpersist()
+    return spark.createDataFrame(rows, "nprobe int, recall double")
+
+
 def main() -> None:
     """CLI twin of the reference's `python src/eval/evaluate.py`
     (evaluate.py:205-242): run the sweep, print the grouped report."""
@@ -261,6 +284,7 @@ def main() -> None:
             )
         )
     report(spark, all_results).show(truncate=False)
+    fused_ivf_nprobe_sweep(spark, args.sf_dir, k=args.k).show(truncate=False)
 
 
 if __name__ == "__main__":

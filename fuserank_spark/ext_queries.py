@@ -1039,8 +1039,12 @@ def q_restaurants_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _flagship_oracle() -> str:
-    """DuckDB twin of the FLAGSHIP fused query — the whole engine in
+def _flagship_parts() -> tuple:
+    """(shared CTE block, bucketed-source expr, K, D) for the
+    flagship fused oracle and the fused-IVF oracle — the CTE block
+    derives everything through ``scored`` (per-doc fused relevance).
+
+    DuckDB twin of the FLAGSHIP fused query — the whole engine in
     one SQL string: hashed-BOW text embed (64-d), sparse lang segment,
     the dense Fourier product block (half-circle + K=64 Lanczos-damped
     harmonics + bias + null-ind) against the interval-integral query
@@ -1169,7 +1173,12 @@ def _flagship_oracle() -> str:
       JOIN txt ON txt.doc_id = d.doc_id
       JOIN cvec ON cvec.doc_id = d.doc_id
       CROSS JOIN qseg
-    )
+    )""", src, K, D
+
+
+def _flagship_oracle() -> str:
+    ctes, src, _K, _D = _flagship_parts()
+    return f"""{ctes}
     SELECT doc_id AS row_id, lang, {src} AS source, n_chars,
            round(rel, 6) AS relevance
     FROM scored
@@ -1187,6 +1196,82 @@ def q_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .flagship import flagship_query
 
     return flagship_query(spark, sf_dir)
+
+
+_FUSED_IVF_NPROBE = 3
+
+
+def _fused_ivf_oracle(k: int = 10) -> str:
+    """DuckDB twin of the fused-IVF serve path (flagship.
+    fused_ivf_query): on top of the shared flagship CTEs it
+    re-derives (1) the frozen coarse quantizer — fused vectors of
+    docs 0..7 — and each doc's cell by MAX rounded inner product,
+    decomposed into the modality component sums (text BOW dot +
+    lang one-hot match + bucketed-source one-hot match + dense
+    product dot; one-hot blocks dot to a null-guarded equality CASE);
+    (2) the probe set — top-nprobe cells by the centroid docs' own
+    rounded fused relevance (IP(query, centroid) IS scored.rel at the
+    centroid doc); (3) exact top-k restricted to probed cells.
+    Assignment/probe scores are rounded to 6 on both engines so the
+    different sum fold orders share one tie-break domain."""
+    ctes, src, K, D = _flagship_parts()
+    nc, npr = 8, _FUSED_IVF_NPROBE
+    return f"""{ctes}, db AS (
+      SELECT d.doc_id, {src} AS bsrc, d.lang, txt.tv, cvec.cv
+      FROM d
+      JOIN txt ON txt.doc_id = d.doc_id
+      JOIN cvec ON cvec.doc_id = d.doc_id
+    ), cent AS (
+      SELECT doc_id AS cid, bsrc AS csrc, lang AS clang, tv AS ctv, cv AS ccv
+      FROM db WHERE doc_id < {nc}
+    ), ipm AS (
+      SELECT db.doc_id, c.cid,
+             round(
+               list_sum(list_transform(range(1, {D + 1}),
+                        i -> db.tv[i] * c.ctv[i]))
+               + CASE WHEN db.lang IS NOT NULL AND db.lang = c.clang
+                      THEN 1.0 ELSE 0.0 END
+               + CASE WHEN db.bsrc IS NOT NULL AND db.bsrc = c.csrc
+                      THEN 1.0 ELSE 0.0 END
+               + list_sum(list_transform(range(1, {2 * K + 6}),
+                        i -> db.cv[i] * c.ccv[i])), 6) AS ip
+      FROM db CROSS JOIN cent c
+    ), cells AS (
+      SELECT doc_id, cid FROM (
+        SELECT doc_id, cid,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY ip DESC, cid ASC) AS rn
+        FROM ipm
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT doc_id AS cid FROM scored WHERE doc_id < {nc}
+      ORDER BY round(rel, 6) DESC, doc_id ASC LIMIT {npr}
+    )
+    SELECT s.doc_id AS row_id, s.lang, {src} AS source,
+           s.n_chars, round(s.rel, 6) AS relevance
+    FROM scored s
+    JOIN cells ce ON ce.doc_id = s.doc_id
+    WHERE ce.cid IN (SELECT cid FROM probes)
+    ORDER BY s.rel DESC, s.doc_id
+    LIMIT {k}
+"""
+
+
+@register("q_fused_ivf", _fused_ivf_oracle())
+def q_fused_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused search over the ANN serve path (VERDICT r4 next-round
+    #6) — the reference's 'IVF index + fused query' shape (Milvus
+    IVF_FLAT arm, /root/reference/src/eval/milvus_experiment.py:32)
+    end-to-end: fused encode → IP cell assignment against a frozen
+    8-cell quantizer → probe top-3 cells → exact IP top-k over only
+    the probed cells (flagship.fused_ivf_query). The cell filter is
+    a static isin — over an ivf_persist'ed corpus it prunes
+    partitions, so each query reads nprobe/n_cells of a 100 TB
+    corpus; recall vs the exact fused scan is tracked by
+    flagship.fused_ivf_recall_at_k in the eval harness."""
+    from .flagship import fused_ivf_query
+
+    return fused_ivf_query(spark, sf_dir, k=10, nprobe=_FUSED_IVF_NPROBE)
 
 
 # ======================================================================

@@ -92,3 +92,96 @@ def flagship_query(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     cq = flagship_compiled(corpus)
     hits = topk(corpus.encoded, cq.vector, k=k)
     return hits.select("row_id", "lang", "source", "n_chars", F.round("relevance", 6).alias("relevance"))
+
+
+FUSED_IVF_CELLS = 8
+
+
+def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int):
+    """(assigned, compiled_query, probed_cells) for the fused-IVF
+    serve path — split out so callers can persist ``assigned``
+    partitioned by centroid_id (simsearch.ivf_persist) and reuse it
+    across queries, which is the actual 100 TB posture: one
+    assignment pass, then every query scans nprobe/n_cells of the
+    corpus via partition pruning.
+
+    Coarse quantizer: the fused vectors of the first FUSED_IVF_CELLS
+    row_ids, FROZEN derivably (both engines reconstruct them from the
+    data — the q_ivf_knn pattern). Cells are assigned by MAXIMUM
+    INNER PRODUCT (metric='ip'), matching the fused relevance
+    geometry, with the score rounded to 6 so a SQL twin's different
+    sum fold order shares the tie-break domain. Probe selection is
+    driver-side over the tiny centroid matrix: top-nprobe cells by
+    rounded IP(query, centroid), ties to the lowest cell id."""
+    import numpy as np
+
+    from .pipeline_ext.simsearch import ivf_assign
+
+    cent_rows = (
+        corpus.encoded.filter(F.col("row_id") < FUSED_IVF_CELLS)
+        .orderBy("row_id")
+        .select("vector")
+        .collect()
+    )
+    if len(cent_rows) < FUSED_IVF_CELLS:
+        raise ValueError(f"corpus has fewer than {FUSED_IVF_CELLS} rows")
+    cents = np.array([r["vector"] for r in cent_rows], dtype="float64")
+    assigned = ivf_assign(
+        corpus.encoded, cents, vec_col="vector", metric="ip", score_round=6
+    )
+    cq = flagship_compiled(corpus)
+    ips = np.round(cents @ np.asarray(cq.vector, dtype="float64"), 6)
+    probed = sorted(range(FUSED_IVF_CELLS), key=lambda c: (-ips[c], c))[:nprobe]
+    return assigned, cq, [int(c) for c in probed]
+
+
+def fused_ivf_query(
+    spark: SparkSession, sf_dir: str, k: int = 10, nprobe: int = 3
+) -> DataFrame:
+    """The reference's 'ANN index + fused query' serve shape
+    (Milvus IVF_FLAT arm, /root/reference/src/eval/
+    milvus_experiment.py:32) end-to-end on the FUSED space: encode →
+    IP cell assignment → probe nprobe cells → exact IP top-k over
+    only the probed cells. The cell filter is a static isin, so over
+    an ivf_persist'ed table it prunes partitions; scoring and
+    ranking reuse the exact topk machinery."""
+    corpus = build_corpus(spark, sf_dir)
+    assigned, cq, probed = fused_ivf_parts(corpus, nprobe)
+    hits = topk(
+        assigned,
+        cq.vector,
+        k=k,
+        predicate=F.col("centroid_id").isin(probed),
+    )
+    return hits.select(
+        "row_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.round("relevance", 6).alias("relevance"),
+    )
+
+
+def fused_ivf_recall_at_k(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = 3,
+    corpus: DocumentCorpus | None = None,
+) -> float:
+    """Recall@k of the fused-IVF serve path vs the exact fused scan —
+    the eval loop for choosing nprobe (reference's fused-vs-oracle
+    recall methodology, src/eval/evaluate.py:156-202). nprobe =
+    FUSED_IVF_CELLS ⇒ recall 1.0 by construction (pruning is the
+    only approximation; scoring is exact). Pass ``corpus`` to reuse
+    one encoded build across a sweep."""
+    corpus = build_corpus(spark, sf_dir) if corpus is None else corpus
+    assigned, cq, probed = fused_ivf_parts(corpus, nprobe)
+    exact = {r["row_id"] for r in topk(corpus.encoded, cq.vector, k=k).collect()}
+    approx = {
+        r["row_id"]
+        for r in topk(
+            assigned, cq.vector, k=k, predicate=F.col("centroid_id").isin(probed)
+        ).collect()
+    }
+    return len(exact & approx) / max(len(exact), 1)

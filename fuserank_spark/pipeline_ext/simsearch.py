@@ -227,6 +227,8 @@ def ivf_assign(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
+    metric: str = "l2",
+    score_round: int | None = None,
 ) -> DataFrame:
     """Expression-only nearest-centroid assignment: serve NEW rows
     into an existing IVF index without pyspark.ml on the serve path.
@@ -237,7 +239,16 @@ def ivf_assign(
     across centroids and dropped), ties to the lowest centroid id via
     struct-min. Narrow map — no join, no shuffle, SQL-expressible on
     both engines (the q_ivf_knn DuckDB twin replicates this exact
-    formula)."""
+    formula).
+
+    ``metric="ip"`` assigns by MAXIMUM inner product instead — the
+    right cell geometry when corpus vectors are fused relevance
+    vectors scored by IP (q_fused_ivf). ``score_round`` rounds the
+    assignment score first (both engines of a differential twin must
+    share the tie-break domain when their sum fold orders differ —
+    the q_pq_knn ADC rationale)."""
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"metric must be 'l2' or 'ip', got {metric!r}")
     cents = np.asarray(centroids, dtype="float64")
     # materialize the cast once: Catalyst does not CSE the cast across
     # the n_centroids HOF aggregates below (CLAUDE.md trap)
@@ -251,10 +262,14 @@ def ivf_assign(
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
-        csq = float(np.dot(c, c))
-        structs.append(
-            F.struct((F.lit(csq) - 2.0 * dot).alias("d"), F.lit(cid).alias("c"))
-        )
+        if metric == "l2":
+            csq = float(np.dot(c, c))
+            score = F.lit(csq) - 2.0 * dot
+        else:  # ip: argmax dot == argmin -dot
+            score = -dot
+        if score_round is not None:
+            score = F.round(score, score_round)
+        structs.append(F.struct(score.alias("d"), F.lit(cid).alias("c")))
     return out.withColumn(out_col, F.array_min(F.array(*structs))["c"]).drop(tmp)
 
 

