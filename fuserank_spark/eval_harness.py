@@ -232,6 +232,59 @@ def report(spark: SparkSession, results: list[dict]) -> DataFrame:
     )
 
 
+def export_report(
+    spark: SparkSession, results: list[dict], out_dir: str = "eval_out"
+) -> list[str]:
+    """Persist the sweep report as artifacts — the reference renders
+    matplotlib recall-vs-harmonics figures
+    (/root/reference/src/eval/evaluate.py:132-153); here the same
+    series is written as CSV (always) plus a PNG when matplotlib is
+    importable (gated — not in this container) with an ASCII-chart
+    .txt fallback, so the sweep output is inspectable artifacts
+    either way. Returns the written paths."""
+    import os
+
+    rows = [r.asDict() for r in report(spark, results).collect()]
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    cols = list(rows[0].keys()) if rows else ["num_harmonics", "mean_recall"]
+    csv_path = os.path.join(out_dir, "recall_sweep.csv")
+    with open(csv_path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for r in rows:
+            f.write(",".join(str(r[c]) for c in cols) + "\n")
+    paths.append(csv_path)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        xs = [r["num_harmonics"] for r in rows]
+        ax.plot(xs, [r["mean_recall"] for r in rows], marker="o", label="recall")
+        ax.plot(
+            xs, [r["mean_r_precision"] for r in rows], marker="s",
+            label="r_precision",
+        )
+        ax.set_xlabel("num_harmonics")
+        ax.set_ylabel("mean metric")
+        ax.legend()
+        png_path = os.path.join(out_dir, "recall_sweep.png")
+        fig.savefig(png_path, dpi=120)
+        plt.close(fig)
+        paths.append(png_path)
+    except ImportError:
+        txt_path = os.path.join(out_dir, "recall_sweep.txt")
+        with open(txt_path, "w") as f:
+            f.write("mean_recall vs num_harmonics (bar = recall, 50 cols)\n")
+            for r in rows:
+                bar = "#" * int(round(50 * float(r["mean_recall"])))
+                f.write(f"K={r['num_harmonics']:>4} |{bar:<50}| {r['mean_recall']}\n")
+        paths.append(txt_path)
+    return paths
+
+
 def fused_ivf_nprobe_sweep(
     spark: SparkSession, sf_dir: str, nprobes=(1, 2, 3, 4, 8), k: int = 10
 ) -> DataFrame:
@@ -270,6 +323,11 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=10)
     ap.add_argument("--modalities", type=int, default=2)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--export-dir",
+        default=None,
+        help="also write CSV (+ PNG if matplotlib, else ASCII chart) here",
+    )
     args = ap.parse_args()
 
     spark = get_spark("fuserank-eval")
@@ -285,6 +343,9 @@ def main() -> None:
         )
     report(spark, all_results).show(truncate=False)
     fused_ivf_nprobe_sweep(spark, args.sf_dir, k=args.k).show(truncate=False)
+    if args.export_dir:
+        for p in export_report(spark, all_results, args.export_dir):
+            print(f"wrote {p}")
 
 
 if __name__ == "__main__":

@@ -2063,6 +2063,123 @@ def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.pq_adc_topk(codes, books, queries, k=10).orderBy("query_id", "rnk")
 
 
+def _ivfpq_oracle(
+    dim: int = 64, n_cent: int = 8, nprobe: int = 3, k: int = 10
+) -> str:
+    """DuckDB twin of the full IVF-PQ serve composition
+    (quantization.ivf_pq_knn — faiss IndexIVFPQ's layout): coarse
+    cells from the frozen first-``n_cent`` quantizer (L2 argmin, the
+    q_ivf_knn formula), PQ codes from the frozen Forgy codebooks (the
+    q_pq_knn formula), per-query top-``nprobe`` probe selection by
+    centroid cosine, and ADC scoring restricted to each query's OWN
+    probed cells. ADC is rounded before ranking (shared tie-break
+    domain, q_pq_knn rationale)."""
+    m, w, kc = _PQ_M, _PQ_W, _PQ_K
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM embeddings
+    ), ccent AS (
+      SELECT CAST(vec_id AS INT) AS cid, v AS cvec,
+             list_sum(list_transform(v, x -> x * x)) AS csq
+      FROM e WHERE vec_id < {n_cent}
+    ), cellasg AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY c.csq - 2 * list_sum(list_transform(range(1, {dim + 1}),
+                        i -> e.v[i] * c.cvec[i])) ASC,
+                        c.cid ASC) AS arn
+      FROM e CROSS JOIN ccent c
+    ), cells AS (
+      SELECT vec_id, cid FROM cellasg WHERE arn = 1
+    ), cb AS (
+      SELECT CAST(s.vec_id AS INT) AS code, t.j,
+             list_transform(range(t.j*{w}+1, t.j*{w}+{w}+1), i -> s.v[i]) AS cvec
+      FROM e s CROSS JOIN generate_series(0, {m - 1}) t(j)
+      WHERE s.vec_id < {kc}
+    ), cbq AS (
+      SELECT code, j, cvec,
+             list_sum(list_transform(cvec, x -> x * x)) AS csq
+      FROM cb
+    ), esub AS (
+      SELECT e.vec_id, t.j,
+             list_transform(range(t.j*{w}+1, t.j*{w}+{w}+1), i -> e.v[i]) AS sv
+      FROM e CROSS JOIN generate_series(0, {m - 1}) t(j)
+    ), enc AS (
+      SELECT s.vec_id, s.j, b.code,
+             row_number() OVER (
+               PARTITION BY s.vec_id, s.j
+               ORDER BY b.csq - 2 * list_sum(list_transform(range(1, {w + 1}),
+                        i -> s.sv[i] * b.cvec[i])) ASC,
+                        b.code ASC) AS rn
+      FROM esub s JOIN cbq b ON s.j = b.j
+    ), codes AS (
+      SELECT vec_id, j, code FROM enc WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qe, nrm AS qn FROM e WHERE vec_id < 3
+    ), probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                          i -> q.qe[i] * c.cvec[i])) / (sqrt(c.csq) * q.qn) DESC,
+                          c.cid ASC) AS prn
+        FROM q CROSS JOIN ccent c
+      ) WHERE prn <= {nprobe}
+    ), qsub AS (
+      SELECT vec_id AS query_id, j, sv FROM esub WHERE vec_id < 3
+    ), lut AS (
+      SELECT s.query_id, s.j, b.code,
+             list_sum(list_transform(range(1, {w + 1}),
+                      i -> s.sv[i] * b.cvec[i])) AS part
+      FROM qsub s JOIN cbq b ON s.j = b.j
+    ), scored AS (
+      SELECT l.query_id, c.vec_id, round(sum(l.part), 6) AS adc
+      FROM codes c
+      JOIN cells ce ON ce.vec_id = c.vec_id
+      JOIN probes p ON p.cid = ce.cid
+      JOIN lut l ON c.j = l.j AND c.code = l.code AND l.query_id = p.query_id
+      GROUP BY l.query_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, rnk, adc
+    FROM ranked WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+@register("q_ivfpq_knn", _ivfpq_oracle())
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serve composition under the oracle gate (closes the
+    last unit-only ANN row): frozen coarse quantizer (first 8
+    vectors, L2 cells) × frozen Forgy PQ codebooks, per-query
+    cosine probe of 3/8 cells, ADC scoring of only the probed cells
+    via quantization.ivf_pq_knn — the REAL faiss-IndexIVFPQ-layout
+    machinery (cell filter = partition pruning over an ivf_persist'ed
+    code table; LUTs broadcast; two-phase merge). The DuckDB twin
+    re-derives cells, codes, probes, and ADC end-to-end."""
+    from .pipeline_ext import quantization as Q
+
+    e = _emb(spark, sf_dir)
+    cent_rows = e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype="float64")
+    seed_rows = e.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    books = Q.forgy_codebooks(
+        [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
+    )
+    assigned = SS.ivf_assign(e, centroids)
+    codes = Q.pq_encode(assigned, books, vec_col="embedding")
+    queries = [(r["vec_id"], r["embedding"]) for r in cent_rows[:3]]
+    return Q.ivf_pq_knn(
+        codes, centroids, books, queries, k=10, nprobe=3
+    ).orderBy("query_id", "rnk")
+
+
 _PQ_CACHE: dict = {}
 
 

@@ -29,3 +29,16 @@ def test_recall_floor(spark, results):
 def test_all_queries_returned_k(results):
     assert len(results) == 12
     assert all(0.0 <= r["recall"] <= 1.0 for r in results)
+
+
+def test_export_report_artifacts(spark, results, tmp_path):
+    """CSV always written; PNG (matplotlib) or ASCII chart fallback."""
+    from fuserank_spark.eval_harness import export_report
+
+    paths = export_report(spark, results, str(tmp_path))
+    assert any(p.endswith("recall_sweep.csv") for p in paths)
+    assert any(p.endswith((".png", ".txt")) for p in paths)
+    csv = next(p for p in paths if p.endswith(".csv"))
+    lines = open(csv).read().strip().splitlines()
+    assert lines[0].startswith("num_harmonics")
+    assert len(lines) >= 2
