@@ -73,6 +73,65 @@ def incremental_encode(
     return writer.start()
 
 
+def incremental_ivf_index(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    *,
+    stats,
+    aux_schema: dict,
+    centroids,
+    num_harmonics: int = 64,
+    emb_dim: int = 64,
+    text_encoding_schema: dict[str, float] | None = None,
+    metric: str = "ip",
+    available_now: bool = True,
+):
+    """Streaming INDEX MAINTENANCE (r5): each micro-batch runs the
+    full batch pipeline — embed → encode_products against a FROZEN
+    CorpusStats/quantizer — then IVF-assigns the fused vectors and
+    appends parquet partitioned by ``centroid_id``. A fused-IVF query
+    (flagship.fused_ivf_parts posture) over the sink then partition-
+    prunes to its probed cells across ALL batches, so the serve cost
+    stays nprobe/n_cells of the corpus as the corpus grows.
+
+    Frozen-encoder semantics: stats (min/max, vocab) and centroids
+    come from a seed corpus and do NOT update per batch — the only
+    posture that keeps historical vectors comparable to new ones.
+    Out-of-vocab categoricals one-hot to zeros; out-of-range dense
+    values extrapolate beyond ±(1−ε). Re-fit stats + re-encode when
+    drift accumulates (a batch rebuild, not a streaming concern).
+
+    Idempotency: same per-batch overwrite pattern as
+    :func:`incremental_encode` — a replayed batch replaces its own
+    ``batch_id=`` directory (each with its centroid_id= partition
+    subdirs), never duplicates."""
+    from ..embed import embed_corpus
+    from ..encode import encode_products
+    from ..pipeline_ext.simsearch import ivf_assign
+
+    tschema = text_encoding_schema or {"text": 1.0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        emb = embed_corpus(batch_df, tschema, dim=emb_dim)
+        enc, _layout = encode_products(
+            emb, aux_schema, stats, num_harmonics=num_harmonics
+        )
+        assigned = ivf_assign(
+            enc, centroids, vec_col="vector", metric=metric, score_round=6
+        ).drop(*tschema.keys(), "text_emb")
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{sink_path}/batch_id={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def with_ingest_time(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Attach processing-time arrival timestamps — the document
     stream carries no event time, so arrival stats window on ingest

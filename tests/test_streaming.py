@@ -125,3 +125,96 @@ def test_mixture_and_gopher_are_stream_safe(spark, tmpdir):
         for r in transform(batch_docs).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_incremental_ivf_index_parity_and_pruning(spark, tmpdir):
+    """Streaming index maintenance: per-batch embed+encode against a
+    FROZEN encoder + IVF cell append must produce element-identical
+    vectors to one batch encode, and the sink must be readable with
+    centroid_id partition pruning across batches."""
+    import numpy as np
+
+    from fuserank_spark import schema as S
+    from fuserank_spark.embed import embed_corpus
+    from fuserank_spark.encode import compute_stats, encode_products
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+    from fuserank_spark.streaming.incremental import incremental_ivf_index
+
+    src = f"{tmpdir}/src"
+    sink = f"{tmpdir}/sink"
+    ck = f"{tmpdir}/ck"
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(120)
+        .withColumn("row_id", F.col("doc_id"))
+        .select("row_id", "doc_id", "text", "lang", "n_chars")
+    )
+    docs.repartition(3).write.parquet(src)
+
+    aux = {"lang": S.SPARSE, "n_chars": S.DENSE}
+    # freeze encoder + quantizer from the seed corpus (batch path)
+    seed_emb = embed_corpus(docs, {"text": 1.0}, dim=16)
+    stats = compute_stats(seed_emb, aux)
+    enc, _ = encode_products(seed_emb, aux, stats, num_harmonics=8)
+    cents = np.array(
+        [
+            r["vector"]
+            for r in enc.orderBy("row_id").limit(4).select("vector").collect()
+        ],
+        dtype="float64",
+    )
+
+    from pyspark.sql import types as T
+
+    stream_schema = T.StructType(
+        [
+            T.StructField("row_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_ivf_index(
+        stream, sink, ck,
+        stats=stats, aux_schema=aux, centroids=cents,
+        num_harmonics=8, emb_dim=16,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 120
+    assert {"centroid_id", "vector", "row_id"} <= set(out.columns)
+    # parity: streamed vectors == batch vectors, element-identical
+    batch_assigned = ivf_assign(
+        enc, cents, vec_col="vector", metric="ip", score_round=6
+    )
+    got = {
+        r["row_id"]: (r["centroid_id"], tuple(r["vector"]))
+        for r in out.select("row_id", "centroid_id", "vector").collect()
+    }
+    want = {
+        r["row_id"]: (r["centroid_id"], tuple(r["vector"]))
+        for r in batch_assigned.select("row_id", "centroid_id", "vector").collect()
+    }
+    assert got == want
+    # pruning: a single-cell read returns exactly that cell's rows
+    some_cell = next(iter({c for c, _ in got.values()}))
+    pruned = out.filter(F.col("centroid_id") == some_cell)
+    assert pruned.count() == sum(1 for c, _ in got.values() if c == some_cell)
+    # idempotent replay: same checkpoint adds nothing
+    q2 = incremental_ivf_index(
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        sink, ck,
+        stats=stats, aux_schema=aux, centroids=cents,
+        num_harmonics=8, emb_dim=16,
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 120
