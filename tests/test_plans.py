@@ -294,3 +294,37 @@ def test_ivf_pq_isin_prunes_cells(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "centroid_id IN" in plan or "centroid_id#" in plan and " IN (" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fused_ivf_assignment_narrow_and_isin_prunes(spark):
+    """q_fused_ivf posture: IP cell assignment is a narrow map over
+    literal centroids (no Python eval, no cartesian), and the probed
+    cells appear as a static In filter — partition-prunable over an
+    ivf_persist'ed fused corpus."""
+    from fuserank_spark.flagship import build_corpus, fused_ivf_parts
+    from fuserank_spark.search import topk
+
+    corpus = build_corpus(spark, SF_SMOKE)
+    assigned, cq, probed = fused_ivf_parts(corpus, 3)
+    hits = topk(
+        assigned, cq.vector, k=10,
+        predicate=F.col("centroid_id").isin(probed), use_arrow=False,
+    )
+    plan = hits._jdf.queryExecution().optimizedPlan().toString()
+    assert "centroid_id" in plan and " IN (" in plan.replace("IN (", " IN (")
+    assert "CartesianProduct" not in plan
+    phys = plan_str(hits)
+    # expression path: exact top-k compiles to TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_pq_trained_serve_posture(spark):
+    """q_pq_trained serve plan: ADC scoring is pure expressions over
+    a broadcast LUT — no Python eval, no cartesian against the corpus
+    (the only cross join is vs the tiny broadcast LUT frame)."""
+    from fuserank_spark.ext_queries import q_pq_trained
+
+    p = plan_str(q_pq_trained(spark, SF_SMOKE))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
