@@ -293,18 +293,13 @@ def fused_ivf_nprobe_sweep(
     reference eval loop src/eval/evaluate.py:156-202). One corpus
     build is shared across the sweep; recall at nprobe=n_cells is
     1.0 by construction and anchors the table."""
-    from .flagship import build_corpus, fused_ivf_recall_at_k
+    from .flagship import build_corpus_cached, fused_ivf_recall_at_k
 
-    corpus = build_corpus(spark, sf_dir)
-    corpus.encoded = corpus.encoded.persist()
-    corpus.encoded.count()
-    try:
-        rows = [
-            (int(np_), float(fused_ivf_recall_at_k(spark, sf_dir, k=k, nprobe=np_, corpus=corpus)))
-            for np_ in nprobes
-        ]
-    finally:
-        corpus.encoded.unpersist()
+    corpus = build_corpus_cached(spark, sf_dir)
+    rows = [
+        (int(np_), float(fused_ivf_recall_at_k(spark, sf_dir, k=k, nprobe=np_, corpus=corpus)))
+        for np_ in nprobes
+    ]
     return spark.createDataFrame(rows, "nprobe int, recall double")
 
 

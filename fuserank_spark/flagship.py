@@ -84,11 +84,30 @@ def flagship_compiled(corpus: DocumentCorpus, num_harmonics: int | None = None) 
     )
 
 
+_CORPUS_CACHE: dict = {}
+
+
+def build_corpus_cached(spark: SparkSession, sf_dir: str) -> DocumentCorpus:
+    """Session-scoped memo of :func:`build_corpus` (the
+    _RESTAURANTS_CACHE pattern): the flagship, fused-IVF, and recall
+    entries all consume the SAME encoded corpus, so within one
+    session the embed+encode build runs once and the encoded frame is
+    persisted. Semantics are identical to a fresh build — the encode
+    is deterministic — so oracle entries stay self-contained."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _CORPUS_CACHE:
+        corpus = build_corpus(spark, sf_dir)
+        corpus.encoded = corpus.encoded.persist()
+        corpus.encoded.count()
+        _CORPUS_CACHE[key] = corpus
+    return _CORPUS_CACHE[key]
+
+
 def flagship_query(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Fused retrieval: one exact inner-product top-k performs
     retrieval + soft filtering in a single pass (the FuseRank idea,
     reference README.md:1, src/encode.py:11-22)."""
-    corpus = build_corpus(spark, sf_dir)
+    corpus = build_corpus_cached(spark, sf_dir)
     cq = flagship_compiled(corpus)
     hits = topk(corpus.encoded, cq.vector, k=k)
     return hits.select("row_id", "lang", "source", "n_chars", F.round("relevance", 6).alias("relevance"))
@@ -145,7 +164,7 @@ def fused_ivf_query(
     only the probed cells. The cell filter is a static isin, so over
     an ivf_persist'ed table it prunes partitions; scoring and
     ranking reuse the exact topk machinery."""
-    corpus = build_corpus(spark, sf_dir)
+    corpus = build_corpus_cached(spark, sf_dir)
     assigned, cq, probed = fused_ivf_parts(corpus, nprobe)
     hits = topk(
         assigned,
@@ -175,7 +194,7 @@ def fused_ivf_recall_at_k(
     FUSED_IVF_CELLS ⇒ recall 1.0 by construction (pruning is the
     only approximation; scoring is exact). Pass ``corpus`` to reuse
     one encoded build across a sweep."""
-    corpus = build_corpus(spark, sf_dir) if corpus is None else corpus
+    corpus = build_corpus_cached(spark, sf_dir) if corpus is None else corpus
     assigned, cq, probed = fused_ivf_parts(corpus, nprobe)
     exact = {r["row_id"] for r in topk(corpus.encoded, cq.vector, k=k).collect()}
     approx = {
