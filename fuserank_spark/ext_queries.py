@@ -2632,3 +2632,39 @@ def q_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt_price"
         ),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_salted_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-splitting salted join (partitioning.salted_join): big
+    side salted once per row, small side replicated across 16 salts,
+    equi-join on (key, salt) — a hot orderkey spreads over 16 tasks
+    instead of one straggler. The oracle is the PLAIN join: salting
+    is an execution-strategy identity, and the hash check pins that
+    (same aggregate over the joined rows, bit-for-bit)."""
+    from .partitioning import salted_join
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity"
+    )
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = salted_join(li, o, "l_orderkey", salt_buckets=16)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -89,6 +89,45 @@ def salted_count_agg(
     return partials.groupBy(*key_cols).agg(*phase2_aggs)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-splitting equi-join: the big side gets ONE deterministic
+    salt per row, the small side is replicated across all
+    ``salt_buckets`` salts, and the join runs on (key, salt) — so a
+    pathologically hot key's rows spread over ``salt_buckets`` tasks
+    instead of one straggler. Results are IDENTICAL to the plain join
+    (each big row meets each of its matches exactly once, on its own
+    salt) — pinned by the q_salted_join oracle entry.
+
+    When to use over AQE skew-join (on by default in session.py): AQE
+    splits sort-merge partitions from runtime stats, which covers
+    most skew; this layout-level variant is for the cases AQE cannot
+    touch — a broadcast-disabled dimension repeatedly joined against
+    one mega-key, or bucketed tables whose Exchange-free plan AQE
+    must not re-split. Cost: |small|·salt_buckets replication, so
+    keep the small side small (it usually is — that's why it's
+    skewed).
+
+    Inner/left only: right/full would emit unmatched SMALL rows once
+    per salt replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if on not in big.columns or on not in small.columns:
+        raise ValueError(f"join key {on!r} must exist on both sides")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return b.join(s, [on, "__salt"], how).drop("__salt")
+
+
 def layout_corpus(
     df: DataFrame, key: str = "row_id", target_rows_per_partition: int = 500_000
 ) -> DataFrame:

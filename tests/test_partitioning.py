@@ -105,3 +105,50 @@ def test_bloom_build_guards(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_build(d, "doc_id", n_bits=100)
+
+
+def test_salted_join_matches_plain_and_splits_hot_key(spark):
+    from fuserank_spark.partitioning import salted_join
+
+    # one mega-key (0) + a uniform tail
+    big = spark.range(0, 3000).select(
+        F.when(F.col("id") < 2000, F.lit(0)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("val"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id") % 5).alias("grp")
+    )
+    plain = big.join(small, "k").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+    )
+    salted = salted_join(big, small, "k", salt_buckets=8).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the hot key's joined rows occupy >1 (k, salt) group
+    j = salted_join(big, small, "k", salt_buckets=8)
+    # re-derive salt spread: count distinct salts the hot key landed on
+    b = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    )
+    n_salts = (
+        b.filter(F.col("k") == 0).select("__salt").distinct().count()
+    )
+    assert n_salts > 1
+    assert j.count() == big.join(small, "k").count()
+
+
+def test_salted_join_left_and_guards(spark):
+    from fuserank_spark.partitioning import salted_join
+
+    big = spark.range(0, 100).select((F.col("id") % 7).alias("k"), "id")
+    small = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    left = salted_join(big, small, "k", salt_buckets=4, how="left")
+    assert left.count() == 100  # unmatched big rows kept exactly once
+    assert left.filter(F.col("tag").isNull()).count() == big.filter(
+        F.col("k") >= 3
+    ).count()
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError, match="both sides"):
+        salted_join(big, small.withColumnRenamed("k", "kk"), "k")
