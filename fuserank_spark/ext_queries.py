@@ -2668,3 +2668,118 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_ASM_PACK_H = _H.format(expr="concat('pack:', CAST(item_id AS VARCHAR))")
+
+
+def _assembly_oracle() -> str:
+    """DuckDB twin of the COMPOSED assembly pipeline — curation
+    (quality filter → exact dedup → split) → weighted mixture over
+    the train split → concat-and-split packing — each stage the
+    exact CTE form its standalone oracle already pins (q_curate,
+    q_mixture, q_pack), chained end-to-end so the hash gate checks
+    the COMPOSITION (column threading, copy-key derivation, stage
+    ordering), not just the parts."""
+    toks = _TOKS_SQL
+    split_h = _H.format(expr="concat('split:', CAST(doc_id AS VARCHAR))")
+    span = 1 << 32
+
+    def parts(r: float) -> tuple[int, int]:
+        return int(r), int(round((r - int(r)) * span))
+
+    whole_cases = " ".join(
+        f"WHEN '{s}' THEN {parts(r)[0]}" for s, r in _MIX_RATES.items()
+    )
+    thr_cases = " ".join(
+        f"WHEN '{s}' THEN {parts(r)[1]}" for s, r in _MIX_RATES.items()
+    )
+    dw, dt = parts(_MIX_DEFAULT)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {toks} AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(1.0
+               - least(1.0, CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END * 4.0) * 0.25
+               - least(1.0, CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0 END * 4.0) * 0.25
+               - (CASE WHEN (CASE WHEN len(toks) > 0 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE)/len(toks) ELSE 0 END) < 2.0
+                        OR (CASE WHEN len(toks) > 0 THEN CAST(n_chars - (len(toks) - 1) AS DOUBLE)/len(toks) ELSE 0 END) > 12.0
+                       THEN 0.25 ELSE 0.0 END)
+               - (CASE WHEN len(toks) < 5 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+      FROM t
+    ), q AS (
+      SELECT * FROM f WHERE quality_score >= 0.75
+    ), dd AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id ASC) AS rn
+      FROM q
+    ), kept AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN {split_h} % 100 < 90 THEN 'train'
+                  WHEN {split_h} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM dd WHERE rn = 1
+    ), tr AS (
+      SELECT doc_id, source, n_tokens FROM kept WHERE split = 'train'
+    ), m AS (
+      SELECT doc_id, n_tokens,
+             (CASE source {whole_cases} ELSE {dw} END)
+             + CASE WHEN {_MIX_H} < (CASE source {thr_cases} ELSE {dt} END)
+                    THEN 1 ELSE 0 END AS copies
+      FROM tr
+    ), mi AS (
+      SELECT doc_id, n_tokens,
+             CAST(unnest(range(0, copies)) AS BIGINT) AS copy_idx
+      FROM m
+    ), it AS (
+      SELECT doc_id * 8 + copy_idx AS item_id, n_tokens FROM mi
+    ), h AS (
+      SELECT item_id, n_tokens, {_ASM_PACK_H} AS hh FROM it WHERE n_tokens > 0
+    ), o AS (
+      SELECT item_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY hh, item_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+      FROM h
+    )
+    SELECT item_id, n_tokens,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS start_seq,
+           CAST(off % {_PACK_BUDGET} AS BIGINT) AS start_offset,
+           CAST((off + n_tokens - 1) // {_PACK_BUDGET}
+                - off // {_PACK_BUDGET} + 1 AS BIGINT) AS n_seqs
+    FROM o ORDER BY item_id
+"""
+
+
+@register("q_assembly", _assembly_oracle())
+def q_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus ASSEMBLY composition under one hash
+    gate: curate_corpus (quality → dedup → split) → mixture_sample
+    over the train split (rates per source, fractional epochs by
+    salted hash) → pack_split (bucketed two-phase cumsum layout) —
+    three layers whose standalone oracles are q_curate/q_mixture/
+    q_pack, here CHAINED so the differential check pins the
+    composition: column threading, the doc→(doc,copy)→item_id key
+    derivation, and stage ordering. Every stage keeps its scale
+    posture (narrow quality pass, one dedup shuffle, zero-shuffle
+    mixture, bucketed pack cumsum)."""
+    from .pipeline_ext import curation as CU
+    from .pipeline_ext.packing import pack_split
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    curated = CU.curate_corpus(d)
+    train = curated.filter(F.col("split") == "train")
+    mixed = CU.mixture_sample(train, _MIX_RATES, default_rate=_MIX_DEFAULT)
+    items = mixed.select(
+        (F.col("doc_id") * 8 + F.col("copy_idx")).alias("item_id"), "n_tokens"
+    )
+    return (
+        pack_split(items, budget=_PACK_BUDGET, key_col="item_id")
+        .select("item_id", "n_tokens", "start_seq", "start_offset", "n_seqs")
+        .orderBy("item_id")
+    )
