@@ -2783,3 +2783,49 @@ def q_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item_id", "n_tokens", "start_seq", "start_offset", "n_seqs")
         .orderBy("item_id")
     )
+
+
+_FRAME_EVERY, _FRAME_MAX = 7000, 64
+
+_FRAMES_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id < 200
+    ), m AS (
+      -- decode_stub duration for non-image media: md5 bytes [2:4]
+      -- big-endian == hex chars 5..8
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(t), 5, 4)) AS INT) AS dur
+      FROM d
+    ), n AS (
+      SELECT doc_id, dur,
+             least(CAST(dur // {_FRAME_EVERY} AS BIGINT) + 1, {_FRAME_MAX}) AS n_frames
+      FROM m WHERE dur > 0
+    )
+    SELECT doc_id, n_frames,
+           CAST((n_frames - 1) * {_FRAME_EVERY} AS BIGINT) AS last_ts_ms
+    FROM n ORDER BY doc_id
+"""
+
+
+@register("q_media_frames", _FRAMES_ORACLE)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing under the oracle gate: payload
+    attach → metadata decode (deterministic md5 stub, media_type
+    'video' so duration_ms is nonzero) → expression-only frame
+    explode (multimodal.frame_sample) → per-doc frame count + last
+    sampled timestamp. The DuckDB twin re-derives the stub duration
+    from the same md5 bytes and states the closed-form frame count —
+    pinning the sequence guard (images/zero-duration emit nothing)
+    and the max_frames cap."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+    d = M.attach_payload(d)
+    d = M.extract_media_metadata(d, media_type="video")
+    frames = M.frame_sample(d, every_ms=_FRAME_EVERY, max_frames=_FRAME_MAX)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").alias("last_ts_ms"),
+        )
+        .orderBy("doc_id")
+    )

@@ -112,3 +112,84 @@ def media_features(
             yield pdf
 
     return df.mapInPandas(_feat, schema=out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    out_col: str = "resized_payload",
+) -> DataFrame:
+    """Resize stage plumbing (brief: decode/resize as pandas UDFs):
+    mapInPandas over Arrow batches emitting a resized payload of
+    ``width·height/64`` bytes per row — deterministic md5-keystream
+    stub standing in for a PIL/libav resample (same batch shape,
+    same schema contract; swap the inner loop for the real codec).
+    Embarrassingly parallel, no shuffle; output size is bounded by
+    the TARGET dims, so downstream stages size partitions off
+    width×height, not source payload size."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+    n_out = max(1, (width * height) // 64)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf[payload_col]:
+                cur = hashlib.md5(
+                    (bytes(p) if p is not None else b"")
+                    + f"{width}x{height}".encode()
+                ).digest()
+                buf = bytearray()
+                while len(buf) < n_out:
+                    buf += cur
+                    cur = hashlib.md5(cur).digest()
+                outs.append(bytes(buf[:n_out]))
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(_resize, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    meta_col: str = "media_meta",
+    payload_col: str = "payload",
+    every_ms: int = 5000,
+    max_frames: int = 64,
+    ts_col: str = "frame_ts_ms",
+    frame_col: str = "frame_payload",
+) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled timestamp
+    (0, every_ms, 2·every_ms, … capped at ``max_frames``), derived
+    from the decoded ``duration_ms`` — PURE expressions (sequence +
+    explode, descending-sequence trap guarded), so the fan-out stays
+    in codegen and distributes with the scan; zero-duration rows
+    (images) emit no frames. The per-frame payload is a
+    deterministic md5 stub of (payload ‖ ts) — a real frame grab
+    slots into a mapInPandas over (payload, ts) afterwards."""
+    if every_ms <= 0 or max_frames <= 0:
+        raise ValueError("every_ms and max_frames must be positive")
+    dur = F.col(f"{meta_col}.duration_ms")
+    n = F.least(
+        F.floor(dur / F.lit(every_ms)).cast("bigint") + 1, F.lit(max_frames).cast("bigint")
+    )
+    idx = F.when(
+        dur > 0, F.sequence(F.lit(0).cast("bigint"), n - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = df.withColumn("__fidx", F.explode(idx))
+    ts = (F.col("__fidx") * every_ms).cast("bigint")
+    frame = F.encode(
+        F.md5(F.concat(F.col(payload_col), F.encode(ts.cast("string"), "utf-8"))),
+        "utf-8",
+    )
+    return (
+        out.withColumn(ts_col, ts).withColumn(frame_col, frame).drop("__fidx")
+    )
