@@ -218,3 +218,21 @@ def test_ivf_pq_narrow_probe_subsets_cells(emb, forgy_books):
         q = np.asarray(dict(queries)[r["query_id"]], dtype="float64")
         probe = int(np.argsort(-(cn @ (q / np.linalg.norm(q))), kind="stable")[0])
         assert cells[r["vec_id"]] == probe
+
+
+def test_pq_encode_raises_on_bad_vector_length(spark, forgy_books):
+    """Short/NULL vectors must raise (raise_error guard), not encode
+    silently-null codes."""
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 63)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        Q.pq_encode(bad, forgy_books).collect()
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        Q.pq_encode(nulls, forgy_books).collect()
+    # surfaces as a PySpark PythonException wrapping the ValueError
+    with pytest.raises(Exception, match="vector length"):
+        Q.pq_encode_arrow(bad, forgy_books).toPandas()
