@@ -141,3 +141,48 @@ def test_keepbest_block_key_short_docs(spark):
     assert "two tokens" in keys
     two = [r for r in out if r["block_key"] == "two tokens"][0]
     assert two["n_members"] == 2
+
+
+def test_salted_join_empty_small_side(spark):
+    from fuserank_spark.partitioning import salted_join
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 20).select((F.col("id") % 3).alias("k"), "id")
+    small = spark.createDataFrame([], "k long, tag string")
+    assert salted_join(big, small, "k").count() == 0
+    left = salted_join(big, small, "k", how="left")
+    assert left.count() == 20
+    assert left.filter(F.col("tag").isNotNull()).count() == 0
+
+
+def test_frame_sample_null_payload_and_duration_edge(spark):
+    """NULL text -> empty payload -> md5 of b'' still yields a
+    deterministic duration; duration exactly divisible by every_ms
+    must include the boundary frame."""
+    from pyspark.sql import functions as F
+
+    from fuserank_spark.pipeline_ext import multimodal as M
+
+    d = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    d = M.attach_payload(d.fillna({"text": ""}))
+    d = M.extract_media_metadata(d, media_type="video")
+    dur = d.select(F.col("media_meta.duration_ms")).first()[0]
+    frames = M.frame_sample(d, every_ms=max(1, dur), max_frames=4)
+    # duration divisible by every_ms: frames at 0 and every_ms
+    assert frames.count() == (2 if dur > 0 else 0)
+
+
+def test_transform_expr_null_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from fuserank_spark.transforms import FittedTransform
+
+    df = spark.createDataFrame([(1, None), (2, 4.0)], "id long, x double")
+    out = df.select(
+        "id",
+        FittedTransform("sqrt").expr(F.col("x")).alias("s"),
+        FittedTransform("yeojohnson", lmbda=0.5).expr(F.col("x")).alias("y"),
+    ).collect()
+    by_id = {r["id"]: (r["s"], r["y"]) for r in out}
+    assert by_id[1] == (None, None)
+    assert by_id[2][0] == 2.0
