@@ -61,6 +61,9 @@ def main() -> None:
         ("q_restaurants_serve", lambda: qs["q_restaurants_fused"](spark, sf_dir)),
         ("q_pq_build", lambda: pq_cached_topk(spark, sf_dir)),
         ("q_pq_serve", lambda: pq_cached_topk(spark, sf_dir)),
+        # warm rerun: corpus build cached (build_corpus_cached), so this
+        # measures the steady-state pruned fused-IVF serve
+        ("q_fused_ivf_serve", lambda: qs["q_fused_ivf"](spark, sf_dir)),
     ):
         t0 = time.time()
         try:
