@@ -132,6 +132,60 @@ def incremental_ivf_index(
     return writer.start()
 
 
+def encoder_drift(
+    batch: DataFrame, frozen, aux_schema: dict
+) -> list[dict]:
+    """Measure how far a new batch has drifted from the FROZEN
+    encoder stats that :func:`incremental_ivf_index` encodes against
+    — the signal that decides when a batch re-fit + re-encode is due.
+
+    ONE aggregation pass (compute_stats posture) produces, per aux
+    column: dense → fraction of non-null values outside the frozen
+    [min, max] (these extrapolate beyond ±(1−ε) in the Fourier
+    block); sparse/binary → fraction of non-null values outside the
+    frozen vocab (these one-hot to all-zeros). Returns
+    [{column, kind, n, drift_frac}] — tiny, driver-side.
+
+    Policy belongs to the caller (e.g. re-fit when any drift_frac
+    exceeds 1-5%); the measurement is deliberately separate from the
+    maintenance loop so it can run per batch OR over the accumulated
+    sink."""
+    from .. import schema as S
+
+    aggs = []
+    for c, kind in aux_schema.items():
+        cs = frozen.columns[c]
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__n"))
+        if kind == S.DENSE:
+            out = (col.cast("double") < F.lit(float(cs.min))) | (
+                col.cast("double") > F.lit(float(cs.max))
+            )
+        elif kind == S.SPARSE:
+            out = ~col.isin(cs.vocab)
+        elif kind == S.BINARY:
+            out = ~col.isin(cs.values)
+        else:  # geo and friends carry no frozen range/vocab to drift from
+            out = F.lit(False)
+        aggs.append(
+            F.sum(F.when(col.isNotNull() & out, 1).otherwise(0)).alias(f"{c}__out")
+        )
+    row = batch.agg(*aggs).collect()[0]
+    report = []
+    for c, kind in aux_schema.items():
+        n = int(row[f"{c}__n"] or 0)
+        out = int(row[f"{c}__out"] or 0)
+        report.append(
+            {
+                "column": c,
+                "kind": kind,
+                "n": n,
+                "drift_frac": (out / n) if n else 0.0,
+            }
+        )
+    return report
+
+
 def with_ingest_time(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Attach processing-time arrival timestamps — the document
     stream carries no event time, so arrival stats window on ingest

@@ -218,3 +218,30 @@ def test_incremental_ivf_index_parity_and_pruning(spark, tmpdir):
     )
     q2.awaitTermination(60)
     assert spark.read.parquet(sink).count() == 120
+
+
+def test_encoder_drift_report(spark):
+    """Dense out-of-range and sparse out-of-vocab fractions against
+    frozen stats; in-distribution batch reports zero drift."""
+    from fuserank_spark import schema as S
+    from fuserank_spark.encode import compute_stats
+    from fuserank_spark.streaming.incremental import encoder_drift
+
+    seed = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", float(10 + i)) for i in range(20)],
+        "doc_id long, lang string, n_chars double",
+    )
+    aux = {"lang": S.SPARSE, "n_chars": S.DENSE}
+    frozen = compute_stats(seed, aux)
+
+    same = {r["column"]: r for r in encoder_drift(seed, frozen, aux)}
+    assert same["lang"]["drift_frac"] == 0.0
+    assert same["n_chars"]["drift_frac"] == 0.0
+
+    drifted = spark.createDataFrame(
+        [(1, "fr", 500.0), (2, "en", 15.0), (3, None, None), (4, "de", -3.0)],
+        "doc_id long, lang string, n_chars double",
+    )
+    rep = {r["column"]: r for r in encoder_drift(drifted, frozen, aux)}
+    assert rep["lang"]["n"] == 3 and rep["lang"]["drift_frac"] == pytest.approx(1 / 3)
+    assert rep["n_chars"]["n"] == 3 and rep["n_chars"]["drift_frac"] == pytest.approx(2 / 3)
