@@ -315,3 +315,78 @@ def exact_farthest_point(
 def record_text_dim(layout: VectorLayout, dim: int) -> VectorLayout:
     layout.segments = [("__text__", dim) if n == "__text__" else (n, d) for n, d in layout.segments]
     return layout
+
+
+# ----------------------------------------------- encoder persistence
+def save_encoder_meta(
+    path: str,
+    stats: CorpusStats,
+    layout: VectorLayout,
+    *,
+    num_harmonics: int,
+    extra: dict | None = None,
+) -> None:
+    """Persist the FROZEN encoder — CorpusStats + VectorLayout +
+    the encode knobs — as JSON next to a persisted index
+    (simsearch.ivf_persist / index_export shards). This is what lets
+    a NEW session (or the streaming maintenance loop,
+    incremental_ivf_index) encode queries and fresh batches
+    bit-identically to the stored vectors: floats round-trip exactly
+    through Python's JSON (repr-based), vocab order is preserved
+    verbatim, and the layout pins segment order. Without this, a
+    restart would re-fit stats and silently shift every encoding."""
+    import json
+    import os as _os
+
+    doc = {
+        "num_harmonics": int(num_harmonics),
+        "n_rows": int(stats.n_rows),
+        "layout": [[n, int(d)] for n, d in layout.segments],
+        "columns": {
+            c: {
+                "kind": cs.kind,
+                "min": cs.min,
+                "max": cs.max,
+                "vocab": cs.vocab,
+                "values": cs.values,
+                "geo_sample": (
+                    [[float(a), float(b)] for a, b in cs.geo_sample]
+                    if cs.geo_sample is not None
+                    else None
+                ),
+            }
+            for c, cs in stats.columns.items()
+        },
+        "extra": extra or {},
+    }
+    _os.makedirs(_os.path.dirname(_os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    _os.replace(tmp, path)  # atomic: a reader never sees a half-written meta
+
+
+def load_encoder_meta(path: str) -> tuple[CorpusStats, VectorLayout, dict]:
+    """Inverse of :func:`save_encoder_meta` →
+    (stats, layout, {"num_harmonics": ..., **extra})."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    stats = CorpusStats(n_rows=int(doc["n_rows"]))
+    for c, d in doc["columns"].items():
+        stats.columns[c] = ColumnStats(
+            kind=d["kind"],
+            min=d["min"],
+            max=d["max"],
+            vocab=d["vocab"],
+            values=d["values"],
+            geo_sample=(
+                [(a, b) for a, b in d["geo_sample"]]
+                if d["geo_sample"] is not None
+                else None
+            ),
+        )
+    layout = VectorLayout(segments=[(n, int(dd)) for n, dd in doc["layout"]])
+    knobs = {"num_harmonics": int(doc["num_harmonics"]), **doc.get("extra", {})}
+    return stats, layout, knobs

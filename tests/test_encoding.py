@@ -166,3 +166,53 @@ def test_compute_stats(spark):
     assert stats.columns["d"].min == 1.0 and stats.columns["d"].max == 5.0
     assert stats.columns["s"].vocab == ["a", "b"]
     assert stats.columns["b"].values == ["n", "y"]
+
+
+def test_encoder_meta_roundtrip_bit_identical(spark, tmp_path):
+    """save/load of the frozen encoder must reproduce ELEMENT-
+    IDENTICAL vectors and an identical query compile — the restart
+    contract behind persisted indexes and streaming maintenance."""
+    from fuserank_spark import schema as S
+    from fuserank_spark.embed import DeterministicStubEmbedder, embed_corpus
+    from fuserank_spark.encode import (
+        compute_stats,
+        encode_products,
+        load_encoder_meta,
+        record_text_dim,
+        save_encoder_meta,
+    )
+    from fuserank_spark.query import compile_query
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60)
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    aux = {"lang": S.SPARSE, "n_chars": S.DENSE}
+    emb = embed_corpus(docs, {"text": 1.0}, dim=16)
+    stats = compute_stats(emb, aux)
+    enc1, layout = encode_products(emb, aux, stats, num_harmonics=8)
+    record_text_dim(layout, 16)
+
+    meta = str(tmp_path / "enc" / "meta.json")
+    save_encoder_meta(meta, stats, layout, num_harmonics=8, extra={"emb_dim": 16})
+    stats2, layout2, knobs = load_encoder_meta(meta)
+    assert knobs == {"num_harmonics": 8, "emb_dim": 16}
+    assert layout2.segments == layout.segments
+
+    enc2, _ = encode_products(emb, aux, stats2, num_harmonics=knobs["num_harmonics"])
+    v1 = {r["doc_id"]: r["vector"] for r in enc1.select("doc_id", "vector").collect()}
+    v2 = {r["doc_id"]: r["vector"] for r in enc2.select("doc_id", "vector").collect()}
+    assert v1 == v2
+
+    q1 = compile_query(
+        "roundtrip probe", {"lang": ((["en"], False), 2.0), "n_chars": (None, 1.0)},
+        aux, stats, layout,
+        text_embedder=DeterministicStubEmbedder(16), num_harmonics=8,
+    )
+    q2 = compile_query(
+        "roundtrip probe", {"lang": ((["en"], False), 2.0), "n_chars": (None, 1.0)},
+        aux, stats2, layout2,
+        text_embedder=DeterministicStubEmbedder(16), num_harmonics=8,
+    )
+    assert [float(x) for x in q1.vector] == [float(x) for x in q2.vector]
