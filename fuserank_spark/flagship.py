@@ -181,6 +181,60 @@ def fused_ivf_query(
     )
 
 
+def fused_ivf_serve_persisted(
+    spark: SparkSession,
+    index_path: str,
+    meta_path: str,
+    *,
+    aux_data: dict | None = None,
+    text: str = "spark join filter vector search",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve a fused query from FILES ONLY — no in-session corpus
+    build: load the frozen encoder (encode.load_encoder_meta; the
+    meta's ``extra["centroids"]`` carries the coarse quantizer),
+    compile the fused query against the persisted stats/layout,
+    pick nprobe cells driver-side, and run the exact pruned top-k
+    over the partitioned index parquet. This is the cold-start /
+    new-session serve path for an index maintained by
+    streaming.incremental_ivf_index + ivf_persist: the centroid_id
+    filter prunes partitions, so the query reads nprobe/n_cells of
+    the stored bytes."""
+    import numpy as np
+
+    from .encode import load_encoder_meta
+
+    stats, layout, knobs = load_encoder_meta(meta_path)
+    if "centroids" not in knobs:
+        raise ValueError("meta has no 'centroids' — save_encoder_meta(extra=...)")
+    cents = np.asarray(knobs["centroids"], dtype="float64")
+    emb_dim = int(knobs.get("emb_dim", EMB_DIM))
+    cq = compile_query(
+        text,
+        aux_data
+        or {
+            "lang": ((["en", "de"], False), 2.0),
+            "source": (None, 1.0),
+            "n_chars": ((120.0, 360.0, False), 1.5),
+        },
+        AUX_SCHEMA,
+        stats,
+        layout,
+        text_embedder=DeterministicStubEmbedder(emb_dim),
+        num_harmonics=int(knobs["num_harmonics"]),
+    )
+    ips = np.round(cents @ np.asarray(cq.vector, dtype="float64"), 6)
+    probed = sorted(range(len(cents)), key=lambda c: (-ips[c], c))[:nprobe]
+    df = spark.read.parquet(index_path)
+    return topk(
+        df,
+        cq.vector,
+        k=k,
+        predicate=F.col("centroid_id").isin([int(c) for c in probed]),
+    )
+
+
 def fused_ivf_recall_at_k(
     spark: SparkSession,
     sf_dir: str,

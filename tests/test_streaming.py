@@ -245,3 +245,85 @@ def test_encoder_drift_report(spark):
     rep = {r["column"]: r for r in encoder_drift(drifted, frozen, aux)}
     assert rep["lang"]["n"] == 3 and rep["lang"]["drift_frac"] == pytest.approx(1 / 3)
     assert rep["n_chars"]["n"] == 3 and rep["n_chars"]["drift_frac"] == pytest.approx(2 / 3)
+
+
+def test_fused_ivf_serve_from_persisted_files(spark, tmpdir):
+    """Cold-start serve: stream-maintained index + saved encoder meta
+    are enough to serve a fused query in a fresh context; full probe
+    equals exact top-k over the read-back index."""
+    import numpy as np
+
+    from fuserank_spark import schema as S
+    from fuserank_spark.embed import embed_corpus
+    from fuserank_spark.encode import (
+        compute_stats,
+        encode_products,
+        record_text_dim,
+        save_encoder_meta,
+    )
+    from fuserank_spark.flagship import fused_ivf_serve_persisted
+    from fuserank_spark.search import topk
+    from fuserank_spark.streaming.incremental import incremental_ivf_index
+    from pyspark.sql import types as T
+
+    src, sink, ck = f"{tmpdir}/src", f"{tmpdir}/sink", f"{tmpdir}/ck"
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(100)
+        .withColumn("row_id", F.col("doc_id"))
+        .select("row_id", "doc_id", "text", "lang", "source", "n_chars")
+    )
+    docs.repartition(2).write.parquet(src)
+
+    aux = {"lang": S.SPARSE, "source": S.SPARSE, "n_chars": S.DENSE}
+    seed_emb = embed_corpus(docs, {"text": 1.0}, dim=16)
+    stats = compute_stats(seed_emb, aux)
+    enc, layout = encode_products(seed_emb, aux, stats, num_harmonics=8)
+    record_text_dim(layout, 16)
+    cents = np.array(
+        [r["vector"] for r in enc.orderBy("row_id").limit(4).select("vector").collect()],
+        dtype="float64",
+    )
+    meta = f"{tmpdir}/meta.json"
+    save_encoder_meta(
+        meta, stats, layout, num_harmonics=8,
+        extra={"emb_dim": 16, "centroids": [[float(x) for x in c] for c in cents]},
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("row_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    q = incremental_ivf_index(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        sink, ck, stats=stats, aux_schema=aux, centroids=cents,
+        num_harmonics=8, emb_dim=16,
+    )
+    q.awaitTermination(120)
+
+    hits = fused_ivf_serve_persisted(
+        spark, sink, meta, k=5, nprobe=4,
+        aux_data={"lang": ((["en"], False), 2.0), "source": (None, 1.0),
+                  "n_chars": ((100.0, 300.0, False), 1.5)},
+    ).collect()
+    assert len(hits) == 5
+    # full probe == exact over the read-back index (same query vector)
+    from fuserank_spark.embed import DeterministicStubEmbedder
+    from fuserank_spark.query import compile_query
+    from fuserank_spark.flagship import AUX_SCHEMA
+
+    cq = compile_query(
+        "spark join filter vector search",
+        {"lang": ((["en"], False), 2.0), "source": (None, 1.0),
+         "n_chars": ((100.0, 300.0, False), 1.5)},
+        AUX_SCHEMA, stats, layout,
+        text_embedder=DeterministicStubEmbedder(16), num_harmonics=8,
+    )
+    exact = [r["row_id"] for r in topk(spark.read.parquet(sink), cq.vector, k=5).collect()]
+    assert [r["row_id"] for r in hits] == exact
