@@ -216,3 +216,29 @@ def test_encoder_meta_roundtrip_bit_identical(spark, tmp_path):
         text_embedder=DeterministicStubEmbedder(16), num_harmonics=8,
     )
     assert [float(x) for x in q1.vector] == [float(x) for x in q2.vector]
+
+
+def test_encoder_meta_geo_and_binary_roundtrip(tmp_path):
+    """geo_sample tuples and binary values survive the JSON
+    round-trip with exact float identity."""
+    from fuserank_spark.encode import (
+        ColumnStats,
+        CorpusStats,
+        VectorLayout,
+        load_encoder_meta,
+        save_encoder_meta,
+    )
+
+    stats = CorpusStats(n_rows=7)
+    stats.columns["loc"] = ColumnStats(
+        kind="geolocation", geo_sample=[(77.2090001, 28.6139), (-0.1278, 51.5074)]
+    )
+    stats.columns["flag"] = ColumnStats(kind="binary", values=["No", "Yes"])
+    layout = VectorLayout(segments=[("__text__", 16), ("loc", 5), ("flag", 1)])
+    p = str(tmp_path / "m.json")
+    save_encoder_meta(p, stats, layout, num_harmonics=4)
+    s2, l2, knobs = load_encoder_meta(p)
+    assert s2.columns["loc"].geo_sample == [(77.2090001, 28.6139), (-0.1278, 51.5074)]
+    assert s2.columns["flag"].values == ["No", "Yes"]
+    assert l2.segments == layout.segments and l2.dim == 22
+    assert s2.n_rows == 7 and knobs["num_harmonics"] == 4
