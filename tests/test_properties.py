@@ -91,3 +91,20 @@ def test_minmax_scale_bounds(data):
     x = data.draw(st.floats(min_value=mn, max_value=mx, allow_nan=False))
     s = float(fourier.min_max_scale(x, mn, mx))
     assert -1.0 - 1e-9 <= s <= 1.0 + 1e-9
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_round9_idempotent_and_bounded(x):
+    """Portable half-up rounding (quantization._round9): idempotent,
+    within half a grid step of the input, and symmetric under the
+    explicit IEEE formula (the SQL-twin contract)."""
+    from fuserank_spark.pipeline_ext.quantization import _round9
+
+    r = _round9(x)
+    assert _round9(r) == r
+    assert abs(r - x) <= 5.0000001e-10 * max(1.0, abs(x) * 1e-0) + 1e-12 * abs(x)
+    # explicit formula equivalence (the definition itself)
+    import math
+
+    assert r == math.floor(x * 1e9 + 0.5) / 1e9
