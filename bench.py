@@ -166,7 +166,12 @@ def main() -> None:
     build_wall = round(
         sum(v for k, v in times.items() if k in BUILD_ENTRIES and v >= 0), 3
     )
-    serve_wall = round(total - build_wall, 3)
+    # eval/quality trackers are neither build nor serve — split them
+    # out so serve_wall_sec is strictly steady-state query cost
+    eval_wall = round(
+        sum(v for k, v in times.items() if k.startswith("eval_") and v >= 0), 3
+    )
+    serve_wall = round(total - build_wall - eval_wall, 3)
     out = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -179,6 +184,7 @@ def main() -> None:
         "fused_recall_at_10": recall_mean,
         "fused_ivf_recall_at_10": ivf_recall,
         "build_wall_sec": build_wall,
+        "eval_wall_sec": eval_wall,
         "serve_wall_sec": serve_wall,
     }
     print(json.dumps(out))

@@ -293,13 +293,34 @@ def fused_ivf_nprobe_sweep(
     reference eval loop src/eval/evaluate.py:156-202). One corpus
     build is shared across the sweep; recall at nprobe=n_cells is
     1.0 by construction and anchors the table."""
-    from .flagship import build_corpus_cached, fused_ivf_recall_at_k
+    from pyspark.sql import functions as _F
+
+    from .flagship import FUSED_IVF_CELLS, build_corpus_cached, fused_ivf_parts, probe_cells
+    from .search import topk
 
     corpus = build_corpus_cached(spark, sf_dir)
-    rows = [
-        (int(np_), float(fused_ivf_recall_at_k(spark, sf_dir, k=k, nprobe=np_, corpus=corpus)))
-        for np_ in nprobes
+    # one assignment + one exact baseline for the whole sweep; only
+    # the probe set varies per nprobe (probe sets nest by construction)
+    assigned, cq, _ = fused_ivf_parts(corpus, FUSED_IVF_CELLS)
+    cents = [
+        r["vector"]
+        for r in corpus.encoded.filter(_F.col("row_id") < FUSED_IVF_CELLS)
+        .orderBy("row_id")
+        .select("vector")
+        .collect()
     ]
+    exact = {r["row_id"] for r in topk(corpus.encoded, cq.vector, k=k).collect()}
+    rows = []
+    for np_ in nprobes:
+        probed = probe_cells(cents, cq.vector, int(np_))
+        got = {
+            r["row_id"]
+            for r in topk(
+                assigned, cq.vector, k=k,
+                predicate=_F.col("centroid_id").isin(probed),
+            ).collect()
+        }
+        rows.append((int(np_), len(exact & got) / max(len(exact), 1)))
     return spark.createDataFrame(rows, "nprobe int, recall double")
 
 

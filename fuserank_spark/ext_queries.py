@@ -866,7 +866,8 @@ def _ivf_serve_oracle(dim: int = 64, n_cent: int = 8, nprobe: int = 3, k: int = 
     ), assigned AS (
       SELECT e.vec_id, e.embedding, e.nrm, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY c.csq - 2 * {dot_ec} ASC, c.cid ASC) AS arn
+                                ORDER BY round(c.csq - 2 * {dot_ec}, 6) ASC,
+                                         c.cid ASC) AS arn
       FROM e CROSS JOIN cent c
     ), cells AS (
       SELECT vec_id, embedding, nrm, cid AS centroid_id FROM assigned WHERE arn = 1
@@ -875,7 +876,7 @@ def _ivf_serve_oracle(dim: int = 64, n_cent: int = 8, nprobe: int = 3, k: int = 
     ), probes AS (
       SELECT q.query_id, q.qe, q.qn, c.cid,
              row_number() OVER (PARTITION BY q.query_id
-                                ORDER BY {dot_qc} / (sqrt(c.csq) * q.qn) DESC,
+                                ORDER BY round({dot_qc} / (sqrt(c.csq) * q.qn), 6) DESC,
                                          c.cid ASC) AS prn
       FROM q CROSS JOIN cent c
     ), probed AS (
@@ -909,7 +910,10 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     cent_rows = e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     centroids = np.array([r["embedding"] for r in cent_rows], dtype="float64")
-    assigned = SS.ivf_assign(e, centroids)
+    # score_round=6: the oracle's argmin orders by round(dist, 6) —
+    # the shared tie-break domain (engine csq is a numpy-pairwise
+    # literal, the twin folds sequentially; rounding absorbs the ulp)
+    assigned = SS.ivf_assign(e, centroids, score_round=6)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1611,18 +1615,22 @@ def _bm25_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> tuple[str,
     bit-for-bit), then idf·tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) summed
     in the same association order as bm25_score_expr.
 
-    idf is rounded to 9 decimals on BOTH sides before it enters the
-    score (retrieval.idf_value does the same): ln is the one input
-    not guaranteed bit-identical across libm implementations, and a
-    last-ulp divergence landing on a round(score, 6) boundary would
-    flip the hash gate (ADVICE r3 fragility, fixed r5). tf/dl/avgdl
-    are exact in double and need no such treatment."""
+    idf is quantized to 9 decimals on BOTH sides before it enters
+    the score via the EXPLICIT ``floor(x·1e9+0.5)/1e9`` formula
+    (retrieval.idf_value evaluates the same three IEEE ops — NOT
+    Python round(), which is banker's and disagrees with engine
+    round() at half-boundaries): ln is the one input not guaranteed
+    bit-identical across libm implementations, and a last-ulp
+    divergence landing on a round(score, 6) boundary would flip the
+    hash gate (ADVICE r3 fragility, fixed r5). tf/dl/avgdl are
+    exact in double and need no such treatment."""
     df_cols = ", ".join(
         f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
         for i, t in enumerate(terms)
     )
     contribs = " + ".join(
-        f"(round(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)), 9) * "
+        f"((floor(ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) "
+        f"* 1000000000.0 + 0.5) / 1000000000.0) * "
         f"(CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE) * {k1 + 1.0}) / "
         f"(CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE) + "
         f"{k1} * (1.0 - {b} + {b} * d.dl / s.avgdl)))"
@@ -2088,8 +2096,8 @@ def _ivfpq_oracle(
     ), cellasg AS (
       SELECT e.vec_id, c.cid,
              row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY c.csq - 2 * list_sum(list_transform(range(1, {dim + 1}),
-                        i -> e.v[i] * c.cvec[i])) ASC,
+               ORDER BY round(c.csq - 2 * list_sum(list_transform(range(1, {dim + 1}),
+                        i -> e.v[i] * c.cvec[i])), 6) ASC,
                         c.cid ASC) AS arn
       FROM e CROSS JOIN ccent c
     ), cells AS (
@@ -2123,8 +2131,8 @@ def _ivfpq_oracle(
       SELECT query_id, cid FROM (
         SELECT q.query_id, c.cid,
                row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY list_sum(list_transform(range(1, {dim + 1}),
-                          i -> q.qe[i] * c.cvec[i])) / (sqrt(c.csq) * q.qn) DESC,
+                 ORDER BY round(list_sum(list_transform(range(1, {dim + 1}),
+                          i -> q.qe[i] * c.cvec[i])) / (sqrt(c.csq) * q.qn), 6) DESC,
                           c.cid ASC) AS prn
         FROM q CROSS JOIN ccent c
       ) WHERE prn <= {nprobe}
@@ -2172,7 +2180,7 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = Q.forgy_codebooks(
         [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
     )
-    assigned = SS.ivf_assign(e, centroids)
+    assigned = SS.ivf_assign(e, centroids, score_round=6)
     codes = Q.pq_encode(assigned, books, vec_col="embedding")
     queries = [(r["vec_id"], r["embedding"]) for r in cent_rows[:3]]
     return Q.ivf_pq_knn(

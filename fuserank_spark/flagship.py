@@ -116,6 +116,26 @@ def flagship_query(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 FUSED_IVF_CELLS = 8
 
 
+def probe_cells(cents, qvec, nprobe: int) -> list[int]:
+    """Driver-side probe selection shared by EVERY fused-IVF serve
+    path (in-session, persisted cold-start, scale smoke): rounded
+    IP(query, centroid) with HALF-AWAY-FROM-ZERO decimal rounding
+    (simsearch.round_half_away — matching Spark/DuckDB round(,6),
+    NOT numpy's banker's np.round), ties to the lowest cell id. One
+    definition so the tie-break domain can never drift between the
+    oracle-checked path and the other serve paths."""
+    import numpy as np
+
+    from .pipeline_ext.simsearch import round_half_away
+
+    ips = [
+        round_half_away(float(v))
+        for v in np.asarray(cents, dtype="float64")
+        @ np.asarray(qvec, dtype="float64")
+    ]
+    return [int(c) for c in sorted(range(len(ips)), key=lambda c: (-ips[c], c))[:nprobe]]
+
+
 def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int):
     """(assigned, compiled_query, probed_cells) for the fused-IVF
     serve path — split out so callers can persist ``assigned``
@@ -149,9 +169,7 @@ def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int):
         corpus.encoded, cents, vec_col="vector", metric="ip", score_round=6
     )
     cq = flagship_compiled(corpus)
-    ips = np.round(cents @ np.asarray(cq.vector, dtype="float64"), 6)
-    probed = sorted(range(FUSED_IVF_CELLS), key=lambda c: (-ips[c], c))[:nprobe]
-    return assigned, cq, [int(c) for c in probed]
+    return assigned, cq, probe_cells(cents, cq.vector, nprobe)
 
 
 def fused_ivf_query(
@@ -210,28 +228,29 @@ def fused_ivf_serve_persisted(
         raise ValueError("meta has no 'centroids' — save_encoder_meta(extra=...)")
     cents = np.asarray(knobs["centroids"], dtype="float64")
     emb_dim = int(knobs.get("emb_dim", EMB_DIM))
+    # aux schema comes FROM THE META (layout order ∩ stats kinds),
+    # not from the flagship constant — an index frozen with other
+    # aux columns must serve with its own schema
+    aux_schema = {
+        name: stats.columns[name].kind
+        for name, _d in layout.segments
+        if name != "__text__"
+    }
     cq = compile_query(
         text,
-        aux_data
-        or {
-            "lang": ((["en", "de"], False), 2.0),
-            "source": (None, 1.0),
-            "n_chars": ((120.0, 360.0, False), 1.5),
-        },
-        AUX_SCHEMA,
+        aux_data or {c: (None, 1.0) for c in aux_schema},
+        aux_schema,
         stats,
         layout,
         text_embedder=DeterministicStubEmbedder(emb_dim),
         num_harmonics=int(knobs["num_harmonics"]),
     )
-    ips = np.round(cents @ np.asarray(cq.vector, dtype="float64"), 6)
-    probed = sorted(range(len(cents)), key=lambda c: (-ips[c], c))[:nprobe]
     df = spark.read.parquet(index_path)
     return topk(
         df,
         cq.vector,
         k=k,
-        predicate=F.col("centroid_id").isin([int(c) for c in probed]),
+        predicate=F.col("centroid_id").isin(probe_cells(cents, cq.vector, nprobe)),
     )
 
 

@@ -120,6 +120,10 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if on not in big.columns or on not in small.columns:
         raise ValueError(f"join key {on!r} must exist on both sides")
+    if salt_buckets < 1:
+        # 0 would make pmod NULL and sequence(0, -1) count DOWN (the
+        # CLAUDE.md trap) — a silently-empty join instead of an error
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(

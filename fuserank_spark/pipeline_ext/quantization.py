@@ -498,12 +498,16 @@ def ivf_pq_knn(
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
+    from .simsearch import round_half_away
+
     probe_rows: list[tuple[int, int]] = []
     for qid, qv in queries:
         q = np.asarray([float(x) for x in qv], dtype="float64")
         qn = q / max(float(np.linalg.norm(q)), 1e-12)
-        sims = cn @ qn
-        for c in np.argsort(-sims, kind="stable")[:nprobe]:
+        # rounded half-away + lowest-cid tie-break — shared tie-break
+        # domain with the SQL twin's round(cosine, 6) probe ranking
+        sims = [round_half_away(float(s)) for s in cn @ qn]
+        for c in sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:nprobe]:
             probe_rows.append((int(qid), int(c)))
     probed_cells = sorted({c for _, c in probe_rows})
     probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")

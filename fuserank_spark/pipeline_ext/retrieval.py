@@ -68,13 +68,18 @@ def idf_value(n: int, df: int) -> float:
     """Lucene-form BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)).
     Always positive, so a matching term never penalizes a doc.
 
-    Rounded to 9 decimals BEFORE entering any score: ln is the one
+    Quantized to 9 decimals BEFORE entering any score: ln is the one
     input not guaranteed bit-identical across libm implementations
     (Python math.log here vs a SQL engine's ln()), and a last-ulp
     divergence landing on a round(score, 6) boundary would flip the
-    differential hash gate. Oracle twins round their ln identically
-    (ADVICE r3 / VERDICT r4 'What's wrong' #1)."""
-    return round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 9)
+    differential hash gate (ADVICE r3 / VERDICT r4 'What's wrong'
+    #1). The quantization is the EXPLICIT IEEE formula
+    ``floor(x·1e9 + 0.5)/1e9`` — Python round() is banker's and
+    would disagree with a SQL twin at half-boundaries; the oracle
+    evaluates the same three ops (CLAUDE.md portable-rounding
+    invariant). idf is always positive, so half-toward-+inf and
+    half-away-from-zero coincide."""
+    return math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e9 + 0.5) / 1e9
 
 
 def bm25_corpus_stats(

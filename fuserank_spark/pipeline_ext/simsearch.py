@@ -22,6 +22,18 @@ def _cosine(a_vec, b_vec):
     return dot_expr(a_vec, b_vec) / (l2_norm_expr(a_vec) * l2_norm_expr(b_vec))
 
 
+def round_half_away(x: float, digits: int = 6) -> float:
+    """Driver-side decimal rounding matching Spark/DuckDB ``round()``
+    (HALF AWAY FROM ZERO) — NOT Python round()/np.round, which are
+    banker's (half-to-even) and disagree at half-boundaries. Used
+    wherever a driver-side score (probe selection) must share a
+    tie-break domain with engine-rounded scores."""
+    import math
+
+    p = 10.0**digits
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
 def _merge_topk(
     scored: DataFrame,
     k: int,
@@ -328,7 +340,10 @@ def ivf_knn(
         qv = np.asarray(r[query_vec], dtype="float64")
         qn = qv / (np.linalg.norm(qv) or 1.0)
         cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(cn @ qn))[:nprobe]
+        # rounded half-away + lowest-cid tie-break: the SQL twin
+        # orders by round(cosine, 6) DESC, cid ASC — same domain
+        sims = [round_half_away(float(s)) for s in cn @ qn]
+        order = sorted(range(len(sims)), key=lambda c: (-sims[c], c))[:nprobe]
         for cid in order:
             probe_rows.append((r[query_key], int(cid), [float(x) for x in qv]))
     spark = assigned.sparkSession

@@ -158,13 +158,18 @@ def encoder_drift(
         col = F.col(c)
         aggs.append(F.count(col).alias(f"{c}__n"))
         if kind == S.DENSE:
-            out = (col.cast("double") < F.lit(float(cs.min))) | (
-                col.cast("double") > F.lit(float(cs.max))
-            )
+            if cs.min is None or cs.max is None:
+                # frozen stats fit on an all-NULL column: every real
+                # value is outside the (undefined) range
+                out = F.lit(True)
+            else:
+                out = (col.cast("double") < F.lit(float(cs.min))) | (
+                    col.cast("double") > F.lit(float(cs.max))
+                )
         elif kind == S.SPARSE:
-            out = ~col.isin(cs.vocab)
+            out = F.lit(True) if not cs.vocab else ~col.isin(cs.vocab)
         elif kind == S.BINARY:
-            out = ~col.isin(cs.values)
+            out = F.lit(True) if not cs.values else ~col.isin(cs.values)
         else:  # geo and friends carry no frozen range/vocab to drift from
             out = F.lit(False)
         aggs.append(

@@ -152,3 +152,12 @@ def test_salted_join_left_and_guards(spark):
         salted_join(big, small, "k", how="full")
     with pytest.raises(ValueError, match="both sides"):
         salted_join(big, small.withColumnRenamed("k", "kk"), "k")
+
+
+def test_salted_join_rejects_zero_buckets(spark):
+    from fuserank_spark.partitioning import salted_join
+
+    big = spark.range(0, 10).select((F.col("id") % 2).alias("k"), "id")
+    small = spark.range(0, 2).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_join(big, small, "k", salt_buckets=0)

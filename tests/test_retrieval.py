@@ -41,9 +41,10 @@ def py_bm25(rows, terms, k1=1.2, b=0.75):
         s = 0.0
         for term in terms:
             df = sum(1 for v in toks.values() if term in v)
-            # idf is rounded to 9 decimals in the engine (cross-libm
-            # ln stability, ADVICE r3) — the spec twin does the same
-            idf = round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 9)
+            # idf is quantized to 9 decimals in the engine via the
+            # explicit floor(x*1e9+0.5)/1e9 formula (cross-libm ln
+            # stability, ADVICE r3) — the spec twin does the same
+            idf = math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e9 + 0.5) / 1e9
             tf = float(tk.count(term))
             s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl))
         out[i] = s

@@ -327,3 +327,20 @@ def test_fused_ivf_serve_from_persisted_files(spark, tmpdir):
     )
     exact = [r["row_id"] for r in topk(spark.read.parquet(sink), cq.vector, k=5).collect()]
     assert [r["row_id"] for r in hits] == exact
+
+
+def test_encoder_drift_all_null_frozen_column(spark):
+    """Frozen stats fit on an all-NULL dense column: real values in a
+    new batch count as fully drifted instead of crashing."""
+    from fuserank_spark import schema as S
+    from fuserank_spark.encode import compute_stats
+    from fuserank_spark.streaming.incremental import encoder_drift
+
+    seed = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, x double"
+    )
+    aux = {"x": S.DENSE}
+    frozen = compute_stats(seed, aux)
+    batch = spark.createDataFrame([(3, 5.0), (4, None)], "doc_id long, x double")
+    rep = {r["column"]: r for r in encoder_drift(batch, frozen, aux)}
+    assert rep["x"]["n"] == 1 and rep["x"]["drift_frac"] == 1.0

@@ -268,6 +268,7 @@ def main():
     # fused-IVF serve at volume (r5): IP cell assignment over the 500k
     # fused vectors + pruned exact top-k on 3 of 8 cells — the shape
     # that turns into partition pruning over an ivf_persist'ed corpus
+    from fuserank_spark.flagship import probe_cells
     from fuserank_spark.pipeline_ext.simsearch import ivf_assign
 
     cent_rows = enc.orderBy("row_id").limit(8).select("vector").collect()
@@ -276,11 +277,9 @@ def main():
     fcents = np.array([r["vector"] for r in cent_rows], dtype="float64")
     t0 = time.time()
     fassigned = ivf_assign(enc, fcents, vec_col="vector", metric="ip", score_round=6)
-    ips = np.round(fcents @ np.asarray(cq.vector, dtype="float64"), 6)
-    fprobed = sorted(range(8), key=lambda c: (-ips[c], c))[:3]
     topk(
         fassigned, cq.vector, k=10,
-        predicate=F.col("centroid_id").isin([int(c) for c in fprobed]),
+        predicate=F.col("centroid_id").isin(probe_cells(fcents, cq.vector, 3)),
     ).collect()
     t["fused_ivf_topk"] = round(time.time() - t0, 2)
 
