@@ -344,3 +344,49 @@ def test_encoder_drift_all_null_frozen_column(spark):
     batch = spark.createDataFrame([(3, 5.0), (4, None)], "doc_id long, x double")
     rep = {r["column"]: r for r in encoder_drift(batch, frozen, aux)}
     assert rep["x"]["n"] == 1 and rep["x"]["drift_frac"] == 1.0
+
+
+def test_persisted_serve_nonflagship_schema(spark, tmpdir):
+    """The cold-start serve derives the aux schema FROM THE META —
+    an index frozen with a 2-column encoder (no 'source') must serve
+    without touching the flagship schema constant."""
+    import numpy as np
+
+    from fuserank_spark import schema as S
+    from fuserank_spark.embed import embed_corpus
+    from fuserank_spark.encode import (
+        compute_stats,
+        encode_products,
+        record_text_dim,
+        save_encoder_meta,
+    )
+    from fuserank_spark.flagship import fused_ivf_serve_persisted
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(80)
+        .withColumn("row_id", F.col("doc_id"))
+        .select("row_id", "text", "lang", "n_chars")
+    )
+    aux = {"lang": S.SPARSE, "n_chars": S.DENSE}
+    emb = embed_corpus(docs, {"text": 1.0}, dim=16)
+    stats = compute_stats(emb, aux)
+    enc, layout = encode_products(emb, aux, stats, num_harmonics=8)
+    record_text_dim(layout, 16)
+    cents = np.array(
+        [r["vector"] for r in enc.orderBy("row_id").limit(4).select("vector").collect()],
+        dtype="float64",
+    )
+    assigned = ivf_assign(enc, cents, vec_col="vector", metric="ip", score_round=6)
+    idx = f"{tmpdir}/idx"
+    assigned.drop("text", "text_emb").write.partitionBy("centroid_id").parquet(idx)
+    meta = f"{tmpdir}/meta.json"
+    save_encoder_meta(
+        meta, stats, layout, num_harmonics=8,
+        extra={"emb_dim": 16, "centroids": [[float(x) for x in c] for c in cents]},
+    )
+    hits = fused_ivf_serve_persisted(spark, idx, meta, k=5, nprobe=4).collect()
+    assert len(hits) == 5
+    # default aux_data = no filters: ranking is pure text relevance
+    assert all(r["relevance"] is not None for r in hits)
