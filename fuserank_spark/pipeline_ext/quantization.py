@@ -370,12 +370,15 @@ def pq_adc_topk(
     refine_with: DataFrame | None = None,
     refine_factor: int = 4,
     vec_col: str = "embedding",
+    max_query_batch: int = MAX_QUERY_BATCH,
 ) -> DataFrame:
     """Batch ADC top-k over PQ codes: broadcast the per-query lookup
     tables, score every code row with m array lookups + adds (pure
     expressions), two-phase top-k merge (_merge_topk — no per-query
-    hot key). ``queries`` is a bounded driver-side batch of
-    (query_id, vector), like simsearch.ivf_knn's contract.
+    hot key). ``queries`` is a driver-side batch of (query_id,
+    vector); batches above ``max_query_batch`` are AUTO-CHUNKED so
+    each LUT broadcast stays bounded, and the per-chunk results union
+    (identical to one-shot: per-query top-k is independent).
 
     Output: (query_id, vec_id, rnk, adc). With ``refine_with`` (the
     raw-vector table) the top ``k·refine_factor`` ADC survivors are
@@ -383,6 +386,16 @@ def pq_adc_topk(
     column becomes ``cosine`` and ranks follow the exact scores
     (faiss IVFPQ + refine layout)."""
     _check_query_batch(queries)
+    if len(queries) > max_query_batch:
+        return _chunked_union(
+            queries,
+            lambda qs: pq_adc_topk(
+                codes, codebooks, qs, k=k, key_col=key_col, code_col=code_col,
+                refine_with=refine_with, refine_factor=refine_factor,
+                vec_col=vec_col, max_query_batch=max_query_batch,
+            ),
+            max_query_batch,
+        )
     spark = codes.sparkSession
     m = codebooks.shape[0]
     luts = _lut_frame(spark, codebooks, queries)
@@ -403,14 +416,22 @@ def pq_adc_topk(
 def _check_query_batch(queries: list[tuple]) -> None:
     if not queries:
         raise ValueError("empty query batch")
-    if len(queries) > MAX_QUERY_BATCH:
-        raise ValueError(
-            f"{len(queries)} queries > MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
-            "per-query luts are broadcast and must stay small"
-        )
     qids = [qid for qid, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError("duplicate query_id in batch")
+
+
+def _chunked_union(queries: list[tuple], fn, chunk: int):
+    """Run ``fn`` over cap-sized slices of an over-cap query batch and
+    union the per-chunk results. The per-query LUT frame stays ≤
+    ``chunk`` rows in every broadcast, and per-query top-k is
+    independent across queries, so the union equals the one-shot
+    result (tests/test_quantization: *_auto_chunks)."""
+    out = None
+    for i in range(0, len(queries), chunk):
+        part = fn(queries[i : i + chunk])
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _lut_frame(spark, codebooks: np.ndarray, queries: list[tuple]) -> DataFrame:
@@ -478,6 +499,7 @@ def ivf_pq_knn(
     refine_with: DataFrame | None = None,
     refine_factor: int = 4,
     vec_col: str = "embedding",
+    max_query_batch: int = MAX_QUERY_BATCH,
 ) -> DataFrame:
     """IVF-PQ serve — the faiss IndexIVFPQ layout on Spark: ``codes``
     carries both the coarse cell (simsearch.ivf_assign; persist with
@@ -491,8 +513,20 @@ def ivf_pq_knn(
 
     With ``nprobe == n_centroids`` the result is identical to
     unpartitioned ADC (tested); smaller nprobe trades recall for
-    scanning nprobe/n_cells of the codes."""
+    scanning nprobe/n_cells of the codes. Batches above
+    ``max_query_batch`` auto-chunk like :func:`pq_adc_topk`."""
     _check_query_batch(queries)
+    if len(queries) > max_query_batch:
+        return _chunked_union(
+            queries,
+            lambda qs: ivf_pq_knn(
+                codes, centroids, codebooks, qs, k=k, nprobe=nprobe,
+                key_col=key_col, code_col=code_col, cell_col=cell_col,
+                refine_with=refine_with, refine_factor=refine_factor,
+                vec_col=vec_col, max_query_batch=max_query_batch,
+            ),
+            max_query_batch,
+        )
     spark = codes.sparkSession
     m = codebooks.shape[0]
     cn = centroids / np.maximum(

