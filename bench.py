@@ -85,6 +85,42 @@ def main() -> None:
     n_rows = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     times["corpus_encode"] = round(encode_sec, 3)
 
+    # real-model embed throughput (gated; VERDICT r5 next-round #4):
+    # at 100 TB the HF forward pass IS the pipeline cost — the
+    # headline encode_rows_per_sec above uses the deterministic stub
+    # and must not be read as model throughput. When torch+
+    # transformers are importable, time embed_corpus over a bounded
+    # sample with a real small public model through the SAME
+    # mapInPandas path; otherwise report null (this container gates
+    # the libs).
+    HF_BENCH_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
+    HF_BENCH_ROWS = 2000
+    hf_embed_rows_per_sec = None
+    try:
+        from fuserank_spark.embed import HFEmbedder, embed_corpus
+
+        HFEmbedder(HF_BENCH_MODEL)  # probe the gate before timing
+        sample = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .limit(HF_BENCH_ROWS)
+        )
+        t0 = time.time()
+        materialize(
+            embed_corpus(
+                sample,
+                {"text": 1.0},
+                embedder_factory=lambda: HFEmbedder(HF_BENCH_MODEL),
+            )
+        )
+        hf_sec = time.time() - t0
+        times["hf_embed_sample"] = round(hf_sec, 3)
+        hf_embed_rows_per_sec = round(HF_BENCH_ROWS / hf_sec, 1) if hf_sec > 0 else None
+    except NotImplementedError:
+        pass  # torch/transformers not installed — entry stays null
+    except Exception as e:
+        print(f"bench: hf_embed_sample failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # batch top-k throughput (32 fused queries, k=10)
     from fuserank_spark.embed import DeterministicStubEmbedder
     from fuserank_spark.flagship import AUX_SCHEMA, EMB_DIM, NUM_HARMONICS
@@ -146,6 +182,18 @@ def main() -> None:
     recall_mean = round(sum(r["recall"] for r in eval_results) / len(eval_results), 4)
     times["eval_recall_sweep"] = round(time.time() - t0, 3)
 
+    # geo quality tracker (VERDICT r5 next-round #5): rank agreement of
+    # the geo-only fused ranking vs exact haversine ordering — the
+    # modality with no hard-filter oracle gets its quality number here
+    from fuserank_spark.eval_harness import evaluate_geo_rank_agreement
+
+    t0 = time.time()
+    geo_results = evaluate_geo_rank_agreement(
+        spark, sf_dir, num_harmonics=200, n_queries=6, k=10
+    )
+    geo_recall = round(sum(r["recall"] for r in geo_results) / len(geo_results), 4)
+    times["eval_geo_agreement"] = round(time.time() - t0, 3)
+
     # fused-IVF quality tracker, TWO stated operating points (VERDICT r5
     # "what's wrong" #1): the headline recall is measured at the sweep's
     # target-recall anchor (nprobe = all cells → pruning exact by
@@ -183,6 +231,7 @@ def main() -> None:
         "q_restaurants_fused",
         "q_ivf_build",
         "q_pq_build",
+        "hf_embed_sample",
     }
     build_wall = round(
         sum(v for k, v in times.items() if k in BUILD_ENTRIES and v >= 0), 3
@@ -200,9 +249,13 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "encode_rows_per_sec": round(n_rows / encode_sec, 1) if encode_sec > 0 else None,
+        "encode_embedder": "stub-hash-bow",
+        "hf_embed_rows_per_sec": hf_embed_rows_per_sec,
+        "hf_embed_model": HF_BENCH_MODEL if hf_embed_rows_per_sec else None,
         "topk_queries_per_sec": round(32 / batch_sec, 2) if batch_sec > 0 else None,
         "topk256_queries_per_sec": round(256 / batch256_sec, 2) if batch256_sec > 0 else None,
         "fused_recall_at_10": recall_mean,
+        "geo_rank_agreement_at_10": geo_recall,
         "fused_ivf_recall_at_10": ivf_recall_target,
         "fused_ivf_recall_nprobe": FUSED_IVF_NPROBE_TARGET,
         "fused_ivf_recall_at_10_fast": ivf_recall_fast,

@@ -216,6 +216,90 @@ def evaluate_fused_vs_exact(
     return results
 
 
+def haversine_km_expr(col: Column, lon: float, lat: float) -> Column:
+    """Exact haversine km from a (lon, lat) struct column to a fixed
+    query point — Column-expression twin of fourier.haversine_km (G1,
+    src/encode.py:371-388), R=6371."""
+    import numpy as np
+
+    plon, plat = F.radians(col.getField("lon")), F.radians(col.getField("lat"))
+    qlon, qlat = np.radians([float(lon), float(lat)])
+    hav = (
+        F.pow(F.sin((plat - F.lit(qlat)) / 2), 2)
+        + F.cos(F.lit(qlat)) * F.cos(plat) * F.pow(F.sin((plon - F.lit(qlon)) / 2), 2)
+    )
+    return 2 * 6371.0 * F.asin(F.sqrt(hav))
+
+
+def evaluate_geo_rank_agreement(
+    spark: SparkSession,
+    sf_dir: str,
+    num_harmonics: int = 200,
+    n_queries: int = 8,
+    k: int = 10,
+    seed: int = 42,
+    base=None,
+) -> list[dict]:
+    """Geo quality metric (VERDICT r5 next-round #5). Geolocation has
+    no hard-filter oracle form — the reference excludes it from its
+    own differential eval (config.yaml:2, milvus_experiment.py:51-52)
+    and that invariant is kept here — but the reference app DOES serve
+    geo fused queries (src/app.py:216-228), so the modality needs a
+    quality number. This scores RANK AGREEMENT instead of a hard
+    oracle: a geo-dominant fused query's top-k vs the exact haversine
+    ordering.
+
+    Arms, per seeded query point (a sampled document's location):
+      system  fused top-k where ONLY geo carries weight (empty query
+              text → zero text segment; every other modality weighted
+              0.0), i.e. the geo product encoding alone drives rank;
+      exact   the k nearest non-null-location documents by exact
+              haversine km, ascending, ties by row_id.
+    Metrics: recall@k + r_precision, same shape as the text harness,
+    so report()/export_report() work unchanged.
+    """
+    corpus = build_eval_corpus(spark, sf_dir, num_harmonics, base=base)
+    embedder = DeterministicStubEmbedder(EMB_DIM)
+    with_loc = corpus.df.filter(F.col("location").isNotNull())
+    loc_rows = with_loc.select("row_id", "location").collect()
+    rng = random.Random(seed)
+    picks = rng.sample(loc_rows, k=min(n_queries, len(loc_rows)))
+    results: list[dict] = []
+    for i, row in enumerate(picks):
+        lon = float(row["location"]["lon"])
+        lat = float(row["location"]["lat"])
+        aux: dict[str, tuple] = {c: (None, 0.0) for c in EVAL_AUX_SCHEMA}
+        aux["location"] = ((lon, lat, False), 1.0)
+        cq = compile_query(
+            "", aux, EVAL_AUX_SCHEMA, corpus.stats, corpus.layout,
+            text_embedder=embedder, num_harmonics=num_harmonics,
+        )
+        fused = [
+            r["row_id"]
+            for r in topk(corpus.encoded, cq.vector, k=k).select("row_id").collect()
+        ]
+        exact = [
+            r["row_id"]
+            for r in with_loc.withColumn(
+                "hav_km", haversine_km_expr(F.col("location"), lon, lat)
+            )
+            .orderBy(F.asc("hav_km"), F.asc("row_id"))
+            .limit(k)
+            .select("row_id")
+            .collect()
+        ]
+        results.append(
+            {
+                "num_harmonics": num_harmonics,
+                "query_id": i,
+                "recall": recall(exact, fused),
+                "r_precision": r_precision(exact, fused),
+            }
+        )
+    corpus.encoded.unpersist()
+    return results
+
+
 def report(spark: SparkSession, results: list[dict]) -> DataFrame:
     """A5 grouped-mean report (evaluate.py:113-129)."""
     df = spark.createDataFrame(results)
@@ -359,6 +443,15 @@ def main() -> None:
         )
     report(spark, all_results).show(truncate=False)
     fused_ivf_nprobe_sweep(spark, args.sf_dir, k=args.k).show(truncate=False)
+    geo = evaluate_geo_rank_agreement(
+        spark, args.sf_dir, num_harmonics=max(args.harmonics),
+        n_queries=args.queries, k=args.k,
+    )
+    print(
+        "geo rank agreement vs exact haversine: "
+        f"mean recall@{args.k} = {sum(r['recall'] for r in geo) / len(geo):.4f} "
+        f"({len(geo)} seeded geo queries, K={max(args.harmonics)})"
+    )
     if args.export_dir:
         for p in export_report(spark, all_results, args.export_dir):
             print(f"wrote {p}")

@@ -132,6 +132,86 @@ def incremental_ivf_index(
     return writer.start()
 
 
+def compact_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    *,
+    target_rows_per_file: int = 500_000,
+    rows: int | None = None,
+    key_col: str = "row_id",
+) -> dict:
+    """Maintenance compaction for a stream-maintained IVF index
+    (VERDICT r5 next-round #3): :func:`incremental_ivf_index` appends
+    one parquet file set per micro-batch per centroid partition —
+    with small trigger intervals that accretes unboundedly many small
+    files, and at 100 TB the per-file open/footer cost starts to
+    dominate the probe scan. This job rewrites the accumulated index
+    into ``out_path`` partitioned by ``centroid_id`` only, with at
+    most ``ceil(rows / n_cells / target_rows_per_file)`` files per
+    cell (the layout_corpus sizing rule applied per partition).
+
+    Mechanics: each row gets a deterministic file slot
+    ``pmod(key, files_per_cell)``; one hash repartition on
+    (centroid_id, slot) co-locates every (cell, slot) group on a
+    single task, so each cell directory receives ≤ files_per_cell
+    part files (task collisions can only merge slots, never split
+    them). The micro-batch provenance column (``batch_id``) is
+    dropped — post-compaction the snapshot is the unit of
+    maintenance.
+
+    Serve-identical and idempotent: the row set is untouched, so
+    ``fused_ivf_serve_persisted(out_path, ...)`` returns exactly the
+    pre-compaction results (pinned by
+    tests/test_streaming.py::test_compact_ivf_index); re-running
+    overwrites ``out_path`` with identical content. Publish by
+    atomically swapping the serve pointer (or directory rename) to
+    ``out_path`` — never compact in place over a path a live stream
+    is appending to. Pass ``rows`` (e.g. from streaming-progress
+    numInputRows totals) to skip the sizing count job."""
+    df = spark.read.parquet(index_path)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    if "centroid_id" not in df.columns:
+        raise ValueError(f"{index_path} is not an IVF index (no centroid_id)")
+    n_cells = df.select("centroid_id").distinct().count()
+    if n_cells == 0:
+        raise ValueError(f"{index_path} is empty")
+    if rows is None:
+        rows = df.count()
+    files_per_cell = max(1, -(-int(rows) // (n_cells * target_rows_per_file)))
+    slot = F.pmod(F.abs(F.hash(F.col(key_col))), F.lit(files_per_cell))
+    (
+        df.withColumn("__slot", slot)
+        .repartition(n_cells * files_per_cell, "centroid_id", "__slot")
+        .drop("__slot")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(out_path)
+    )
+    return {
+        "rows": int(rows),
+        "n_cells": n_cells,
+        "files_per_cell": files_per_cell,
+        "files_before": _count_part_files(index_path),
+        "files_after": _count_part_files(out_path),
+    }
+
+
+def _count_part_files(path: str) -> int | None:
+    """Part-file census for local paths (the test/report surface);
+    returns None for non-local URIs (count via your store's listing)."""
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    root = path[len("file://"):] if path.startswith("file://") else path
+    n = 0
+    for _dir, _subdirs, files in os.walk(root):
+        n += sum(1 for f in files if f.startswith("part-"))
+    return n
+
+
 def encoder_drift(
     batch: DataFrame, frozen, aux_schema: dict
 ) -> list[dict]:

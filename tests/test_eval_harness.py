@@ -42,3 +42,18 @@ def test_export_report_artifacts(spark, results, tmp_path):
     lines = open(csv).read().strip().splitlines()
     assert lines[0].startswith("num_harmonics")
     assert len(lines) >= 2
+
+
+def test_geo_rank_agreement(spark):
+    """Geo quality metric (no hard-filter oracle — rank agreement vs
+    exact haversine, VERDICT r5 #5). The geo product encoding's dot
+    score is monotone in great-circle distance (cosine on the unit
+    sphere), so a geo-only fused ranking should near-perfectly agree
+    with the exact ordering."""
+    from fuserank_spark.eval_harness import evaluate_geo_rank_agreement
+
+    res = evaluate_geo_rank_agreement(spark, SF_SMOKE, num_harmonics=8, n_queries=4, k=10)
+    assert len(res) == 4
+    mean = sum(r["recall"] for r in res) / len(res)
+    assert mean >= 0.9, res
+    assert all(0.0 <= r["r_precision"] <= 1.0 for r in res)

@@ -329,6 +329,106 @@ def test_fused_ivf_serve_from_persisted_files(spark, tmpdir):
     assert [r["row_id"] for r in hits] == exact
 
 
+def test_compact_ivf_index(spark, tmpdir):
+    """Compaction rewrites the micro-batch file accretion into ≤
+    files_per_cell part files per centroid dir, serve-identical and
+    idempotent (VERDICT r5 next-round #3)."""
+    import numpy as np
+
+    from fuserank_spark import schema as S
+    from fuserank_spark.embed import embed_corpus
+    from fuserank_spark.encode import (
+        compute_stats,
+        encode_products,
+        record_text_dim,
+        save_encoder_meta,
+    )
+    from fuserank_spark.flagship import fused_ivf_serve_persisted
+    from fuserank_spark.streaming.incremental import compact_ivf_index, incremental_ivf_index
+    from pyspark.sql import types as T
+
+    src, sink, ck = f"{tmpdir}/src", f"{tmpdir}/sink", f"{tmpdir}/ck"
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(90)
+        .withColumn("row_id", F.col("doc_id"))
+        .select("row_id", "doc_id", "text", "lang", "source", "n_chars")
+    )
+    docs.repartition(3).write.parquet(src)
+
+    aux = {"lang": S.SPARSE, "source": S.SPARSE, "n_chars": S.DENSE}
+    seed_emb = embed_corpus(docs, {"text": 1.0}, dim=16)
+    stats = compute_stats(seed_emb, aux)
+    enc, layout = encode_products(seed_emb, aux, stats, num_harmonics=8)
+    record_text_dim(layout, 16)
+    cents = np.array(
+        [r["vector"] for r in enc.orderBy("row_id").limit(4).select("vector").collect()],
+        dtype="float64",
+    )
+    meta = f"{tmpdir}/meta.json"
+    save_encoder_meta(
+        meta, stats, layout, num_harmonics=8,
+        extra={"emb_dim": 16, "centroids": [[float(x) for x in c] for c in cents]},
+    )
+    schema = T.StructType(
+        [
+            T.StructField("row_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    q = incremental_ivf_index(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        sink, ck, stats=stats, aux_schema=aux, centroids=cents,
+        num_harmonics=8, emb_dim=16,
+    )
+    q.awaitTermination(120)
+
+    aux_data = {"lang": ((["en"], False), 2.0), "source": (None, 1.0),
+                "n_chars": ((100.0, 300.0, False), 1.5)}
+    before = [
+        (r["row_id"], r["relevance"])
+        for r in fused_ivf_serve_persisted(
+            spark, sink, meta, k=5, nprobe=4, aux_data=aux_data
+        ).select("row_id", F.round("relevance", 6).alias("relevance")).collect()
+    ]
+
+    compacted = f"{tmpdir}/compacted"
+    report = compact_ivf_index(spark, sink, compacted)
+    # micro-batch accretion collapsed: bounded per-cell file count
+    assert report["rows"] == 90
+    assert report["files_per_cell"] == 1
+    assert report["files_after"] <= report["n_cells"] * report["files_per_cell"]
+    assert report["files_after"] < report["files_before"]
+    # row set untouched, batch_id provenance dropped
+    out = spark.read.parquet(compacted)
+    assert "batch_id" not in out.columns
+    assert sorted(r["row_id"] for r in out.select("row_id").collect()) == sorted(
+        r["row_id"] for r in spark.read.parquet(sink).select("row_id").collect()
+    )
+    # serve-identical from the compacted snapshot
+    after = [
+        (r["row_id"], r["relevance"])
+        for r in fused_ivf_serve_persisted(
+            spark, compacted, meta, k=5, nprobe=4, aux_data=aux_data
+        ).select("row_id", F.round("relevance", 6).alias("relevance")).collect()
+    ]
+    assert after == before
+    # idempotent: re-run overwrites with identical content
+    report2 = compact_ivf_index(spark, sink, compacted)
+    assert report2["files_after"] == report["files_after"]
+    again = [
+        (r["row_id"], r["relevance"])
+        for r in fused_ivf_serve_persisted(
+            spark, compacted, meta, k=5, nprobe=4, aux_data=aux_data
+        ).select("row_id", F.round("relevance", 6).alias("relevance")).collect()
+    ]
+    assert again == before
+
+
 def test_encoder_drift_all_null_frozen_column(spark):
     """Frozen stats fit on an all-NULL dense column: real values in a
     new batch count as fully drifted instead of crashing."""

@@ -283,6 +283,89 @@ def main():
     ).collect()
     t["fused_ivf_topk"] = round(time.time() - t0, 2)
 
+    # round-5 layers at volume (VERDICT r5 next-round #6) -----------------
+
+    # salted skew-join: 30% of the corpus on ONE key — the shape AQE
+    # alone can't fix when the dim side is broadcast-disabled
+    from fuserank_spark.partitioning import salted_join
+
+    hot = big.select(
+        F.when(F.col("row_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("row_id") % 1000)
+        .alias("k"),
+        "row_id",
+        "n_chars",
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id") % 7).alias("grp")
+    )
+    t0 = time.time()
+    salted_join(hot, dim, "k", salt_buckets=16).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")
+    ).write.format("noop").mode("overwrite").save()
+    t["salted_join_hotkey"] = round(time.time() - t0, 2)
+
+    # assembly chain: curate → mixture → pack composed end-to-end
+    from fuserank_spark.pipeline_ext.curation import curate_corpus
+    from fuserank_spark.pipeline_ext.curation import mixture_sample as _mix
+
+    asm_in = big.select(
+        F.col("row_id").alias("doc_id"),
+        F.concat(F.lit("s"), F.col("row_id") % 4).alias("source"),
+        "text",
+    )
+    t0 = time.time()
+    curated = curate_corpus(asm_in)
+    train = curated.filter(F.col("split") == "train")
+    mixed = _mix(train, {"s0": 0.25, "s1": 1.0, "s2": 1.5, "s3": 2.0})
+    items = mixed.select(
+        (F.col("doc_id") * 8 + F.col("copy_idx")).alias("item_id"), "n_tokens"
+    )
+    pack_split(items, budget=2048, key_col="item_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t["assembly_chain"] = round(time.time() - t0, 2)
+
+    # media frame-sampling: payload attach → stub video decode →
+    # expression-only frame explode (≤16 frames/doc) at corpus scale
+    from fuserank_spark.pipeline_ext import multimodal as M
+
+    t0 = time.time()
+    med = M.attach_payload(big.select("row_id", "text"))
+    med = M.extract_media_metadata(med, media_type="video")
+    M.frame_sample(med, every_ms=7000, max_frames=16).select(
+        "row_id", "frame_ts_ms"
+    ).write.format("noop").mode("overwrite").save()
+    t["media_frames"] = round(time.time() - t0, 2)
+
+    # fused-IVF cold-start serve: persist the assigned fused corpus
+    # partitioned by cell + frozen encoder meta, then serve from FILES
+    # ONLY — the partition-pruned steady-state query path
+    from fuserank_spark.encode import save_encoder_meta
+    from fuserank_spark.flagship import fused_ivf_serve_persisted
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"
+    )
+    fidx_path = os.path.join(cache_dir, "fused_ivf_smoke")
+    fmeta_path = os.path.join(cache_dir, "fused_ivf_smoke_meta.json")
+    t0 = time.time()
+    ivf_persist(fassigned, fidx_path)
+    save_encoder_meta(
+        fmeta_path, stats, layout, num_harmonics=64,
+        extra={"emb_dim": 64, "centroids": [[float(x) for x in c] for c in fcents]},
+    )
+    t["fused_ivf_persist"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    fused_ivf_serve_persisted(
+        spark, fidx_path, fmeta_path, k=10, nprobe=3,
+        aux_data={
+            "lang": ((["en", "de"], False), 2.0),
+            "n_chars": ((120.0, 360.0, False), 1.5),
+        },
+    ).collect()
+    t["fused_ivf_serve_persisted"] = round(time.time() - t0, 2)
+
     t["n_rows"] = n
     print(json.dumps(t))
 
