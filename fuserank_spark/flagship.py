@@ -219,6 +219,7 @@ def fused_ivf_serve_persisted(
     text: str = "spark join filter vector search",
     k: int = 10,
     nprobe: int = FUSED_IVF_NPROBE_FAST,
+    delta_sink: str | None = None,
 ) -> DataFrame:
     """Serve a fused query from FILES ONLY — no in-session corpus
     build: load the frozen encoder (encode.load_encoder_meta; the
@@ -229,7 +230,14 @@ def fused_ivf_serve_persisted(
     new-session serve path for an index maintained by
     streaming.incremental_ivf_index + ivf_persist: the centroid_id
     filter prunes partitions, so the query reads nprobe/n_cells of
-    the stored bytes."""
+    the stored bytes.
+
+    ``delta_sink``: when ``index_path`` is a COMPACTED snapshot
+    (streaming.compact_ivf_index) and the maintenance stream is still
+    appending to its original sink, pass that sink here — the serve
+    reads snapshot ∪ (sink batches after the compaction watermark),
+    so compaction never requires stopping the stream
+    (streaming.read_ivf_index)."""
     import numpy as np
 
     from .encode import load_encoder_meta
@@ -256,7 +264,9 @@ def fused_ivf_serve_persisted(
         text_embedder=DeterministicStubEmbedder(emb_dim),
         num_harmonics=int(knobs["num_harmonics"]),
     )
-    df = spark.read.parquet(index_path)
+    from .streaming.incremental import read_ivf_index
+
+    df = read_ivf_index(spark, index_path, delta_sink=delta_sink)
     return topk(
         df,
         cq.vector,

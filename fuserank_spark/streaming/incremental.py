@@ -170,7 +170,9 @@ def compact_ivf_index(
     is appending to. Pass ``rows`` (e.g. from streaming-progress
     numInputRows totals) to skip the sizing count job."""
     df = spark.read.parquet(index_path)
+    max_batch_id = None
     if "batch_id" in df.columns:
+        max_batch_id = df.agg(F.max("batch_id")).collect()[0][0]
         df = df.drop("batch_id")
     if "centroid_id" not in df.columns:
         raise ValueError(f"{index_path} is not an IVF index (no centroid_id)")
@@ -189,13 +191,84 @@ def compact_ivf_index(
         .partitionBy("centroid_id")
         .parquet(out_path)
     )
-    return {
+    report = {
         "rows": int(rows),
         "n_cells": n_cells,
         "files_per_cell": files_per_cell,
+        "max_batch_id": None if max_batch_id is None else int(max_batch_id),
         "files_before": _count_part_files(index_path),
         "files_after": _count_part_files(out_path),
     }
+    _write_compaction_marker(spark, out_path, report)
+    return report
+
+
+_COMPACTION_MARKER = "_compaction.json"
+
+
+def _write_compaction_marker(spark: SparkSession, out_path: str, report: dict) -> None:
+    """Persist the compaction watermark inside the snapshot directory
+    (underscore-prefixed ⇒ invisible to parquet readers) via the
+    Hadoop FS API, so it lands on whatever store holds the index."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{_COMPACTION_MARKER}")
+    fs = path.getFileSystem(hconf)
+    out = fs.create(path, True)
+    out.write(bytearray(json.dumps(report).encode()))
+    out.close()
+
+
+def read_compaction_marker(spark: SparkSession, compacted_path: str) -> dict | None:
+    """Read the `_compaction.json` watermark a compaction run left in
+    the snapshot directory; None when absent."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{compacted_path}/{_COMPACTION_MARKER}")
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def read_ivf_index(
+    spark: SparkSession, compacted_path: str, delta_sink: str | None = None
+) -> DataFrame:
+    """The serve-side read for a compacted index under a LIVE stream:
+    the compacted snapshot plus only the micro-batches the stream
+    appended AFTER the compaction watermark (``batch_id >
+    max_batch_id`` — a partition filter on the sink, so already-
+    compacted batches are never re-read). This is how compaction and
+    a running `incremental_ivf_index` coexist without a stop-the-
+    world swap: compact sink→snapshot, point serves at
+    ``read_ivf_index(snapshot, delta_sink=sink)``, and the next
+    compaction run folds the delta in. Row set == the full sink
+    (pinned by tests/test_streaming.py::test_compact_with_live_delta)."""
+    df = spark.read.parquet(compacted_path)
+    if delta_sink is None:
+        return df
+    marker = read_compaction_marker(spark, compacted_path)
+    if marker is None or marker.get("max_batch_id") is None:
+        raise ValueError(
+            f"{compacted_path} has no compaction watermark — cannot bound the delta"
+        )
+    delta = (
+        spark.read.parquet(delta_sink)
+        .filter(F.col("batch_id") > int(marker["max_batch_id"]))
+        .drop("batch_id")
+    )
+    return df.unionByName(delta)
 
 
 def _count_part_files(path: str) -> int | None:

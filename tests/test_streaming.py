@@ -429,6 +429,116 @@ def test_compact_ivf_index(spark, tmpdir):
     assert again == before
 
 
+def test_compact_with_live_delta(spark, tmpdir):
+    """Compaction under a LIVE stream: compact the first batches into
+    a snapshot, let the checkpointed stream append MORE batches to the
+    original sink, then serve over snapshot ∪ post-watermark delta —
+    results must equal serving over the full un-compacted sink."""
+    import numpy as np
+
+    from fuserank_spark import schema as S
+    from fuserank_spark.embed import embed_corpus
+    from fuserank_spark.encode import (
+        compute_stats,
+        encode_products,
+        record_text_dim,
+        save_encoder_meta,
+    )
+    from fuserank_spark.flagship import fused_ivf_serve_persisted
+    from fuserank_spark.streaming.incremental import (
+        compact_ivf_index,
+        incremental_ivf_index,
+        read_ivf_index,
+    )
+    from pyspark.sql import types as T
+
+    src, sink, ck = f"{tmpdir}/src", f"{tmpdir}/sink", f"{tmpdir}/ck"
+    all_docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(120)
+        .withColumn("row_id", F.col("doc_id"))
+        .select("row_id", "doc_id", "text", "lang", "source", "n_chars")
+    )
+    first, second = (
+        all_docs.filter(F.col("row_id") < 80),
+        all_docs.filter(F.col("row_id") >= 80),
+    )
+    first.repartition(2).write.parquet(src)
+
+    aux = {"lang": S.SPARSE, "source": S.SPARSE, "n_chars": S.DENSE}
+    # freeze the encoder on the FULL corpus so late batches need no re-fit
+    seed_emb = embed_corpus(all_docs, {"text": 1.0}, dim=16)
+    stats = compute_stats(seed_emb, aux)
+    enc, layout = encode_products(seed_emb, aux, stats, num_harmonics=8)
+    record_text_dim(layout, 16)
+    cents = np.array(
+        [r["vector"] for r in enc.orderBy("row_id").limit(4).select("vector").collect()],
+        dtype="float64",
+    )
+    meta = f"{tmpdir}/meta.json"
+    save_encoder_meta(
+        meta, stats, layout, num_harmonics=8,
+        extra={"emb_dim": 16, "centroids": [[float(x) for x in c] for c in cents]},
+    )
+    schema = T.StructType(
+        [
+            T.StructField("row_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def run_stream():
+        q = incremental_ivf_index(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            sink, ck, stats=stats, aux_schema=aux, centroids=cents,
+            num_harmonics=8, emb_dim=16,
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # first batches land in the sink
+    snapshot = f"{tmpdir}/snapshot"
+    report = compact_ivf_index(spark, sink, snapshot)
+    assert report["max_batch_id"] is not None
+
+    # the live stream appends more batches to the ORIGINAL sink
+    second.repartition(1).write.mode("append").parquet(src)
+    run_stream()
+
+    combined = read_ivf_index(spark, snapshot, delta_sink=sink)
+    full = spark.read.parquet(sink)
+    assert combined.count() == full.count() == 120
+    assert sorted(r["row_id"] for r in combined.select("row_id").collect()) == sorted(
+        r["row_id"] for r in full.select("row_id").collect()
+    )
+
+    aux_data = {"lang": ((["en"], False), 2.0), "source": (None, 1.0),
+                "n_chars": ((100.0, 300.0, False), 1.5)}
+    served_delta = [
+        (r["row_id"], r["relevance"])
+        for r in fused_ivf_serve_persisted(
+            spark, snapshot, meta, k=5, nprobe=4, aux_data=aux_data,
+            delta_sink=sink,
+        ).select("row_id", F.round("relevance", 6).alias("relevance")).collect()
+    ]
+    served_full = [
+        (r["row_id"], r["relevance"])
+        for r in fused_ivf_serve_persisted(
+            spark, sink, meta, k=5, nprobe=4, aux_data=aux_data
+        ).select("row_id", F.round("relevance", 6).alias("relevance")).collect()
+    ]
+    assert served_delta == served_full
+
+    # no watermark → delta read must refuse rather than double-count
+    bare = f"{tmpdir}/bare"
+    spark.read.parquet(snapshot).write.parquet(bare)
+    with pytest.raises(ValueError, match="watermark"):
+        read_ivf_index(spark, bare, delta_sink=sink)
+
+
 def test_encoder_drift_all_null_frozen_column(spark):
     """Frozen stats fit on an all-NULL dense column: real values in a
     new batch count as fully drifted instead of crashing."""
