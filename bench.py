@@ -200,27 +200,24 @@ def main() -> None:
     # construction, measured anyway as evidence); the fast point
     # (nprobe=3/8, what q_fused_ivf serves) is reported separately so a
     # 0.70 never reads as the engine's quality ceiling.
+    from fuserank_spark.eval_harness import fused_ivf_nprobe_sweep
     from fuserank_spark.flagship import (
         FUSED_IVF_NPROBE_FAST,
         FUSED_IVF_NPROBE_TARGET,
-        build_corpus_cached,
-        fused_ivf_recall_at_k,
     )
 
     t0 = time.time()
-    fused_corpus = build_corpus_cached(spark, sf_dir)
-    ivf_recall_target = round(
-        fused_ivf_recall_at_k(
-            spark, sf_dir, k=10, nprobe=FUSED_IVF_NPROBE_TARGET, corpus=fused_corpus
-        ),
-        4,
-    )
-    ivf_recall_fast = round(
-        fused_ivf_recall_at_k(
-            spark, sf_dir, k=10, nprobe=FUSED_IVF_NPROBE_FAST, corpus=fused_corpus
-        ),
-        4,
-    )
+    # ONE corpus build + ONE assignment + ONE exact baseline shared
+    # across both operating points (the sweep machinery) — not two
+    # independent recall evals
+    sweep = {
+        r["nprobe"]: r["recall"]
+        for r in fused_ivf_nprobe_sweep(
+            spark, sf_dir, nprobes=(FUSED_IVF_NPROBE_FAST, FUSED_IVF_NPROBE_TARGET)
+        ).collect()
+    }
+    ivf_recall_target = round(sweep[FUSED_IVF_NPROBE_TARGET], 4)
+    ivf_recall_fast = round(sweep[FUSED_IVF_NPROBE_FAST], 4)
     times["eval_fused_ivf_recall"] = round(time.time() - t0, 3)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)

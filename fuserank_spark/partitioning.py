@@ -117,13 +117,17 @@ def salted_join(
     Inner/left only: right/full would emit unmatched SMALL rows once
     per salt replica.
 
-    The salt is a DETERMINISTIC content hash (portable md5 of every
+    The salt is a DETERMINISTIC content hash (xxhash64 of every
     big-side column), not monotonically_increasing_id: output is
     identical either way, but id-based salts re-salt on task retry,
     making a straggler investigation unreproducible (VERDICT r5 nit
-    #4). Content hashing spreads a hot key's rows as long as the rows
-    differ anywhere; fully-identical duplicate rows co-locate (they
-    hash alike) — dedup upstream if that pathology applies."""
+    #4). xxhash64 is fine here — the salt is dropped before output,
+    so no oracle-checked VALUE depends on it (the portable-md5
+    invariant binds only values a DuckDB twin must reproduce), and
+    the JVM-native hash keeps the salting cost near zero. Content
+    hashing spreads a hot key's rows as long as the rows differ
+    anywhere; fully-identical duplicate rows co-locate (they hash
+    alike) — dedup upstream if that pathology applies."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if on not in big.columns or on not in small.columns:
@@ -132,14 +136,7 @@ def salted_join(
         # 0 would make pmod NULL and sequence(0, -1) count DOWN (the
         # CLAUDE.md trap) — a silently-empty join instead of an error
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
-    from .pipeline_ext.hashing import portable_hash32
-
-    salt = F.pmod(
-        portable_hash32(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in big.columns])
-        ),
-        F.lit(salt_buckets),
-    ).cast("long")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -129,16 +129,8 @@ def test_salted_join_matches_plain_and_splits_hot_key(spark):
     j = salted_join(big, small, "k", salt_buckets=8)
     # re-derive salt spread with the SAME deterministic content hash
     # the implementation uses: count distinct salts for the hot key
-    from fuserank_spark.pipeline_ext.hashing import portable_hash32
-
     b = big.withColumn(
-        "__salt",
-        F.pmod(
-            portable_hash32(
-                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in big.columns])
-            ),
-            F.lit(8),
-        ),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
     )
     n_salts = (
         b.filter(F.col("k") == 0).select("__salt").distinct().count()
@@ -151,15 +143,8 @@ def test_salted_join_salt_deterministic(spark):
     """The salt is a pure function of row content (VERDICT r5 nit #4):
     two independent runs assign every row the identical salt, so a
     task retry re-computes the same placement."""
-    from fuserank_spark.pipeline_ext.hashing import portable_hash32
-
     big = spark.range(0, 500).select((F.col("id") % 5).alias("k"), "id")
-    salt_expr = F.pmod(
-        portable_hash32(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in big.columns])
-        ),
-        F.lit(8),
-    )
+    salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
     a = {tuple(r) for r in big.withColumn("s", salt_expr).collect()}
     b = {tuple(r) for r in big.withColumn("s", salt_expr).collect()}
     assert a == b
