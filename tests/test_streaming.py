@@ -532,11 +532,56 @@ def test_compact_with_live_delta(spark, tmpdir):
     ]
     assert served_delta == served_full
 
+    # the delta read prunes already-compacted batches at the PARTITION
+    # level (batch_id is a partition column of the sink) — compacted
+    # micro-batch files are never opened again
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(sink).filter(
+            F.col("batch_id") > int(report["max_batch_id"])
+        ).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "batch_id" in plan.split("PartitionFilters")[1].split("]")[0]
+
     # no watermark → delta read must refuse rather than double-count
     bare = f"{tmpdir}/bare"
     spark.read.parquet(snapshot).write.parquet(bare)
     with pytest.raises(ValueError, match="watermark"):
         read_ivf_index(spark, bare, delta_sink=sink)
+
+
+def test_compact_guards_and_rows_hint(spark, tmpdir):
+    """Non-IVF input refuses; a rows hint skips the sizing count but
+    produces the same layout."""
+    from fuserank_spark.streaming.incremental import compact_ivf_index
+
+    plain = f"{tmpdir}/plain"
+    spark.range(10).write.parquet(plain)
+    with pytest.raises(ValueError, match="centroid_id"):
+        compact_ivf_index(spark, plain, f"{tmpdir}/out0")
+
+    idx = f"{tmpdir}/idx"
+    (
+        spark.range(100)
+        .select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 4).cast("int").alias("centroid_id"),
+            F.lit(1.0).alias("x"),
+        )
+        .write.partitionBy("centroid_id")
+        .parquet(idx)
+    )
+    r1 = compact_ivf_index(spark, idx, f"{tmpdir}/out1")
+    r2 = compact_ivf_index(spark, idx, f"{tmpdir}/out2", rows=100)
+    assert r1["files_per_cell"] == r2["files_per_cell"] == 1
+    assert r1["rows"] == r2["rows"] == 100
+    a = sorted(map(tuple, spark.read.parquet(f"{tmpdir}/out1").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{tmpdir}/out2").collect()))
+    assert a == b
 
 
 def test_encoder_drift_all_null_frozen_column(spark):
