@@ -205,6 +205,7 @@ def bm25_topk_batch(
     k1: float = 1.2,
     b: float = 0.75,
     postings: DataFrame | None = None,
+    max_query_batch: int = MAX_QUERY_BATCH,
 ) -> DataFrame:
     """Batch BM25 over many (query_id, [terms]) pairs via a postings
     join: postings ⋈ broadcast(query, term, idf) → per-(query, doc)
@@ -212,15 +213,31 @@ def bm25_topk_batch(
     (skipped when a prebuilt ``postings`` is passed), the score
     groupBy on (query, doc), and the bounded two-phase merge — none
     keyed on query_id alone, so a popular query cannot hot-spot a
-    task. Output: (query_id, id, rnk, bm25)."""
+    task. Output: (query_id, id, rnk, bm25).
+
+    Batches above ``max_query_batch`` AUTO-CHUNK (the simsearch/
+    quantization contract, r6): each (query, term, idf) weight
+    broadcast stays bounded, the postings build is shared across
+    chunks, and the per-chunk top-k results union — identical to
+    one-shot because per-query top-k is independent. Note BM25 idf
+    depends only on the CORPUS (n, df per term), never on the batch
+    composition, so chunking cannot change any score."""
     if not queries:
         raise ValueError("empty query batch")
-    if len(queries) > MAX_QUERY_BATCH:
-        raise ValueError(
-            f"{len(queries)} queries > MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
-            "split the batch — the (query, term, idf) weight table is "
-            "broadcast and must stay small"
-        )
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
+    if len(queries) > max_query_batch:
+        if postings is None:
+            postings = build_postings(docs, id_col=id_col, text_col=text_col)
+        out = None
+        for i in range(0, len(queries), max_query_batch):
+            part = bm25_topk_batch(
+                docs, queries[i : i + max_query_batch], k=k, id_col=id_col,
+                text_col=text_col, k1=k1, b=b, postings=postings,
+                max_query_batch=max_query_batch,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
     qids = [qid for qid, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError(

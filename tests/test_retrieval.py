@@ -128,9 +128,18 @@ def test_term_guards(docs):
 def test_batch_guards(docs):
     with pytest.raises(ValueError, match="empty query batch"):
         bm25_topk_batch(docs, [])
-    too_many = [(i, ["cat"]) for i in range(MAX_QUERY_BATCH + 1)]
-    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
-        bm25_topk_batch(docs, too_many)
+    with pytest.raises(ValueError, match="max_query_batch"):
+        bm25_topk_batch(docs, [(0, ["cat"])], max_query_batch=0)
+
+
+def test_batch_auto_chunks(docs):
+    """Over-cap batches auto-chunk (r6): the chunked union equals the
+    one-shot result — idf depends only on the corpus, so chunk
+    composition cannot change any score."""
+    queries = [(i, ["cat", "mat"] if i % 2 else ["dog"]) for i in range(7)]
+    one_shot = bm25_topk_batch(docs, queries, k=3).collect()
+    chunked = bm25_topk_batch(docs, queries, k=3, max_query_batch=2).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, one_shot))
 
 
 def test_stats_term_set_mismatch_raises(docs):
