@@ -182,7 +182,9 @@ def compact_ivf_index(
     if rows is None:
         rows = df.count()
     files_per_cell = max(1, -(-int(rows) // (n_cells * target_rows_per_file)))
-    slot = F.pmod(F.abs(F.hash(F.col(key_col))), F.lit(files_per_cell))
+    # pmod alone (no abs): abs(hash) overflows on Integer.MIN_VALUE under
+    # ANSI mode — a 1-in-2^32-per-row crash that WILL fire at 100 TB
+    slot = F.pmod(F.hash(F.col(key_col)), F.lit(files_per_cell))
     (
         df.withColumn("__slot", slot)
         .repartition(n_cells * files_per_cell, "centroid_id", "__slot")
