@@ -170,17 +170,28 @@ def compact_ivf_index(
     is appending to. Pass ``rows`` (e.g. from streaming-progress
     numInputRows totals) to skip the sizing count job."""
     df = spark.read.parquet(index_path)
-    max_batch_id = None
-    if "batch_id" in df.columns:
-        max_batch_id = df.agg(F.max("batch_id")).collect()[0][0]
-        df = df.drop("batch_id")
     if "centroid_id" not in df.columns:
         raise ValueError(f"{index_path} is not an IVF index (no centroid_id)")
-    n_cells = df.select("centroid_id").distinct().count()
+    # ONE sizing scan: n_cells, row count, and the batch watermark come
+    # from the same aggregate (the rows hint skips nothing here — the
+    # count rides the pass n_cells already needs — it exists for callers
+    # tracking counts via streaming progress who set target sizing from it)
+    has_batches = "batch_id" in df.columns
+    aggs = [
+        F.countDistinct("centroid_id").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if has_batches:
+        aggs.append(F.max("batch_id").alias("b"))
+    sizing = df.agg(*aggs).collect()[0]
+    max_batch_id = int(sizing["b"]) if has_batches and sizing["b"] is not None else None
+    if has_batches:
+        df = df.drop("batch_id")
+    n_cells = int(sizing["c"])
     if n_cells == 0:
         raise ValueError(f"{index_path} is empty")
     if rows is None:
-        rows = df.count()
+        rows = int(sizing["n"])
     files_per_cell = max(1, -(-int(rows) // (n_cells * target_rows_per_file)))
     # pmod alone (no abs): abs(hash) overflows on Integer.MIN_VALUE under
     # ANSI mode — a 1-in-2^32-per-row crash that WILL fire at 100 TB
