@@ -2513,14 +2513,60 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("o_orderpriority", *cols).orderBy("o_orderpriority")
 
 
-@register("q_pack_greedy", None)
+# next-fit is an order-sequential FOLD, so it has no window/aggregate SQL
+# form — but it IS expressible as a RECURSIVE CTE: each iteration advances
+# every shard by exactly one row (join on rn = prev rn + 1), carrying the
+# (current bin, fill) state. Iteration count = max rows per shard
+# (≈ docs / 256 shards), so the recursion stays shallow at driver scales.
+_GREEDY_DIV = (1 << 32) // 256  # pack_greedy default n_buckets=256
+_GREEDY_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ), h AS (
+      SELECT doc_id, n_tokens, {_PACK_H} AS hh FROM t WHERE n_tokens > 0
+    ), r AS (
+      SELECT doc_id, n_tokens, CAST(hh // {_GREEDY_DIV} AS BIGINT) AS b,
+             row_number() OVER (
+               PARTITION BY hh // {_GREEDY_DIV} ORDER BY hh, doc_id
+             ) AS rn
+      FROM h
+    ), fold AS (
+      SELECT b, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS loc, n_tokens AS fill
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.b, r.rn, r.doc_id, r.n_tokens,
+             CASE WHEN f.fill + r.n_tokens > {_PACK_BUDGET}
+                  THEN f.loc + 1 ELSE f.loc END,
+             CASE WHEN f.fill + r.n_tokens > {_PACK_BUDGET}
+                  THEN r.n_tokens ELSE f.fill + r.n_tokens END
+      FROM fold f JOIN r ON r.b = f.b AND r.rn = f.rn + 1
+    ), binned AS (
+      SELECT doc_id, n_tokens,
+             CAST(b * 4294967296 + loc AS BIGINT) AS bin_id
+      FROM fold
+    ), fills AS (
+      SELECT bin_id, CAST(sum(n_tokens) AS BIGINT) AS bin_fill,
+             CAST(count(*) AS BIGINT) AS bin_docs
+      FROM binned GROUP BY bin_id
+    )
+    SELECT doc_id, n_tokens, bin_id, bin_fill, bin_docs
+    FROM binned JOIN fills USING (bin_id)
+    ORDER BY doc_id
+"""
+
+
+@register("q_pack_greedy", _GREEDY_ORACLE)
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-respecting next-fit packing (packing.pack_greedy) —
-    exact per-shard sequential algorithm inside applyInPandas, so no
-    SQL oracle form exists (rows-only driver check; the bin-capacity /
-    determinism / density invariants live in tests/test_assembly.py).
-    Output: every token-bearing doc with its training-bin id and the
-    per-bin fill summary joined back on."""
+    exact per-shard sequential algorithm inside applyInPandas. The
+    fold has no window/aggregate SQL form, but the DuckDB twin states
+    it as a RECURSIVE CTE that advances every shard one row per
+    iteration carrying (bin, fill) state — so the entry is fully
+    hash-checked (r6; previously rows-only). Bin-capacity /
+    determinism / density invariants additionally live in
+    tests/test_assembly.py. Output: every token-bearing doc with its
+    training-bin id and the per-bin fill summary joined back on."""
     from .pipeline_ext import packing as P
     from .pipeline_ext import textstats as TX2
 

@@ -15,7 +15,9 @@ Two variants, matching the two layouts real LLM data loaders use:
   the running fill), so it runs as exact per-shard next-fit inside
   ``applyInPandas`` — the standard practice at scale, where every
   worker packs its own shard independently and bin ids are
-  (shard, local) pairs. Unit-tested invariants instead of an oracle.
+  (shard, local) pairs. Differentially checked via a RECURSIVE-CTE
+  oracle (q_pack_greedy, r6): the fold is restated in SQL as one
+  recursion step per row-rank, advancing all shards in parallel.
 
 Scale posture (100 TB corpus):
 * The global offset cumsum in :func:`pack_split` NEVER uses a
@@ -138,7 +140,9 @@ def pack_greedy(
     Exact next-fit is order-sequential, so it cannot be a window
     expression; per-shard ``applyInPandas`` keeps it exact AND
     distributed (shards pack independently — bins never span shards,
-    which is also what a multi-worker loader wants)."""
+    which is also what a multi-worker loader wants). The q_pack_greedy
+    DuckDB twin restates the fold as a recursive CTE (one iteration
+    per within-shard row rank), hash-pinning the exact bin layout."""
     import pandas as pd
 
     if budget <= 0:

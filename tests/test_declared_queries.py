@@ -63,5 +63,6 @@ def test_registry_window_rotation():
     assert flagship <= window, flagship - window
     oracles = em.oracle_sql()
     assert set(oracles) <= set(names)
-    # exactly the two designed rows-only entries lack oracles
-    assert set(names) - set(oracles) == {"q_restaurants_fused", "q_pack_greedy"}
+    # exactly one designed rows-only entry lacks an oracle (r6 gave
+    # q_pack_greedy a recursive-CTE oracle)
+    assert set(names) - set(oracles) == {"q_restaurants_fused"}
