@@ -119,6 +119,11 @@ def main() -> None:
             .select("doc_id", "text")
             .limit(HF_BENCH_ROWS)
         )
+        # ACTUAL sample size, not the cap — small SFs have fewer rows
+        # than the limit, and dividing by the constant would inflate
+        # the reported model throughput (counted before timing so the
+        # embed stage runs exactly once)
+        hf_rows = sample.count()
         t0 = time.time()
         materialize(
             embed_corpus(
@@ -129,7 +134,7 @@ def main() -> None:
         )
         hf_sec = time.time() - t0
         times["hf_embed_sample"] = round(hf_sec, 3)
-        hf_embed_rows_per_sec = round(HF_BENCH_ROWS / hf_sec, 1) if hf_sec > 0 else None
+        hf_embed_rows_per_sec = round(hf_rows / hf_sec, 1) if hf_sec > 0 else None
     except NotImplementedError:
         pass  # torch/transformers not installed — entry stays null
     except Exception as e:
@@ -186,12 +191,20 @@ def main() -> None:
     enc.unpersist()
 
     # fused-vs-exact quality tracker (mean recall@10 at the
-    # reference-default K=200, 6 queries)
-    from fuserank_spark.eval_harness import evaluate_fused_vs_exact
+    # reference-default K=200, 6 queries); ONE eval base (corpus embed
+    # + stats) is shared with the geo tracker below — without the
+    # shared base each tracker pays its own full embed pass
+    from fuserank_spark.eval_harness import (
+        evaluate_fused_vs_exact,
+        evaluate_geo_rank_agreement,
+        prepare_eval_base,
+    )
 
     t0 = time.time()
+    eval_base = prepare_eval_base(spark, sf_dir)
     eval_results = evaluate_fused_vs_exact(
-        spark, sf_dir, num_harmonics_list=(200,), n_queries=6, n_modalities=2
+        spark, sf_dir, num_harmonics_list=(200,), n_queries=6, n_modalities=2,
+        base=eval_base,
     )
     recall_mean = round(sum(r["recall"] for r in eval_results) / len(eval_results), 4)
     times["eval_recall_sweep"] = round(time.time() - t0, 3)
@@ -199,13 +212,12 @@ def main() -> None:
     # geo quality tracker (VERDICT r5 next-round #5): rank agreement of
     # the geo-only fused ranking vs exact haversine ordering — the
     # modality with no hard-filter oracle gets its quality number here
-    from fuserank_spark.eval_harness import evaluate_geo_rank_agreement
-
     t0 = time.time()
     geo_results = evaluate_geo_rank_agreement(
-        spark, sf_dir, num_harmonics=200, n_queries=6, k=10
+        spark, sf_dir, num_harmonics=200, n_queries=6, k=10, base=eval_base
     )
     geo_recall = round(sum(r["recall"] for r in geo_results) / len(geo_results), 4)
+    eval_base[1].unpersist()
     times["eval_geo_agreement"] = round(time.time() - t0, 3)
 
     # fused-IVF quality tracker, TWO stated operating points (VERDICT r5

@@ -156,6 +156,7 @@ def evaluate_fused_vs_exact(
     seed: int = 42,
     interval_epsilon: float = 0.01,
     reference_regime: bool = False,
+    base=None,
 ) -> list[dict]:
     """The reference's sweep loop (evaluate.py:205-242): for each K,
     run seeded queries through both arms, record recall/r-precision.
@@ -164,11 +165,17 @@ def evaluate_fused_vs_exact(
 
     Geo has no hard-filter form (milvus_experiment.py:51-52) — it
     contributes to the fused arm only, exactly as in the reference.
+
+    Pass ``base`` (prepare_eval_base output) to share ONE corpus
+    embed + stats pass across several eval calls (ε sweeps, the geo
+    metric) — a caller-provided base is NOT unpersisted here.
     """
     results: list[dict] = []
     embedder = DeterministicStubEmbedder(EMB_DIM)
     sample_rows = None
-    base = prepare_eval_base(spark, sf_dir)
+    own_base = base is None
+    if own_base:
+        base = prepare_eval_base(spark, sf_dir)
     for K in num_harmonics_list:
         corpus = build_eval_corpus(spark, sf_dir, K, base=base)
         if sample_rows is None:
@@ -212,7 +219,8 @@ def evaluate_fused_vs_exact(
                 }
             )
         corpus.encoded.unpersist()
-    base[1].unpersist()
+    if own_base:
+        base[1].unpersist()
     return results
 
 
@@ -433,20 +441,24 @@ def main() -> None:
     spark = get_spark("fuserank-eval")
     spark.sparkContext.setLogLevel("ERROR")
     all_results: list[dict] = []
+    # one embed+stats pass shared by every ε, every K, and the geo
+    # metric — only the K-dependent encode re-runs inside the sweep
+    base = prepare_eval_base(spark, args.sf_dir)
     for eps in args.epsilons:
         all_results.extend(
             evaluate_fused_vs_exact(
                 spark, args.sf_dir, tuple(args.harmonics),
                 n_queries=args.queries, n_modalities=args.modalities,
-                k=args.k, interval_epsilon=eps,
+                k=args.k, interval_epsilon=eps, base=base,
             )
         )
     report(spark, all_results).show(truncate=False)
     fused_ivf_nprobe_sweep(spark, args.sf_dir, k=args.k).show(truncate=False)
     geo = evaluate_geo_rank_agreement(
         spark, args.sf_dir, num_harmonics=max(args.harmonics),
-        n_queries=args.queries, k=args.k,
+        n_queries=args.queries, k=args.k, base=base,
     )
+    base[1].unpersist()
     print(
         "geo rank agreement vs exact haversine: "
         f"mean recall@{args.k} = {sum(r['recall'] for r in geo) / len(geo):.4f} "

@@ -280,21 +280,19 @@ def fused_ivf_recall_at_k(
     sf_dir: str,
     k: int = 10,
     nprobe: int = FUSED_IVF_NPROBE_FAST,
-    corpus: DocumentCorpus | None = None,
 ) -> float:
     """Recall@k of the fused-IVF serve path vs the exact fused scan —
     the eval loop for choosing nprobe (reference's fused-vs-oracle
     recall methodology, src/eval/evaluate.py:156-202). nprobe =
     FUSED_IVF_CELLS ⇒ recall 1.0 by construction (pruning is the
-    only approximation; scoring is exact). Pass ``corpus`` to reuse
-    one encoded build across a sweep."""
-    corpus = build_corpus_cached(spark, sf_dir) if corpus is None else corpus
-    assigned, cq, probed = fused_ivf_parts(corpus, nprobe)
-    exact = {r["row_id"] for r in topk(corpus.encoded, cq.vector, k=k).collect()}
-    approx = {
-        r["row_id"]
-        for r in topk(
-            assigned, cq.vector, k=k, predicate=F.col("centroid_id").isin(probed)
-        ).collect()
-    }
-    return len(exact & approx) / max(len(exact), 1)
+    only approximation; scoring is exact).
+
+    Thin single-point wrapper over
+    ``eval_harness.fused_ivf_nprobe_sweep`` so the recall definition
+    lives in exactly ONE place (the sweep shares one corpus build,
+    one assignment, and one exact baseline across points; the session
+    corpus cache makes repeated calls cheap)."""
+    from .eval_harness import fused_ivf_nprobe_sweep
+
+    row = fused_ivf_nprobe_sweep(spark, sf_dir, nprobes=(int(nprobe),), k=k).collect()
+    return float(row[0]["recall"])

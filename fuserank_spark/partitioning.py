@@ -136,7 +136,17 @@ def salted_join(
         # 0 would make pmod NULL and sequence(0, -1) count DOWN (the
         # CLAUDE.md trap) — a silently-empty join instead of an error
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    # xxhash64 rejects MapType (directly or nested) — hash only the
+    # hashable columns so any schema the old id-based salt accepted
+    # still works; spread only degrades if rows differ ONLY in map cols
+    hashable = [
+        F.col(f.name)
+        for f in big.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    if not hashable:
+        hashable = [F.col(on)]
+    salt = F.pmod(F.xxhash64(*hashable), F.lit(salt_buckets))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

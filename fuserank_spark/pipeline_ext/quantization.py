@@ -386,6 +386,8 @@ def pq_adc_topk(
     column becomes ``cosine`` and ranks follow the exact scores
     (faiss IVFPQ + refine layout)."""
     _check_query_batch(queries)
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
     if len(queries) > max_query_batch:
         return _chunked_union(
             queries,
@@ -516,6 +518,8 @@ def ivf_pq_knn(
     scanning nprobe/n_cells of the codes. Batches above
     ``max_query_batch`` auto-chunk like :func:`pq_adc_topk`."""
     _check_query_batch(queries)
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
     if len(queries) > max_query_batch:
         return _chunked_union(
             queries,

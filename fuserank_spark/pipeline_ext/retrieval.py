@@ -206,6 +206,7 @@ def bm25_topk_batch(
     b: float = 0.75,
     postings: DataFrame | None = None,
     max_query_batch: int = MAX_QUERY_BATCH,
+    _corpus_stats: tuple | None = None,
 ) -> DataFrame:
     """Batch BM25 over many (query_id, [terms]) pairs via a postings
     join: postings ⋈ broadcast(query, term, idf) → per-(query, doc)
@@ -226,18 +227,10 @@ def bm25_topk_batch(
         raise ValueError("empty query batch")
     if max_query_batch < 1:
         raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
-    if len(queries) > max_query_batch:
-        if postings is None:
-            postings = build_postings(docs, id_col=id_col, text_col=text_col)
-        out = None
-        for i in range(0, len(queries), max_query_batch):
-            part = bm25_topk_batch(
-                docs, queries[i : i + max_query_batch], k=k, id_col=id_col,
-                text_col=text_col, k1=k1, b=b, postings=postings,
-                max_query_batch=max_query_batch,
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+    # dup/term validation over the FULL batch, BEFORE any chunking —
+    # duplicates split across chunks would otherwise each pass their
+    # chunk-local check and the union would silently emit two top-k
+    # lists for one query_id
     qids = [qid for qid, _ in queries]
     if len(set(qids)) != len(qids):
         raise ValueError(
@@ -247,18 +240,54 @@ def bm25_topk_batch(
         )
     for _, terms in queries:
         _check_terms(list(terms))
+    if len(queries) > max_query_batch:
+        # share ONE materialized postings table and corpus scan across
+        # chunks (an unpersisted lineage would re-run the explode+groupBy
+        # build and the N/avgdl aggregate once per chunk)
+        own_postings = postings is None
+        if own_postings:
+            postings = build_postings(docs, id_col=id_col, text_col=text_col)
+            postings = postings.persist()
+            postings.count()
+        if _corpus_stats is None:
+            srow = docs.select(
+                lc_tokens_expr(F.col(text_col)).alias("_toks")
+            ).agg(
+                F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+            ).collect()[0]
+            _corpus_stats = (int(srow["n"]), float(srow["avgdl"] or 0.0))
+        try:
+            out = None
+            for i in range(0, len(queries), max_query_batch):
+                part = bm25_topk_batch(
+                    docs, queries[i : i + max_query_batch], k=k, id_col=id_col,
+                    text_col=text_col, k1=k1, b=b, postings=postings,
+                    max_query_batch=max_query_batch, _corpus_stats=_corpus_stats,
+                )
+                out = part if out is None else out.unionByName(part)
+            # materialize before unpersisting the chunk-shared postings
+            if own_postings:
+                out = out.localCheckpoint(eager=True)
+            return out
+        finally:
+            if own_postings:
+                postings.unpersist()
     spark = docs.sparkSession
     if postings is None:
         postings = build_postings(docs, id_col=id_col, text_col=text_col)
     all_terms = sorted({t for _, ts in queries for t in ts})
     p = postings.filter(F.col("term").isin(all_terms))
     # N + avgdl from the full corpus (docs with no query term still
-    # count); df per term from the filtered postings — both bounded
-    # collects (1 row / ≤|terms| rows).
-    row = docs.select(lc_tokens_expr(F.col(text_col)).alias("_toks")).agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
-    ).collect()[0]
-    n, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    # count — postings alone would miss empty docs); df per term from
+    # the filtered postings — both bounded collects (1 row / ≤|terms|
+    # rows). The chunk branch hoists this corpus scan and passes it down.
+    if _corpus_stats is not None:
+        n, avgdl = _corpus_stats
+    else:
+        row = docs.select(lc_tokens_expr(F.col(text_col)).alias("_toks")).agg(
+            F.count(F.lit(1)).alias("n"), F.avg(F.size("_toks")).alias("avgdl")
+        ).collect()[0]
+        n, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     if n == 0 or avgdl == 0.0:
         raise ValueError("BM25 needs a non-empty corpus with non-empty documents")
     df_map = {

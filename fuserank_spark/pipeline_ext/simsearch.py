@@ -365,10 +365,10 @@ def _ivf_knn_batch(
     """One bounded chunk of :func:`ivf_knn`: compile probes for these
     query rows driver-side, scan only the probed cells, exact rerank."""
     probe_rows = []
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     for r in qrows:
         qv = np.asarray(r[query_vec], dtype="float64")
         qn = qv / (np.linalg.norm(qv) or 1.0)
-        cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
         # rounded half-away + lowest-cid tie-break: the SQL twin
         # orders by round(cosine, 6) DESC, cid ASC — same domain
         sims = [round_half_away(float(s)) for s in cn @ qn]

@@ -140,6 +140,7 @@ def compact_ivf_index(
     target_rows_per_file: int = 500_000,
     rows: int | None = None,
     key_col: str = "row_id",
+    include_latest_batch: bool = False,
 ) -> dict:
     """Maintenance compaction for a stream-maintained IVF index
     (VERDICT r5 next-round #3): :func:`incremental_ivf_index` appends
@@ -160,33 +161,48 @@ def compact_ivf_index(
     dropped — post-compaction the snapshot is the unit of
     maintenance.
 
-    Serve-identical and idempotent: the row set is untouched, so
-    ``fused_ivf_serve_persisted(out_path, ...)`` returns exactly the
-    pre-compaction results (pinned by
-    tests/test_streaming.py::test_compact_ivf_index); re-running
-    overwrites ``out_path`` with identical content. Publish by
-    atomically swapping the serve pointer (or directory rename) to
-    ``out_path`` — never compact in place over a path a live stream
-    is appending to. Pass ``rows`` (e.g. from streaming-progress
-    numInputRows totals) to skip the sizing count job."""
+    Serve-identical and idempotent: the folded row set is untouched,
+    so ``fused_ivf_serve_persisted`` over snapshot (+ delta) returns
+    exactly the pre-compaction results (pinned by
+    tests/test_streaming.py::test_compact_ivf_index /
+    test_compact_with_live_delta); re-running overwrites ``out_path``
+    with identical content. Publish by atomically swapping the serve
+    pointer (or directory rename) to ``out_path`` — never compact in
+    place over a path a live stream is appending to. Pass ``rows``
+    (count of the FOLDED batches, e.g. from streaming-progress
+    numInputRows totals) to skip the sizing count job.
+
+    Live-stream safety: foreachBatch commits a micro-batch's parquet
+    files non-atomically, and the batch that can be mid-commit (or
+    mid-replay after a crash) is always the one with the HIGHEST id —
+    batches run sequentially, and an at-least-once replay re-runs
+    that same highest id. By default the newest batch is therefore
+    EXCLUDED from the snapshot (watermark = max_batch_id − 1) so a
+    partially-visible batch can never be half-folded with the
+    watermark set past it; the delta read serves it from the sink
+    instead. Pass ``include_latest_batch=True`` only when the stream
+    is known stopped/quiesced (folds everything)."""
     df = spark.read.parquet(index_path)
     if "centroid_id" not in df.columns:
         raise ValueError(f"{index_path} is not an IVF index (no centroid_id)")
-    # ONE sizing scan: n_cells, row count, and the batch watermark come
-    # from the same aggregate (the rows hint skips nothing here — the
-    # count rides the pass n_cells already needs — it exists for callers
-    # tracking counts via streaming progress who set target sizing from it)
-    has_batches = "batch_id" in df.columns
-    aggs = [
+    watermark = None
+    if "batch_id" in df.columns:
+        max_b = df.agg(F.max("batch_id")).collect()[0][0]
+        if max_b is None:
+            raise ValueError(f"{index_path} is empty")
+        watermark = int(max_b) if include_latest_batch else int(max_b) - 1
+        if watermark < 0:
+            raise ValueError(
+                "only one (possibly in-flight) micro-batch present — nothing "
+                "safely compactable; pass include_latest_batch=True if the "
+                "stream is stopped"
+            )
+        df = df.filter(F.col("batch_id") <= watermark).drop("batch_id")
+    # one sizing scan over the folded subset: n_cells + row count
+    sizing = df.agg(
         F.countDistinct("centroid_id").alias("c"),
         F.count(F.lit(1)).alias("n"),
-    ]
-    if has_batches:
-        aggs.append(F.max("batch_id").alias("b"))
-    sizing = df.agg(*aggs).collect()[0]
-    max_batch_id = int(sizing["b"]) if has_batches and sizing["b"] is not None else None
-    if has_batches:
-        df = df.drop("batch_id")
+    ).collect()[0]
     n_cells = int(sizing["c"])
     if n_cells == 0:
         raise ValueError(f"{index_path} is empty")
@@ -208,7 +224,7 @@ def compact_ivf_index(
         "rows": int(rows),
         "n_cells": n_cells,
         "files_per_cell": files_per_cell,
-        "max_batch_id": None if max_batch_id is None else int(max_batch_id),
+        "max_batch_id": watermark,
         "files_before": _count_part_files(index_path),
         "files_after": _count_part_files(out_path),
     }

@@ -216,3 +216,12 @@ def test_bm25_batch_plan_no_cartesian_and_broadcast(docs):
     # the weight-table join must actually broadcast — a SortMergeJoin
     # here would shuffle the full postings table per batch
     assert "BroadcastHashJoin" in plan
+
+
+def test_batch_dup_across_chunks_raises(docs):
+    """Duplicate query_ids split across auto-chunks must still raise —
+    the dup check runs over the FULL batch before chunking."""
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        bm25_topk_batch(
+            docs, [(1, ["cat"]), (2, ["dog"]), (1, ["mat"])], max_query_batch=2
+        )

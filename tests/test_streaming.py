@@ -397,7 +397,8 @@ def test_compact_ivf_index(spark, tmpdir):
     ]
 
     compacted = f"{tmpdir}/compacted"
-    report = compact_ivf_index(spark, sink, compacted)
+    # the stream is finished (availableNow terminated) → fold everything
+    report = compact_ivf_index(spark, sink, compacted, include_latest_batch=True)
     # micro-batch accretion collapsed: bounded per-cell file count
     assert report["rows"] == 90
     assert report["files_per_cell"] == 1
@@ -418,7 +419,7 @@ def test_compact_ivf_index(spark, tmpdir):
     ]
     assert after == before
     # idempotent: re-run overwrites with identical content
-    report2 = compact_ivf_index(spark, sink, compacted)
+    report2 = compact_ivf_index(spark, sink, compacted, include_latest_batch=True)
     assert report2["files_after"] == report["files_after"]
     again = [
         (r["row_id"], r["relevance"])
