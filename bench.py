@@ -50,51 +50,27 @@ def main() -> None:
     _lt(spark, sf_dir, "events")["events"].limit(1000).count()
 
     times: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        try:
-            materialize(fn(spark, sf_dir))
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failing query must not hide the rest
-            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            times[name] = -1.0
 
-    # build vs steady-state serve cost. q_ivf_knn above is now the
-    # oracle-checked serve path (frozen quantizer); the k-means-trained
-    # index keeps two entries here: q_ivf_build = ONE-TIME cost (train
-    # + partitioned index write + first probe), q_ivf_serve = warm
-    # rerun against the cached index — the number that scales with
-    # QPS. Same split for the restaurants fused corpus (embed+encode
-    # build vs cached serve).
-    from fuserank_spark.ext_queries import ivf_trained_knn, pq_cached_topk
-
-    qs = entry_mod.queries()
-    for serve_name, fn in (
-        ("q_ivf_build", lambda: ivf_trained_knn(spark, sf_dir)),
-        ("q_ivf_serve", lambda: ivf_trained_knn(spark, sf_dir)),
-        ("q_restaurants_serve", lambda: qs["q_restaurants_fused"](spark, sf_dir)),
-        ("q_pq_build", lambda: pq_cached_topk(spark, sf_dir)),
-        ("q_pq_serve", lambda: pq_cached_topk(spark, sf_dir)),
-        # warm rerun: corpus build cached (build_corpus_cached), so this
-        # measures the steady-state pruned fused-IVF serve
-        ("q_fused_ivf_serve", lambda: qs["q_fused_ivf"](spark, sf_dir)),
-    ):
-        t0 = time.time()
-        try:
-            materialize(fn())
-            times[serve_name] = round(time.time() - t0, 3)
-        except Exception as e:
-            print(f"bench: {serve_name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            times[serve_name] = -1.0
-
-    # corpus-encode throughput (stub embedder + K=16 encodings)
-    from fuserank_spark.flagship import build_corpus
+    # corpus-encode throughput (stub embedder + K=16 encodings) — a
+    # genuinely COLD build: this is the session's first touch of the
+    # flagship corpus, timed through build_corpus_cached so
+    #   (a) the reported rows/sec is the true embed+encode+stats+persist
+    #       cost. Pre-r6 this block ran AFTER the serve loop, where its
+    #       fresh build_corpus carried the same ANALYZED PLAN as the
+    #       already-cached corpus — Spark's plan-keyed CacheManager served
+    #       the "fresh" build from cache and the metric read ~9x the real
+    #       encode rate (and the block's unpersist() then evicted the
+    #       shared cache by plan identity, making the fused-IVF eval
+    #       sweep recompute the corpus once per scan);
+    #   (b) the one-time build cost lands in this build-class entry
+    #       instead of inside whichever serve-class registry entry
+    #       happened to touch the corpus cache first — serve entries
+    #       below measure steady-state serve only.
+    from fuserank_spark.flagship import build_corpus_cached
 
     t0 = time.time()
-    corpus = build_corpus(spark, sf_dir)
-    # single materialization pass (count + separate write would run
-    # the mapInPandas embed stage twice and halve the reported rate)
-    materialize(corpus.encoded.select("row_id", "vector"))
+    # persist + count happen inside (single materialization pass)
+    corpus = build_corpus_cached(spark, sf_dir)
     encode_sec = time.time() - t0
     n_rows = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     times["corpus_encode"] = round(encode_sec, 3)
@@ -140,14 +116,15 @@ def main() -> None:
     except Exception as e:
         print(f"bench: hf_embed_sample failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # batch top-k throughput (32 fused queries, k=10)
+    # batch top-k throughput (32 fused queries, k=10) over the
+    # session-cached encoded corpus — no private persist/unpersist here
+    # (the unpersist is what used to evict the shared cache, see above)
     from fuserank_spark.embed import DeterministicStubEmbedder
     from fuserank_spark.flagship import AUX_SCHEMA, EMB_DIM, NUM_HARMONICS
     from fuserank_spark.query import compile_query
     from fuserank_spark.search import topk_batch
 
-    enc = corpus.encoded.persist()
-    enc.count()
+    enc = corpus.encoded
     emb = DeterministicStubEmbedder(EMB_DIM)
     qvecs = []
     for i in range(32):
@@ -166,6 +143,11 @@ def main() -> None:
         )
         qvecs.append((i, [float(x) for x in cq.vector]))
     qdf = spark.createDataFrame(qvecs, "query_id int, qvec array<double>")
+    # warm the Arrow-batch scan path with one full untimed run (this
+    # block now runs FIRST in the session, so without it batch32 would
+    # absorb the one-time pandas-UDF/codegen startup and report launch
+    # cost as throughput; the timed pass below is the steady-state rate)
+    materialize(topk_batch(enc, qdf, k=10))
     t0 = time.time()
     materialize(topk_batch(enc, qdf, k=10))
     batch_sec = time.time() - t0
@@ -188,7 +170,43 @@ def main() -> None:
     materialize(topk_batch(enc, qdf256, k=10))
     batch256_sec = time.time() - t0
     times["topk_batch256"] = round(batch256_sec, 3)
-    enc.unpersist()
+
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        try:
+            materialize(fn(spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failing query must not hide the rest
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    # build vs steady-state serve cost. q_ivf_knn above is now the
+    # oracle-checked serve path (frozen quantizer); the k-means-trained
+    # index keeps two entries here: q_ivf_build = ONE-TIME cost (train
+    # + partitioned index write + first probe), q_ivf_serve = warm
+    # rerun against the cached index — the number that scales with
+    # QPS. Same split for the restaurants fused corpus (embed+encode
+    # build vs cached serve).
+    from fuserank_spark.ext_queries import ivf_trained_knn, pq_cached_topk
+
+    qs = entry_mod.queries()
+    for serve_name, fn in (
+        ("q_ivf_build", lambda: ivf_trained_knn(spark, sf_dir)),
+        ("q_ivf_serve", lambda: ivf_trained_knn(spark, sf_dir)),
+        ("q_restaurants_serve", lambda: qs["q_restaurants_fused"](spark, sf_dir)),
+        ("q_pq_build", lambda: pq_cached_topk(spark, sf_dir)),
+        ("q_pq_serve", lambda: pq_cached_topk(spark, sf_dir)),
+        # warm rerun: corpus build cached (build_corpus_cached), so this
+        # measures the steady-state pruned fused-IVF serve
+        ("q_fused_ivf_serve", lambda: qs["q_fused_ivf"](spark, sf_dir)),
+    ):
+        t0 = time.time()
+        try:
+            materialize(fn())
+            times[serve_name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"bench: {serve_name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            times[serve_name] = -1.0
 
     # fused-vs-exact quality tracker (mean recall@10 at the
     # reference-default K=200, 6 queries); ONE eval base (corpus embed

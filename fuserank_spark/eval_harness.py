@@ -394,6 +394,12 @@ def fused_ivf_nprobe_sweep(
     # one assignment + one exact baseline for the whole sweep; only
     # the probe set varies per nprobe (probe sets nest by construction)
     assigned, cq, _ = fused_ivf_parts(corpus, FUSED_IVF_CELLS)
+    # materialize the assignment ONCE: each probe's top-k would
+    # otherwise re-run the 8-centroid IP argmax over every corpus row
+    # per scan (HOF aggregates are interpreted, not codegen'd — the
+    # re-derivation, not the probe, dominated the sweep's wall)
+    assigned = assigned.persist()
+    assigned.count()
     cents = [
         r["vector"]
         for r in corpus.encoded.filter(_F.col("row_id") < FUSED_IVF_CELLS)
@@ -413,6 +419,7 @@ def fused_ivf_nprobe_sweep(
             ).collect()
         }
         rows.append((int(np_), len(exact & got) / max(len(exact), 1)))
+    assigned.unpersist()
     return spark.createDataFrame(rows, "nprobe int, recall double")
 
 

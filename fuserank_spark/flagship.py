@@ -100,7 +100,17 @@ def build_corpus_cached(spark: SparkSession, sf_dir: str) -> DocumentCorpus:
         corpus.encoded = corpus.encoded.persist()
         corpus.encoded.count()
         _CORPUS_CACHE[key] = corpus
-    return _CORPUS_CACHE[key]
+    corpus = _CORPUS_CACHE[key]
+    # Self-heal external eviction: Spark's CacheManager keys cached data
+    # by ANALYZED PLAN, not by DataFrame object, so `unpersist()` on any
+    # plan-identical frame built elsewhere (a fresh build_corpus of the
+    # same sf_dir) silently drops THIS corpus's cached blocks too, and
+    # every later consumer re-runs the full embed+encode per scan.
+    sl = corpus.encoded.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        corpus.encoded = corpus.encoded.persist()
+        corpus.encoded.count()
+    return corpus
 
 
 def flagship_query(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:

@@ -64,8 +64,22 @@ def salted_count_agg(
     ``salt_buckets`` tasks; phase 2 merges the partials. Supports the
     decomposable aggregates the dedup/stats paths need:
     count / sum / min / max.
+
+    The salt is a deterministic xxhash64 content hash (same doctrine
+    as salted_join, VERDICT r5 nit #4): the merged phase-2 output is
+    identical for ANY salt, but an id-based salt re-salts on task
+    retry, making partial-aggregate skew investigations
+    unreproducible. Hashing every non-map column spreads a hot key's
+    rows as long as they differ anywhere.
     """
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    if not hashable:
+        hashable = [F.col(c) for c in key_cols]
+    salt = F.pmod(F.xxhash64(*hashable), F.lit(salt_buckets))
     phase1_aggs, phase2_aggs = [], []
     for col, how in agg_exprs.items():
         partial = f"__p_{col}_{how}"

@@ -221,3 +221,27 @@ def test_fused_ivf_narrow_probe_subsets_and_recall(corpus):
     exact = {r["row_id"] for r in topk(corpus.encoded, cq.vector, k=10).collect()}
     got = {r["row_id"] for r in hits}
     assert 0.0 <= len(exact & got) / 10 <= 1.0
+
+
+def test_build_corpus_cached_self_heals_plan_keyed_eviction(spark):
+    """Spark's CacheManager keys cached blocks by ANALYZED PLAN: an
+    unpersist() on a plan-identical frame built elsewhere silently
+    drops the session corpus cache. build_corpus_cached must detect
+    the eviction on the next call and re-persist (the bench's old
+    corpus_encode block did exactly this eviction, turning every
+    later eval-sweep scan into a full re-encode)."""
+    from fuserank_spark.flagship import build_corpus, build_corpus_cached
+
+    c1 = build_corpus_cached(spark, SF_SMOKE)
+    sl = c1.encoded.storageLevel
+    assert sl.useMemory or sl.useDisk
+
+    # plan-twin eviction: fresh build of the same sf_dir, persist, unpersist
+    twin = build_corpus(spark, SF_SMOKE).encoded.persist()
+    twin.count()
+    twin.unpersist()
+
+    c2 = build_corpus_cached(spark, SF_SMOKE)
+    sl2 = c2.encoded.storageLevel
+    assert sl2.useMemory or sl2.useDisk, "cache must self-heal after eviction"
+    assert c2.encoded.count() == c1.encoded.count()
