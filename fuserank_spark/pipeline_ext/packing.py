@@ -52,6 +52,34 @@ __all__ = ["pack_split", "pack_greedy"]
 
 _H32_SPAN = 1 << 32
 
+# ``n_buckets="auto"`` sizes window partitions to roughly this many rows.
+_AUTO_TARGET_ROWS = 250_000
+_AUTO_MIN_BUCKETS = 256
+_AUTO_MAX_BUCKETS = 1 << 20
+
+
+def _resolve_buckets(n_buckets, rows_hint) -> int:
+    """Resolve the bucket count. ``"auto"`` picks the power of two that
+    puts ~250k rows in each cumsum window partition, clamped to
+    [256, 2^20] — at 100 TB a fixed 256 would mean one task sorting
+    hundreds of millions of rows. Powers of two always divide 2^32, so
+    the range-bucket order-prefix property is preserved. Without a
+    ``rows_hint`` auto falls back to 256 rather than running an eager
+    count (the layout_corpus precedent: never add a job for a knob)."""
+    if n_buckets == "auto":
+        if rows_hint is None:
+            return _AUTO_MIN_BUCKETS
+        want = max(1, int(rows_hint) // _AUTO_TARGET_ROWS)
+        b = 1
+        while b < want:
+            b <<= 1
+        return max(_AUTO_MIN_BUCKETS, min(_AUTO_MAX_BUCKETS, b))
+    if not isinstance(n_buckets, int) or isinstance(n_buckets, bool):
+        raise ValueError("n_buckets must be an int or 'auto'")
+    if _H32_SPAN % n_buckets != 0:
+        raise ValueError(f"n_buckets={n_buckets} must divide 2^32")
+    return n_buckets
+
 
 def _order_hash(key_col: Column, salt: str) -> Column:
     return portable_hash32(F.concat(F.lit(salt + ":"), key_col.cast("string")))
@@ -64,7 +92,8 @@ def pack_split(
     token_col: str = "n_tokens",
     key_col: str = "doc_id",
     salt: str = "pack",
-    n_buckets: int = 256,
+    n_buckets: int | str = 256,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Concat-and-split packing: deterministic order by salted hash,
     exact cuts every ``budget`` tokens. Adds:
@@ -76,11 +105,13 @@ def pack_split(
 
     Zero-token rows are dropped (they occupy no layout space and
     would make ``n_seqs`` ill-defined). ``n_buckets`` must divide
-    2^32 so the range bucketing preserves hash order exactly."""
+    2^32 so the range bucketing preserves hash order exactly, or
+    ``"auto"`` to size window partitions from ``rows_hint`` (output
+    is provably n_buckets-invariant, so auto never changes results —
+    tests/test_assembly.py pins this)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    if _H32_SPAN % n_buckets != 0:
-        raise ValueError(f"n_buckets={n_buckets} must divide 2^32")
+    n_buckets = _resolve_buckets(n_buckets, rows_hint)
     div = _H32_SPAN // n_buckets
     t = (
         df.filter(F.col(token_col) > 0)
@@ -125,7 +156,8 @@ def pack_greedy(
     token_col: str = "n_tokens",
     key_col: str = "doc_id",
     salt: str = "pack",
-    n_buckets: int = 256,
+    n_buckets: int | str = 256,
+    rows_hint: int | None = None,
     oversize: str = "own_bin",
 ) -> DataFrame:
     """Boundary-respecting next-fit packing: within each hash shard,
@@ -142,15 +174,19 @@ def pack_greedy(
     distributed (shards pack independently — bins never span shards,
     which is also what a multi-worker loader wants). The q_pack_greedy
     DuckDB twin restates the fold as a recursive CTE (one iteration
-    per within-shard row rank), hash-pinning the exact bin layout."""
+    per within-shard row rank), hash-pinning the exact bin layout.
+
+    Unlike :func:`pack_split`, bin ids here DEPEND on the shard count
+    (bins never span shards), so ``n_buckets="auto"`` + ``rows_hint``
+    is a layout choice: same packing invariants, different (equally
+    valid) shard boundaries."""
     import pandas as pd
 
     if budget <= 0:
         raise ValueError("budget must be positive")
     if oversize not in ("own_bin", "error"):
         raise ValueError("oversize must be 'own_bin' or 'error'")
-    if _H32_SPAN % n_buckets != 0:
-        raise ValueError(f"n_buckets={n_buckets} must divide 2^32")
+    n_buckets = _resolve_buckets(n_buckets, rows_hint)
     div = _H32_SPAN // n_buckets
     t = (
         df.filter(F.col(token_col) > 0)

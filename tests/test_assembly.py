@@ -70,6 +70,55 @@ def test_pack_split_guards(docs_tokens):
         P.pack_split(docs_tokens, budget=0)
     with pytest.raises(ValueError, match="divide"):
         P.pack_split(docs_tokens, budget=10, n_buckets=7)
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        P.pack_split(docs_tokens, budget=10, n_buckets="many")
+
+
+def test_resolve_buckets_auto_scaling():
+    """auto sizes window partitions to ~250k rows, powers of two,
+    clamped; without a hint it falls back to the 256 default rather
+    than running an eager count."""
+    r = P._resolve_buckets
+    assert r("auto", None) == 256
+    assert r("auto", 1_000) == 256  # clamp low
+    assert r("auto", 100_000_000) == 512
+    assert r("auto", 1_000_000_000) == 4096
+    # 100 TB-ish row counts stay bounded and a power of two
+    big = r("auto", 200_000_000_000)
+    assert big == 1 << 20 and (1 << 32) % big == 0
+    assert r(1024, None) == 1024
+
+
+def test_pack_split_auto_buckets_identical_output(docs_tokens):
+    """auto is a physical-layout knob only: results must be
+    bit-identical to the fixed-bucket run (n_buckets-invariance)."""
+    a = {
+        r["doc_id"]: (r["start_seq"], r["start_offset"], r["n_seqs"])
+        for r in P.pack_split(docs_tokens, budget=256).collect()
+    }
+    b = {
+        r["doc_id"]: (r["start_seq"], r["start_offset"], r["n_seqs"])
+        for r in P.pack_split(
+            docs_tokens, budget=256, n_buckets="auto", rows_hint=10_000_000
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pack_greedy_auto_buckets_keeps_invariants(docs_tokens):
+    """pack_greedy under auto sharding changes bin ids (documented:
+    bins never span shards) but never the capacity invariant."""
+    budget = 300
+    out = P.pack_greedy(
+        docs_tokens, budget=budget, n_buckets="auto", rows_hint=10_000_000
+    ).collect()
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    for b, tot in fills.items():
+        assert tot <= budget or len(
+            [r for r in out if r["bin_id"] == b]
+        ) == 1  # oversize doc owns its bin
 
 
 # ----------------------------------------------------------- pack_greedy
