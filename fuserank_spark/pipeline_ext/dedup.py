@@ -417,9 +417,27 @@ def embedding_neardup_pairs_lsh(
         l2_norm_expr(vec_col).alias("nrm"),
     )
     b = lsh_buckets(base, dim, n_planes=n_planes, n_tables=n_tables, vec_col="vec", seed=seed)
+    return (
+        _cosine_pairs_in_buckets(b, ["table_idx", "bucket"], max_bucket_size)
+        .filter(F.col("cosine") >= threshold)
+        # the same pair can surface from several LSH tables — dedup
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+
+
+def _cosine_pairs_in_buckets(
+    b: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Shared candidate-pair core: ``b`` carries (id, vec, nrm) plus
+    bucket key columns; emit (id_a < id_b, cosine) for every within-
+    bucket pair via the groupBy pair-generation pattern — vectors are
+    bucketed once, zero joins, no CartesianProduct. Buckets larger
+    than ``max_bucket_size`` degrade to star edges against the bucket
+    minimum (linear in members, still connects the cluster)."""
     member = F.struct(F.col("id"), F.col("vec"), F.col("nrm"))
     buckets = (
-        b.groupBy("table_idx", "bucket")
+        b.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(member)).alias("ms"))
         .filter(F.size("ms") > 1)
     )
@@ -448,13 +466,63 @@ def embedding_neardup_pairs_lsh(
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
-    return (
-        pairs.select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            (dot / (F.col("p.a.nrm") * F.col("p.b.nrm"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .groupBy("id_a", "id_b")
-        .agg(F.first("cosine").alias("cosine"))
+    return pairs.select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        (dot / (F.col("p.a.nrm") * F.col("p.b.nrm"))).alias("cosine"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+    max_bucket_size: int = 1024,
+    assign_round: int | None = 6,
+    cos_round: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): bucket the corpus by nearest frozen k-means
+    centroid (semantically coherent cells), then inside each cell
+    drop every row that has a LOWER-ID neighbor with cosine ≥
+    ``threshold``. Returns the surviving rows of ``df``.
+
+    Differences from :func:`deduplicate` (connected-component
+    resolve): the keep rule here is the one-pass greedy used in
+    practice at cluster scale — no iterative joins, and a chain
+    a~b~c with a≁c keeps {a, c} (CC keeps only a). Guaranteed: the
+    minimum id of every cell survives, and no two survivors in the
+    same cell are within ``threshold`` of each other (both pinned by
+    tests). Oversized cells degrade to star comparisons against the
+    cell minimum — linear, keeps the min, may keep extra members
+    (documented trade, same policy as the LSH pair paths).
+
+    Centroids are FROZEN (train them on a bounded sample via
+    simsearch.ivf_build, or reuse an IVF index's quantizer), so the
+    whole op is expression-only: one narrow assignment projection,
+    one shuffle on the uniform cell key, one anti-join. Cross-engine
+    discipline: the assignment score is rounded to ``assign_round``
+    and the cosine to ``cos_round`` BEFORE comparisons, so a DuckDB
+    re-derivation shares both tie-break domains (CLAUDE.md rounding
+    invariant; pinned by the differential test)."""
+    from ..search import l2_norm_expr
+    from .simsearch import ivf_assign
+
+    assigned = ivf_assign(
+        df, centroids, vec_col=vec_col, out_col="__cell", score_round=assign_round
+    )
+    base = assigned.select(
+        F.col("__cell"),
+        F.col(key_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm_expr(vec_col).alias("nrm"),
+    )
+    victims = (
+        _cosine_pairs_in_buckets(base, ["__cell"], max_bucket_size)
+        .filter(F.round(F.col("cosine"), cos_round) >= threshold)
+        .select(F.col("id_b").alias(key_col))
+    )
+    return df.join(victims, key_col, "left_anti")
