@@ -483,6 +483,7 @@ def semantic_dedup(
     max_bucket_size: int = 1024,
     assign_round: int | None = 6,
     cos_round: int = 6,
+    assign: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): bucket the corpus by nearest frozen k-means
@@ -507,11 +508,19 @@ def semantic_dedup(
     discipline: the assignment score is rounded to ``assign_round``
     and the cosine to ``cos_round`` BEFORE comparisons, so a DuckDB
     re-derivation shares both tie-break domains (CLAUDE.md rounding
-    invariant; pinned by the differential test)."""
-    from ..search import l2_norm_expr
-    from .simsearch import ivf_assign
+    invariant; pinned by the differential test).
 
-    assigned = ivf_assign(
+    ``assign="arrow"`` swaps the expression-only cell assignment for
+    the Arrow-batched matmul twin (simsearch.ivf_assign_arrow) — same
+    cells (parity-pinned), much cheaper when n_centroids·dim is large;
+    keep ``"expr"`` where a SQL twin must re-derive the plan."""
+    from ..search import l2_norm_expr
+    from .simsearch import ivf_assign, ivf_assign_arrow
+
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    assign_fn = ivf_assign if assign == "expr" else ivf_assign_arrow
+    assigned = assign_fn(
         df, centroids, vec_col=vec_col, out_col="__cell", score_round=assign_round
     )
     base = assigned.select(

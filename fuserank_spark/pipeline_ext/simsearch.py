@@ -285,6 +285,70 @@ def ivf_assign(
     return out.withColumn(out_col, F.array_min(F.array(*structs))["c"]).drop(tmp)
 
 
+def ivf_assign_arrow(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+    metric: str = "l2",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`ivf_assign` — the
+    pq_encode/pq_encode_arrow pattern: the expression path is the
+    oracle-parity form (interpreted HOF aggregates, ~n_centroids·dim
+    ops per row outside codegen), this one is a single matmul per
+    batch for the scale paths (semantic dedup over many cells,
+    streaming index maintenance).
+
+    Same score (``||c||^2 − 2<x,c>`` or ``−<x,c>``), same
+    lowest-centroid tie break (argmin takes the first minimum), same
+    half-away-from-zero ``score_round`` (Spark round() semantics,
+    emulated as sign·floor(|x|·10^d + 0.5)/10^d). Unrounded scores can
+    differ from the expression path in the last ulps (sequential fold
+    vs blocked matmul) — pass ``score_round`` when cross-path identity
+    must be exact; the parity test pins both on the test corpora.
+    NULL or wrong-length vectors raise (the expression path would
+    propagate nulls; a batch matmul cannot — fail loudly instead)."""
+    import pandas as pd
+
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"metric must be 'l2' or 'ip', got {metric!r}")
+    cents = np.asarray(centroids, dtype="float64")
+    dim = cents.shape[1]
+    csq = np.einsum("kd,kd->k", cents, cents)
+    schema_out = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in corpus.schema.fields]
+        + [f"`{out_col}` int"]
+    )
+    names = [f.name for f in corpus.schema.fields]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({n: pdf[n] for n in names} | {out_col: []})
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError("ivf_assign_arrow: NULL vector in batch")
+            vecs = np.array(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            if vecs.ndim != 2 or vecs.shape[1] != dim:
+                raise ValueError(
+                    f"ivf_assign_arrow: vector length != {dim} "
+                    f"(batch shape {vecs.shape})"
+                )
+            dots = vecs @ cents.T
+            scores = csq[None, :] - 2.0 * dots if metric == "l2" else -dots
+            if score_round is not None:
+                s = 10.0 ** score_round
+                scores = np.sign(scores) * np.floor(np.abs(scores) * s + 0.5) / s
+            out = pd.DataFrame({n: pdf[n] for n in names})
+            out[out_col] = scores.argmin(axis=1).astype("int32")
+            yield out
+
+    return corpus.mapInPandas(assign, schema_out)
+
+
 def ivf_persist(assigned: DataFrame, path: str) -> None:
     """The IVF 'index build': write the assigned table partitioned by
     ``centroid_id``. A probe then reads ONLY its nprobe partition

@@ -86,6 +86,7 @@ def incremental_ivf_index(
     text_encoding_schema: dict[str, float] | None = None,
     metric: str = "ip",
     available_now: bool = True,
+    assign: str = "expr",
 ):
     """Streaming INDEX MAINTENANCE (r5): each micro-batch runs the
     full batch pipeline — embed → encode_products against a FROZEN
@@ -105,11 +106,19 @@ def incremental_ivf_index(
     Idempotency: same per-batch overwrite pattern as
     :func:`incremental_encode` — a replayed batch replaces its own
     ``batch_id=`` directory (each with its centroid_id= partition
-    subdirs), never duplicates."""
+    subdirs), never duplicates.
+
+    ``assign="arrow"`` uses the matmul assignment twin
+    (simsearch.ivf_assign_arrow) instead of the interpreted HOF
+    expression — identical cells at score_round=6 (parity-pinned in
+    tests), cheaper per batch when n_cells·fused_dim is large."""
     from ..embed import embed_corpus
     from ..encode import encode_products
-    from ..pipeline_ext.simsearch import ivf_assign
+    from ..pipeline_ext.simsearch import ivf_assign, ivf_assign_arrow
 
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    assign_fn = ivf_assign if assign == "expr" else ivf_assign_arrow
     tschema = text_encoding_schema or {"text": 1.0}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -117,7 +126,7 @@ def incremental_ivf_index(
         enc, _layout = encode_products(
             emb, aux_schema, stats, num_harmonics=num_harmonics
         )
-        assigned = ivf_assign(
+        assigned = assign_fn(
             enc, centroids, vec_col="vector", metric=metric, score_round=6
         ).drop(*tschema.keys(), "text_emb")
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(

@@ -132,3 +132,13 @@ def test_semantic_dedup_plan_has_no_quadratic_ops(emb, centroids):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_arrow_assignment_parity(emb, centroids):
+    """assign='arrow' (matmul cell assignment) must produce the same
+    survivor set as the expression path the oracle re-derives."""
+    expr = _survivor_ids(semantic_dedup(emb, centroids, threshold=THR))
+    arrow = _survivor_ids(
+        semantic_dedup(emb, centroids, threshold=THR, assign="arrow")
+    )
+    assert expr == arrow

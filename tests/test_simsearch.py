@@ -124,3 +124,48 @@ def test_brute_force_arrow_matches_expression(emb, queries):
     ]
     for a, b in zip(expr, arrow):
         assert abs(a["cosine"] - b["cosine"]) < 1e-6
+
+
+def test_ivf_assign_arrow_matches_expression(emb):
+    """The Arrow matmul twin must assign every row to the same cell
+    as the expression path — both metrics, with and without the
+    rounded tie-break domain."""
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign, ivf_assign_arrow
+
+    rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    cents = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    for metric in ("l2", "ip"):
+        for rnd in (6, None):
+            ex = {
+                r["vec_id"]: r["centroid_id"]
+                for r in ivf_assign(
+                    emb, cents, metric=metric, score_round=rnd
+                ).select("vec_id", "centroid_id").collect()
+            }
+            ar = {
+                r["vec_id"]: r["centroid_id"]
+                for r in ivf_assign_arrow(
+                    emb, cents, metric=metric, score_round=rnd
+                ).select("vec_id", "centroid_id").collect()
+            }
+            assert ex == ar, (metric, rnd)
+
+
+def test_ivf_assign_arrow_rejects_bad_vectors(spark):
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign_arrow
+
+    cents = np.eye(3)
+    bad_null = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL vector"):
+        ivf_assign_arrow(bad_null, cents).collect()
+    bad_len = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        ivf_assign_arrow(bad_len, cents).collect()

@@ -218,6 +218,18 @@ def test_incremental_ivf_index_parity_and_pruning(spark, tmpdir):
     )
     q2.awaitTermination(60)
     assert spark.read.parquet(sink).count() == 120
+    # the arrow assignment twin lands every fused vector in the same
+    # cell (the assign="arrow" maintenance knob is serve-identical)
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign_arrow
+
+    arrow_cells = {
+        r["row_id"]: r["centroid_id"]
+        for r in ivf_assign_arrow(
+            enc.select("row_id", "vector"), cents,
+            vec_col="vector", metric="ip", score_round=6,
+        ).collect()
+    }
+    assert arrow_cells == {rid: c for rid, (c, _) in want.items()}
 
 
 def test_encoder_drift_report(spark):

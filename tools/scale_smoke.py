@@ -141,6 +141,25 @@ def main():
     t["ivf_serve8"] = round(time.time() - t0, 2)
     t["n_vectors"] = nv
 
+    # semantic dedup at volume: reuse the trained coarse centroids as
+    # the frozen cluster map; the jittered replica clusters put every
+    # cell far above max_bucket_size, so this exercises the star-edge
+    # degrade (linear in members) rather than within-cell all-pairs
+    from fuserank_spark.pipeline_ext.dedup import semantic_dedup
+
+    t0 = time.time()
+    n_sem = semantic_dedup(
+        bigv, cents, threshold=0.98, assign_round=None
+    ).count()
+    t["semantic_dedup"] = round(time.time() - t0, 2)
+    t["n_semantic_survivors"] = n_sem
+    t0 = time.time()
+    n_sem_a = semantic_dedup(
+        bigv, cents, threshold=0.98, assign_round=None, assign="arrow"
+    ).count()
+    t["semantic_dedup_arrow"] = round(time.time() - t0, 2)
+    t["n_semantic_survivors_arrow"] = n_sem_a
+
     # curation ops at volume: the window quota (WindowGroupLimit
     # pre-trim), the decontamination broadcast semi-join (train side
     # explodes ~n·tokens gram rows without shuffling), and the
