@@ -122,44 +122,30 @@ def lsh_candidate_pairs(
     member = F.struct(
         F.col(key_col).alias("id"), F.array(*[F.col(c) for c in sig_cols]).alias("sig")
     )
-    banded = sigs.select(member.alias("m"), F.explode(band_structs).alias("band")).select(
-        "m", "band.band_idx", "band.band_hash"
+    banded = sigs.select(member.alias("__m"), F.explode(band_structs).alias("band")).select(
+        F.col("__m.id").alias("id"),
+        F.col("__m.sig").alias("sig"),
+        F.col("band.band_idx"),
+        F.col("band.band_hash"),
     )
-    # signatures are computed ONCE: bucket members are grouped, pairs are
-    # generated inside each bucket — no self-join re-evaluating the
-    # upstream plan, one shuffle keyed on the (uniform) band hash
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    all_pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    # star edges for oversized (mass near-dup) buckets: member i ↔ member 0
-    star_pairs = F.transform(
-        F.slice(F.col("ms"), 2, F.size(F.col("ms"))),
-        lambda y: F.struct(F.element_at(F.col("ms"), 1).alias("a"), y.alias("b")),
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.when(F.size("ms") <= max_bucket_size, all_pairs).otherwise(star_pairs)
-        ).alias("p")
+    # signatures are computed ONCE: bucket members are grouped, pairs
+    # are generated inside each bucket — no self-join re-evaluating
+    # the upstream plan, one shuffle keyed on the (uniform) band hash
+    # (the shared memory-bounded two-regime core, r6)
+    pairs = _pairs_in_buckets(
+        banded,
+        ["band_idx", "band_hash"],
+        F.struct(F.col("id"), F.col("sig")),
+        max_bucket_size,
     )
     eq = F.zip_with(
-        F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: (x == y).cast("int")
+        F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
     )
     est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(n)
     return (
         pairs.select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             est.alias("est_jaccard"),
         )
         .groupBy("id_a", "id_b")
@@ -426,20 +412,48 @@ def embedding_neardup_pairs_lsh(
     )
 
 
-def _cosine_pairs_in_buckets(
-    b: DataFrame, bucket_cols: list[str], max_bucket_size: int
+def _pairs_in_buckets(
+    b: DataFrame, bucket_cols: list[str], member: Column, max_bucket_size: int
 ) -> DataFrame:
-    """Shared candidate-pair core: ``b`` carries (id, vec, nrm) plus
-    bucket key columns; emit (id_a < id_b, cosine) for every within-
-    bucket pair via the groupBy pair-generation pattern — vectors are
-    bucketed once, zero joins, no CartesianProduct. Buckets larger
-    than ``max_bucket_size`` degrade to star edges against the bucket
-    minimum (linear in members, still connects the cluster)."""
-    member = F.struct(F.col("id"), F.col("vec"), F.col("nrm"))
-    buckets = (
-        b.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
-        .filter(F.size("ms") > 1)
+    """Shared candidate-pair core for every bucketed dedup path
+    (MinHash bands, hyperplane-LSH, semantic cells): ``member`` is a
+    struct whose FIRST field is named ``id`` (so struct ordering —
+    hence the a/b pair order — is id-major, and ids are unique);
+    emit every within-bucket pair as columns ``a``, ``b``
+    with a.id < b.id — vectors/signatures are bucketed once, zero
+    joins, no CartesianProduct. Buckets larger than
+    ``max_bucket_size`` degrade to star edges against the bucket
+    minimum (linear in members, still connects the cluster for
+    deduplicate()).
+
+    Memory posture (r6): bucket size and minimum come from a
+    partition-frame WINDOW over the single bucket shuffle, and only
+    buckets under the cap go through ``collect_list`` pair
+    generation — an oversized bucket (a mass-duplication cluster at
+    corpus scale) computes its star edges ROW-WISE against the
+    window minimum and is never materialized as one array.
+    WindowExec spills its partition buffer to disk; a giant
+    collect_list value cannot — so the degrade path bounds task
+    memory, not just pair count. Both branches reuse the same
+    exchange at runtime (AQE ReusedExchange, pinned by
+    tests/test_plans.py)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    # the shared window carries ONLY the size long — the min member
+    # (a full vec/sig copy per row) is computed on the oversized
+    # subset alone, so normal corpora (no bucket over the cap) pay
+    # one count per row and nothing else
+    sized = (
+        b.select(*bucket_cols, member.alias("__m"))
+        .withColumn("__sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__sz") > 1)
+    )
+
+    small = (
+        sized.filter(F.col("__sz") <= max_bucket_size)
+        .groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list("__m")).alias("ms"))
     )
     all_pairs = F.flatten(
         F.transform(
@@ -450,27 +464,45 @@ def _cosine_pairs_in_buckets(
             ),
         )
     )
-    star_pairs = F.transform(
-        F.slice(F.col("ms"), 2, F.size(F.col("ms"))),
-        lambda y: F.struct(F.element_at(F.col("ms"), 1).alias("a"), y.alias("b")),
+    small_pairs = small.select(F.explode(all_pairs).alias("p")).select(
+        "p.a", "p.b"
     )
-    pairs = buckets.select(
-        F.explode(
-            F.when(F.size("ms") <= max_bucket_size, all_pairs).otherwise(star_pairs)
-        ).alias("p")
+
+    large_pairs = (
+        sized.filter(F.col("__sz") > max_bucket_size)
+        .withColumn("__min", F.min(F.col("__m")).over(w))
+        .filter(F.col("__m.id") != F.col("__min.id"))
+        .select(F.col("__min").alias("a"), F.col("__m").alias("b"))
     )
+    return small_pairs.unionByName(large_pairs)
+
+
+def _cosine_pairs_in_buckets(
+    b: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Cosine instantiation of :func:`_pairs_in_buckets`: ``b``
+    carries (id, vec, nrm) plus bucket key columns; emits
+    (id_a < id_b, cosine)."""
+    member = F.struct(F.col("id"), F.col("vec"), F.col("nrm"))
+    pairs = _pairs_in_buckets(b, bucket_cols, member, max_bucket_size)
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        _pair_cosine("a", "b"),
+    )
+
+
+def _pair_cosine(a: str, b: str) -> Column:
     dot = F.aggregate(
         F.zip_with(
-            F.col("p.a.vec"), F.col("p.b.vec"), lambda x, y: x.cast("double") * y.cast("double")
+            F.col(f"{a}.vec"),
+            F.col(f"{b}.vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
         ),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
-    return pairs.select(
-        F.col("p.a.id").alias("id_a"),
-        F.col("p.b.id").alias("id_b"),
-        (dot / (F.col("p.a.nrm") * F.col("p.b.nrm"))).alias("cosine"),
-    )
+    return (dot / (F.col(f"{a}.nrm") * F.col(f"{b}.nrm"))).alias("cosine")
 
 
 def semantic_dedup(

@@ -133,3 +133,34 @@ def test_neardup_auto_refuses_unbounded_exact(spark):
         embedding_neardup_pairs(e, method="exact")
     with pytest.raises(ValueError, match="dim"):
         embedding_neardup_pairs(e, method="lsh")
+
+
+def test_pairs_in_buckets_star_degrade_exact_edges(spark):
+    """The shared two-regime pair core: under the cap a bucket emits
+    all n(n-1)/2 pairs; over the cap it emits exactly the n-1 star
+    edges anchored at the bucket-min id — identical to the min-
+    anchored subset of the full pairing (so the cluster stays
+    connected for deduplicate())."""
+    from pyspark.sql import functions as F
+
+    from fuserank_spark.pipeline_ext.dedup import _pairs_in_buckets
+
+    n = 6
+    df = spark.createDataFrame(
+        [(0, i, [float(i), 1.0], 1.0) for i in range(n)] + [(1, 99, [0.0, 1.0], 1.0)],
+        "bkt int, id long, vec array<double>, nrm double",
+    )
+    member = F.struct(F.col("id"), F.col("vec"), F.col("nrm"))
+
+    full = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in _pairs_in_buckets(df, ["bkt"], member, max_bucket_size=n).collect()
+    }
+    assert full == {(i, j) for i in range(n) for j in range(i + 1, n)}
+
+    star = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in _pairs_in_buckets(df, ["bkt"], member, max_bucket_size=n - 1).collect()
+    }
+    assert star == {(0, j) for j in range(1, n)}
+    assert star == {p for p in full if p[0] == 0}

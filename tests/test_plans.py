@@ -119,18 +119,30 @@ def test_topk_batch_no_corpus_shuffle(spark):
 
 def test_neardup_lsh_plan_has_no_join(spark):
     """The bucketed near-dup (the unbounded default) must contain NO
-    join of any kind — candidates come from groupBy pair generation,
-    so the quadratic θ-join and the self-join re-evaluation trap are
-    both structurally impossible."""
+    join of any kind — candidates come from within-bucket pair
+    generation, so the quadratic θ-join and the self-join
+    re-evaluation trap are both structurally impossible. The r6
+    two-regime split (collect-list pair-gen for small buckets,
+    row-wise star edges against the window minimum for oversized
+    ones) must not double the scan: at runtime AQE reuses the single
+    bucket exchange for both branches."""
     from fuserank_spark.pipeline_ext.dedup import embedding_neardup_pairs
 
     df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    p = plan_str(embedding_neardup_pairs(df, method="lsh", dim=64))
+    out = embedding_neardup_pairs(df, method="lsh", dim=64)
+    p = plan_str(out)
     assert "CartesianProduct" not in p
     assert "NestedLoopJoin" not in p
     assert "Join" not in p  # no join operator at all
-    # exactly the bucket shuffle + the pair-distinct shuffle
-    assert p.count("+- Exchange") == 2
+    # only two distinct shuffles exist: (table_idx, bucket) and the
+    # pair-distinct (id_a, id_b); the branch split adds no third key
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
+    assert keys <= {"table_idx", "id_a"}, keys
+    out.collect()
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in phys
 
 
 def test_ivf_probe_prunes_partitions(spark):
