@@ -185,38 +185,36 @@ def ngram_jaccard_pairs(
     key_col: str = "doc_id",
     prefix_tokens: int = 2,
     k: int = SHINGLE_K,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs sharing a cheap
     blocking key (first tokens). Blocking keeps the pair space
-    linear; the Jaccard itself is array_intersect/array_union sizes."""
+    linear; the Jaccard itself is array_intersect/array_union sizes.
+
+    Pairs flow through the shared memory-bounded core (r6): a block
+    bigger than ``max_bucket_size`` — boilerplate prefixes at corpus
+    scale — degrades to star comparisons against the block minimum
+    instead of collecting the whole block (members carry their full
+    shingle sets, the heaviest payload of any pair path)."""
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     block = F.concat_ws(" ", F.slice(tokens, 1, prefix_tokens))
-    member = F.struct(F.col(key_col).alias("id"), shingles_expr(F.col(text_col), k).alias("sh"))
-    blocked = (
-        df.select(block.alias("block_key"), member.alias("m"))
-        .groupBy("block_key")
-        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
     # shingles computed once per doc; pairs generated within the block
-    pairs = blocked.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ms"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
+    blocked = df.select(
+        block.alias("block_key"),
+        F.col(key_col).alias("id"),
+        shingles_expr(F.col(text_col), k).alias("sh"),
     )
-    inter = F.size(F.array_intersect(F.col("p.a.sh"), F.col("p.b.sh"))).cast("double")
-    union = (F.size(F.col("p.a.sh")) + F.size(F.col("p.b.sh"))).cast("double") - inter
+    pairs = _pairs_in_buckets(
+        blocked,
+        ["block_key"],
+        F.struct(F.col("id"), F.col("sh")),
+        max_bucket_size,
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).cast("double") - inter
     return pairs.select(
-        F.col("p.a.id").alias("id_a"),
-        F.col("p.b.id").alias("id_b"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
         (inter / union).alias("jaccard"),
     )
 
