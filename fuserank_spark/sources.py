@@ -44,6 +44,42 @@ def read_csv(
     return reader.option("inferSchema", "true").csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL document source (no reference analog — raw training-data
+    dumps are line-delimited JSON). Line-delimited stays splittable,
+    so a 100 TB dump parallelizes by block, unlike multiLine JSON.
+
+    With an explicit ``schema``, malformed lines land in
+    ``corrupt_col`` (PERMISSIVE mode) instead of killing the job —
+    filter on it to quarantine bad records:
+
+        docs = read_jsonl(spark, path, schema)
+        bad = docs.filter(F.col("_corrupt_record").isNotNull())
+
+    Spark caveat: a query that prunes down to ONLY the corrupt
+    column is disallowed (SPARK-21610) — e.g. ``bad.count()`` fails;
+    select another column alongside it, collect full rows, or cache
+    the frame first.
+
+    Without a schema the reader infers (a full extra pass — same
+    caveat as read_csv; always pass a schema at scale)."""
+    if schema is not None:
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+        return (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path)
+        )
+    return spark.read.json(path)
+
+
 def embedding_cache_path(cache_dir: str, dataset: str, model_name: str, dim: int | None = None) -> str:
     model_tail = model_name.split("/")[-1]  # reference's file_name convention
     suffix = f"_{dim}d" if dim is not None else ""

@@ -242,3 +242,24 @@ def test_encoder_meta_geo_and_binary_roundtrip(tmp_path):
     assert s2.columns["flag"].values == ["No", "Yes"]
     assert l2.segments == layout.segments and l2.dim == 22
     assert s2.n_rows == 7 and knobs["num_harmonics"] == 4
+
+
+def test_compute_stats_rejects_high_cardinality_sparse(spark):
+    """A misdeclared high-cardinality SPARSE column must fail with
+    the column name, not build an unbounded vocab (the check rides
+    the one stats aggregate — no extra scan)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fuserank_spark import schema as S
+    from fuserank_spark.encode import compute_stats
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("id-"), F.col("id")).alias("doc_key"),
+        (F.col("id") % 3).cast("string").alias("cat"),
+    )
+    with _pytest.raises(ValueError, match="doc_key.*distinct"):
+        compute_stats(df, {"doc_key": S.SPARSE}, max_vocab=1000)
+    # a sane column under the cap still works
+    st = compute_stats(df, {"cat": S.SPARSE}, max_vocab=1000)
+    assert st.columns["cat"].vocab == ["0", "1", "2"]

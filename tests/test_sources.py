@@ -47,3 +47,33 @@ def test_embedding_cache_flow(spark, tmpdir):
 def test_geocode_gated():
     with pytest.raises(NotImplementedError):
         sources.geocode("Berlin")
+
+
+def test_read_jsonl_permissive_quarantines_corrupt_lines(spark, tmpdir):
+    """Explicit-schema JSONL: good lines parse, malformed lines land
+    whole in _corrupt_record instead of failing the job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from fuserank_spark.sources import read_jsonl
+
+    p = f"{tmpdir}/docs.jsonl"
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world"}\n')
+        f.write('{"doc_id": 2, "text": "second"}\n')
+        f.write('{"doc_id": 3, "text": broken!!\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    out = read_jsonl(spark, p, schema)
+    good = out.filter(F.col("_corrupt_record").isNull())
+    bad = out.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    # Spark disallows queries that prune down to ONLY the corrupt
+    # column (see read_jsonl docstring) — collect the full rows
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "broken" in bad_rows[0]["_corrupt_record"]
