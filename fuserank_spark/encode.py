@@ -52,19 +52,40 @@ def compute_stats(
     df: DataFrame,
     aux_encoding_schema: dict[str, str],
     geo_sample_size: int = 512,
-    max_vocab: int = 65536,
+    max_vocab: int | None = 65536,
 ) -> CorpusStats:
     """One aggregate pass over the corpus for all modality stats
     (replaces the reference's per-call pandas min/max/unique —
     `src/encode.py:356-361,71-73,136`). Runs once per index build and
     is served from the result thereafter (SURVEY §4, stance #5).
 
-    ``max_vocab`` guards SPARSE columns: the vocab IS a one-hot
-    segment of the fused vector, so a high-cardinality column (a
-    misdeclared id/free-text column) would both blow up the vector
-    layout and build an unbounded collect_set buffer. The cardinality
-    check rides the same aggregate pass (approx_count_distinct — no
-    extra scan) and fails with the column name instead of an OOM."""
+    ``max_vocab`` guards categorical (SPARSE/BINARY) columns: the
+    vocab IS a one-hot segment of the fused vector, so a
+    high-cardinality column (a misdeclared id/free-text column) would
+    both blow up the vector layout and build an unbounded collect_set
+    buffer. The check is a SEPARATE approx_count_distinct pre-pass —
+    a narrow column-pruned scan that runs BEFORE any collect_set
+    exists, so the failure is a ValueError naming the column, never
+    an executor/driver OOM inside the collect. (One extra cheap scan
+    per index build; set ``max_vocab=None`` to skip it when the
+    schema is known-good.)"""
+    cat_cols = [
+        c for c, kind in aux_encoding_schema.items() if kind in (S.SPARSE, S.BINARY)
+    ]
+    if max_vocab is not None and cat_cols:
+        acds = df.agg(
+            *[F.approx_count_distinct(F.col(c)).alias(c) for c in cat_cols]
+        ).collect()[0]
+        for c in cat_cols:
+            if acds[c] > max_vocab:
+                raise ValueError(
+                    f"categorical column {c!r} has ~{acds[c]} distinct "
+                    f"values (> max_vocab={max_vocab}); a one-hot segment "
+                    "that wide is almost certainly a misdeclared id or "
+                    "free-text column — fix the aux schema, or raise "
+                    "max_vocab explicitly"
+                )
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c, kind in aux_encoding_schema.items():
         if kind == S.DENSE:
@@ -72,7 +93,6 @@ def compute_stats(
             aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
         elif kind in (S.SPARSE, S.BINARY):
             aggs.append(F.collect_set(F.col(c)).alias(f"__set_{c}"))
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__acd_{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
 
     stats = CorpusStats(n_rows=row["__n"])
@@ -81,14 +101,6 @@ def compute_stats(
         if kind == S.DENSE:
             cs.min, cs.max = row[f"__min_{c}"], row[f"__max_{c}"]
         elif kind == S.SPARSE:
-            if max(row[f"__acd_{c}"], len(row[f"__set_{c}"])) > max_vocab:
-                raise ValueError(
-                    f"sparse column {c!r} has ~{row[f'__acd_{c}']} distinct "
-                    f"values (> max_vocab={max_vocab}); a one-hot segment "
-                    "that wide is almost certainly a misdeclared id or "
-                    "free-text column — fix the aux schema, or raise "
-                    "max_vocab explicitly"
-                )
             cs.vocab = sorted(row[f"__set_{c}"])  # pd.get_dummies sorts (src/encode.py:136)
         elif kind == S.BINARY:
             vals = sorted(row[f"__set_{c}"])

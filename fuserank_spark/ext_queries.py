@@ -184,7 +184,11 @@ _JACCARD_ORACLE = """
 @register("q_ngram_jaccard", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    out = D.ngram_jaccard_pairs(d)
+    # the SQL twin states ALL within-block pairs, so this entry pins
+    # an effectively-unbounded cap — the r6 star-edge degrade would
+    # otherwise silently diverge from the oracle on any block over
+    # the default 1024 (degrade semantics are unit-tested separately)
+    out = D.ngram_jaccard_pairs(d, max_bucket_size=1 << 31)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )

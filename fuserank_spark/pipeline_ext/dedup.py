@@ -521,15 +521,19 @@ def semantic_dedup(
     drop every row that has a LOWER-ID neighbor with cosine ≥
     ``threshold``. Returns the surviving rows of ``df``.
 
-    Differences from :func:`deduplicate` (connected-component
-    resolve): the keep rule here is the one-pass greedy used in
-    practice at cluster scale — no iterative joins, and a chain
-    a~b~c with a≁c keeps {a, c} (CC keeps only a). Guaranteed: the
-    minimum id of every cell survives, and no two survivors in the
-    same cell are within ``threshold`` of each other (both pinned by
-    tests). Oversized cells degrade to star comparisons against the
-    cell minimum — linear, keeps the min, may keep extra members
-    (documented trade, same policy as the LSH pair paths).
+    Keep rule, precisely: a row is dropped iff ANY lower-id row in
+    its cell is within ``threshold`` — whether or not that neighbor
+    itself survives. One pass, no iterative joins. This is MORE
+    aggressive than sequential compare-against-the-kept-set greedy:
+    a chain a~b~c with a≁c keeps only {a} here (b falls to a, c
+    falls to b), where kept-set greedy would keep {a, c} and
+    :func:`deduplicate`'s connected components also keep only the
+    component minimum. Guaranteed: the minimum id of every cell
+    survives, and no two survivors in the same cell are within
+    ``threshold`` of each other (both pinned by tests). Oversized
+    cells degrade to star comparisons against the cell minimum —
+    linear, keeps the min, may keep extra members (documented trade,
+    same policy as the LSH pair paths).
 
     Centroids are FROZEN (train them on a bounded sample via
     simsearch.ivf_build, or reuse an IVF index's quantizer), so the

@@ -301,14 +301,22 @@ def ivf_assign_arrow(
     streaming index maintenance).
 
     Same score (``||c||^2 − 2<x,c>`` or ``−<x,c>``), same
-    lowest-centroid tie break (argmin takes the first minimum), same
-    half-away-from-zero ``score_round`` (Spark round() semantics,
-    emulated as sign·floor(|x|·10^d + 0.5)/10^d). Unrounded scores can
-    differ from the expression path in the last ulps (sequential fold
-    vs blocked matmul) — pass ``score_round`` when cross-path identity
-    must be exact; the parity test pins both on the test corpora.
-    NULL or wrong-length vectors raise (the expression path would
-    propagate nulls; a batch matmul cannot — fail loudly instead)."""
+    lowest-centroid tie break (argmin takes the first minimum).
+    ``score_round`` uses the vectorized :func:`round_half_away`
+    formula — the repo's driver-side convention (probe selection
+    uses the same one against SQL ``round()``). It equals the
+    expression path's ``F.round`` except when a score's SHORTEST
+    DECIMAL REPRESENTATION lands exactly on a half-boundary
+    (Spark rounds the decimal string, the formula rounds the binary
+    double) — measure-zero for continuous scores, the same accepted
+    caveat as every driver-side rounding in the repo. Rounding also
+    collapses the last-ulp fold-order differences (sequential HOF
+    fold vs blocked matmul), so rounded assignments agree in
+    practice; unrounded ones can ulp-diverge near exact centroid
+    ties. The parity test pins both metrics, rounded and raw, on the
+    test corpora. NULL or wrong-length vectors raise (the expression
+    path would propagate nulls; a batch matmul cannot — fail loudly
+    instead)."""
     import pandas as pd
 
     if metric not in ("l2", "ip"):
@@ -340,8 +348,9 @@ def ivf_assign_arrow(
             dots = vecs @ cents.T
             scores = csq[None, :] - 2.0 * dots if metric == "l2" else -dots
             if score_round is not None:
+                # vectorized round_half_away — identical IEEE ops
                 s = 10.0 ** score_round
-                scores = np.sign(scores) * np.floor(np.abs(scores) * s + 0.5) / s
+                scores = np.copysign(np.floor(np.abs(scores) * s + 0.5), scores) / s
             out = pd.DataFrame({n: pdf[n] for n in names})
             out[out_col] = scores.argmin(axis=1).astype("int32")
             yield out

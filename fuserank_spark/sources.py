@@ -70,7 +70,11 @@ def read_jsonl(
     caveat as read_csv; always pass a schema at scale)."""
     if schema is not None:
         if corrupt_col not in schema.fieldNames():
-            schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+            # copy — StructType.add mutates (and returns) self, which
+            # would permanently grow the CALLER's schema object
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+            )
         return (
             spark.read.schema(schema)
             .option("mode", "PERMISSIVE")

@@ -110,8 +110,10 @@ def incremental_ivf_index(
 
     ``assign="arrow"`` uses the matmul assignment twin
     (simsearch.ivf_assign_arrow) instead of the interpreted HOF
-    expression — identical cells at score_round=6 (parity-pinned in
-    tests), cheaper per batch when n_cells·fused_dim is large."""
+    expression — same cells at score_round=6 (parity-pinned in
+    tests; the decimal-half-boundary caveat in ivf_assign_arrow's
+    docstring applies), cheaper per batch when n_cells·fused_dim is
+    large."""
     from ..embed import embed_corpus
     from ..encode import encode_products
     from ..pipeline_ext.simsearch import ivf_assign, ivf_assign_arrow

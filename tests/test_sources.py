@@ -69,6 +69,8 @@ def test_read_jsonl_permissive_quarantines_corrupt_lines(spark, tmpdir):
         ]
     )
     out = read_jsonl(spark, p, schema)
+    # the caller's schema object must NOT grow a phantom field
+    assert schema.fieldNames() == ["doc_id", "text"]
     good = out.filter(F.col("_corrupt_record").isNull())
     bad = out.filter(F.col("_corrupt_record").isNotNull())
     assert {r["doc_id"] for r in good.collect()} == {1, 2}
