@@ -164,3 +164,44 @@ def test_pairs_in_buckets_star_degrade_exact_edges(spark):
     }
     assert star == {(0, j) for j in range(1, n)}
     assert star == {p for p in full if p[0] == 0}
+
+
+def test_pairs_in_buckets_randomized_vs_reference(spark):
+    """Seeded randomized differential: many bucket shapes (singletons,
+    under-cap, exactly-cap, over-cap) in one job, checked pair-for-pair
+    against a pure-Python reference of the two-regime contract."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fuserank_spark.pipeline_ext.dedup import _pairs_in_buckets
+
+    rng = random.Random(42)
+    cap = 8
+    rows, expected = [], set()
+    by_bucket: dict[int, list[int]] = {}
+    next_id = 0
+    for bkt in range(25):
+        n = rng.choice([1, 2, 3, cap - 1, cap, cap + 1, 3 * cap])
+        ids = sorted(rng.sample(range(next_id, next_id + 10 * n), n))
+        next_id += 10 * n
+        by_bucket[bkt] = ids
+        for i in ids:
+            rows.append((bkt, i, [float(i % 7), 1.0], 1.0))
+    for ids in by_bucket.values():
+        if len(ids) < 2:
+            continue
+        if len(ids) <= cap:
+            expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+        else:
+            expected |= {(ids[0], b) for b in ids[1:]}
+
+    df = spark.createDataFrame(
+        rows, "bkt int, id long, vec array<double>, nrm double"
+    ).repartition(5)
+    member = F.struct(F.col("id"), F.col("vec"), F.col("nrm"))
+    got = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in _pairs_in_buckets(df, ["bkt"], member, max_bucket_size=cap).collect()
+    }
+    assert got == expected
