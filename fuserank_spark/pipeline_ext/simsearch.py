@@ -218,7 +218,7 @@ def ivf_build(
     partitions (partition pruning does the index lookup).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = corpus.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else corpus
     train = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))

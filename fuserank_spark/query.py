@@ -23,7 +23,7 @@ Value shapes per kind (src/app.py:196-295):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import Column
