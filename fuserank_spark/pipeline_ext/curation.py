@@ -375,12 +375,25 @@ def curate_corpus(
     key_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.75,
+    semantic_centroids=None,
+    semantic_vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_assign: str = "expr",
 ) -> DataFrame:
     """End-to-end curation: quality-score filter → exact dedup
-    (keep min key per normalized content hash) → deterministic
-    split assignment. Composition of the individual operators —
-    one narrow quality projection, one hash-shuffle for dedup, one
-    projection for the split."""
+    (keep min key per normalized content hash) → [optional semantic
+    dedup] → deterministic split assignment. Composition of the
+    individual operators — one narrow quality projection, one
+    hash-shuffle for dedup, one projection for the split.
+
+    Pass ``semantic_centroids`` (a frozen k-means centroid matrix;
+    ``df`` must carry ``semantic_vec_col``) to insert a SemDeDup
+    stage between exact dedup and the split: exact dedup removes
+    byte-near-identical docs cheaply first, the semantic pass then
+    catches paraphrase-level duplicates the content hash cannot —
+    the standard ordering at corpus scale (hash pass shrinks the
+    input the cluster-bucketed pass has to shuffle). The default
+    (None) is the r4 three-stage pipeline the q_curate oracle pins."""
     from .textstats import quality_features
 
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
@@ -388,6 +401,17 @@ def curate_corpus(
     hashed = q.withColumn("__ch", F.md5(norm))
     w = Window.partitionBy("__ch").orderBy(F.col(key_col).asc())
     deduped = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    if semantic_centroids is not None:
+        from .dedup import semantic_dedup
+
+        deduped = semantic_dedup(
+            deduped,
+            semantic_centroids,
+            vec_col=semantic_vec_col,
+            key_col=key_col,
+            threshold=semantic_threshold,
+            assign=semantic_assign,
+        )
     return assign_split(deduped, key_col=key_col).drop("__ch", "__rn")
 
 

@@ -206,3 +206,38 @@ def test_ivf_knn_auto_chunks(spark):
     assert sorted(map(tuple, chunked)) == sorted(map(tuple, one_shot))
     with pytest.raises(ValueError, match="max_query_batch"):
         ivf_knn(assigned, cents, q, max_query_batch=0)
+
+
+def test_curate_corpus_optional_semantic_stage(spark):
+    """semantic_centroids inserts a SemDeDup pass between exact dedup
+    and the split: paraphrase-level near-dups (distinct content hash,
+    near-identical embedding) collapse to the lowest id; the default
+    path (None) is untouched."""
+    import numpy as np
+
+    good_a = "the quick brown fox jumps over the lazy dog again"
+    good_b = "a completely different sentence about spark and parquet files"
+    para_a = "the quick brown fox jumps over the lazy dog once more"
+    base_a = [1.0] + [0.0] * 7
+    base_b = [0.0] * 7 + [1.0]
+    rows = [
+        (1, good_a, base_a),
+        (2, para_a, [v + 1e-4 for v in base_a]),  # paraphrase of 1
+        (3, good_b, base_b),
+        (4, good_a, base_a),  # exact dup of 1 (hash stage removes it)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    cents = np.array([base_a, base_b])
+
+    plain = sorted(r["doc_id"] for r in curate_corpus(d).collect())
+    assert plain == [1, 2, 3]  # exact dup gone, paraphrase kept
+
+    sem = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            d, semantic_centroids=cents, semantic_threshold=0.9
+        ).collect()
+    )
+    assert sem == [1, 3]  # paraphrase collapsed to the lowest id
