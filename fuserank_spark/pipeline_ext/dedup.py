@@ -547,15 +547,22 @@ def semantic_dedup(
     ``assign="arrow"`` swaps the expression-only cell assignment for
     the Arrow-batched matmul twin (simsearch.ivf_assign_arrow) — same
     cells (parity-pinned), much cheaper when n_centroids·dim is large;
-    keep ``"expr"`` where a SQL twin must re-derive the plan."""
+    keep ``"expr"`` where a SQL twin must re-derive the plan.
+
+    Rows with a NULL ``vec_col`` cannot be compared and always
+    survive (they are excluded from assignment and pair generation,
+    and the final anti-join keeps them)."""
     from ..search import l2_norm_expr
     from .simsearch import ivf_assign, ivf_assign_arrow
 
     if assign not in ("expr", "arrow"):
         raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     assign_fn = ivf_assign if assign == "expr" else ivf_assign_arrow
+    # rows with no vector cannot be compared — they pass through as
+    # survivors (and never reach the arrow path's NULL guard)
+    with_vec = df.filter(F.col(vec_col).isNotNull())
     assigned = assign_fn(
-        df, centroids, vec_col=vec_col, out_col="__cell", score_round=assign_round
+        with_vec, centroids, vec_col=vec_col, out_col="__cell", score_round=assign_round
     )
     base = assigned.select(
         F.col("__cell"),

@@ -142,3 +142,21 @@ def test_semantic_dedup_arrow_assignment_parity(emb, centroids):
         semantic_dedup(emb, centroids, threshold=THR, assign="arrow")
     )
     assert expr == arrow
+
+
+def test_semantic_dedup_null_vectors_pass_through(spark, centroids):
+    """Docs without an embedding always survive — excluded from
+    assignment/pairs (no arrow NULL guard trip), kept by the
+    anti-join — on both assignment paths."""
+    rows = [
+        (0, [1.0] + [0.0] * 63),
+        (1, [1.0] + [0.0] * 63),  # near-dup of 0 → dropped
+        (2, None),
+        (3, None),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for assign in ("expr", "arrow"):
+        got = _survivor_ids(
+            semantic_dedup(d, centroids, threshold=0.9, assign=assign)
+        )
+        assert got == {0, 2, 3}, assign
