@@ -370,6 +370,89 @@ def keep_best(
 # -------------------------------------------------------- full pipeline
 
 
+def frequent_ngrams(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 8,
+    min_doc_count: int = 10,
+) -> DataFrame:
+    """Corpus-wide boilerplate mining: token ``n``-grams that appear
+    in at least ``min_doc_count`` DISTINCT documents (headers,
+    footers, license blurbs, navigation chrome). Returns
+    ``(gram, n_docs)`` — feed to :func:`boilerplate_fraction`.
+
+    Plan: one narrow projection (tokens → distinct grams per doc),
+    one explode, one hash aggregate on the gram — the decontam
+    shuffle shape; the HAVING filter collapses the output to the
+    (small) frequent set. Per-doc ``array_distinct`` makes the count
+    a document frequency, immune to within-doc repetition."""
+    g = (
+        docs.withColumn("__toks", tokens_expr(F.col(text_col)))
+        .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
+        .select(F.explode(F.array_distinct("__grams")).alias("gram"))
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_doc_count)
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    frequent: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_frequent: bool | str = "auto",
+    broadcast_gram_limit: int = 5_000_000,
+) -> DataFrame:
+    """Per-document boilerplate coverage against a mined frequent-gram
+    table (:func:`frequent_ngrams`): adds ``n_grams`` (total gram
+    positions), ``n_boiler`` (positions covered by a frequent gram,
+    WITH multiplicity — a doc that is one license blurb repeated
+    scores ~1.0), and ``boiler_frac``. Filter on ``boiler_frac`` to
+    drop chrome-dominated docs before training.
+
+    The corpus side explodes grams without shuffling; the frequent
+    set joins broadcast under ``broadcast_gram_limit`` (same auto
+    policy as contaminated_keys), so the only real shuffles are the
+    per-key match count and the final keyed join."""
+    base = (
+        docs.withColumn("__toks", tokens_expr(F.col(text_col)))
+        .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
+        .drop("__toks")
+    )
+    fset = frequent.select("gram").distinct()
+    if broadcast_frequent == "auto":
+        broadcast_frequent = (
+            fset.limit(broadcast_gram_limit + 1).count() <= broadcast_gram_limit
+        )
+    if broadcast_frequent:
+        fset = F.broadcast(fset)
+    matched = (
+        base.select(F.col(key_col), F.explode("__grams").alias("gram"))
+        .join(fset, "gram", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    out = (
+        base.withColumn("n_grams", F.size("__grams").cast("bigint"))
+        .drop("__grams")
+        .join(matched, key_col, "left")
+        .fillna({"n_boiler": 0})
+    )
+    return out.withColumn(
+        "boiler_frac",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6),
+        ).otherwise(0.0),
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -241,3 +241,61 @@ def test_curate_corpus_optional_semantic_stage(spark):
         ).collect()
     )
     assert sem == [1, 3]  # paraphrase collapsed to the lowest id
+
+
+def test_boilerplate_fraction_matches_duckdb(spark, duck):
+    """frequent_ngrams + boilerplate_fraction re-derived end-to-end in
+    DuckDB (mining HAVING-filter included) — per-doc counts and the
+    rounded fraction must match row-for-row. Registry is frozen, so
+    the oracle lives here (the semantic_dedup precedent)."""
+    from pyspark.sql import functions as F
+
+    from fuserank_spark.pipeline_ext.curation import (
+        boilerplate_fraction,
+        frequent_ngrams,
+    )
+
+    n, k = 3, 4
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    freq = frequent_ngrams(docs, n=n, min_doc_count=k)
+    out = boilerplate_fraction(docs, freq, n=n)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_frac"])
+        for r in out.select("doc_id", "n_grams", "n_boiler", "boiler_frac").collect()
+    }
+
+    toks = (
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    )
+    gram = "concat_ws(' ', " + ", ".join(f"tk[i+{j}]" for j in range(n)) + ")"
+    grams_list = (
+        f"CASE WHEN len(tk) >= {n} THEN "
+        f"list_transform(generate_series(1, len(tk)-{n - 1}), i -> {gram}) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+    sql = f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    dg AS (SELECT doc_id, unnest(list_distinct({grams_list})) AS gram FROM t),
+    freq AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= {k}),
+    allg AS (SELECT doc_id, unnest({grams_list}) AS gram FROM t),
+    tot AS (SELECT doc_id,
+                   CASE WHEN len(tk) >= {n} THEN len(tk)-{n - 1} ELSE 0 END AS n_grams
+            FROM t),
+    m AS (SELECT doc_id, count(*) AS n_boiler
+          FROM allg WHERE gram IN (SELECT gram FROM freq) GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_grams, coalesce(m.n_boiler, 0) AS n_boiler,
+           CASE WHEN tot.n_grams > 0
+                THEN round(coalesce(m.n_boiler, 0) * 1.0 / tot.n_grams, 6)
+                ELSE 0.0 END AS boiler_frac
+    FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+    """
+    want = {r[0]: (r[1], r[2], r[3]) for r in duck.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == want[d][1], d
+        assert abs(got[d][2] - want[d][2]) < 1e-9, d
+    # the mined set is non-trivial and some docs actually score
+    assert freq.count() > 0
+    assert any(v[1] > 0 for v in got.values())
