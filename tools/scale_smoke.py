@@ -176,6 +176,21 @@ def main():
     ).mode("overwrite").save()
     t["quota_sample"] = round(time.time() - t0, 2)
 
+    # boilerplate mining + coverage at volume: the 100× replication
+    # makes every base gram frequent, so the mined set is large and
+    # the coverage join runs against a heavy broadcast side
+    from fuserank_spark.pipeline_ext.curation import (
+        boilerplate_fraction,
+        frequent_ngrams,
+    )
+
+    t0 = time.time()
+    bfreq = frequent_ngrams(big, n=8, min_doc_count=50)
+    boilerplate_fraction(big, bfreq, key_col="row_id", n=8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t["boilerplate"] = round(time.time() - t0, 2)
+
     test_slice = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
     t0 = time.time()
     n_contam = contaminated_keys(
