@@ -380,22 +380,41 @@ def frequent_ngrams(
     """Corpus-wide boilerplate mining: token ``n``-grams that appear
     in at least ``min_doc_count`` DISTINCT documents (headers,
     footers, license blurbs, navigation chrome). Returns
-    ``(gram, n_docs)`` — feed to :func:`boilerplate_fraction`.
+    ``(gram_hash, n_docs)`` — feed to :func:`boilerplate_fraction`.
 
-    Plan: one narrow projection (tokens → distinct grams per doc),
-    one explode, one hash aggregate on the gram — the decontam
-    shuffle shape; the HAVING filter collapses the output to the
-    (small) frequent set. Per-doc ``array_distinct`` makes the count
-    a document frequency, immune to within-doc repetition."""
+    Grams are carried as ``portable_hash32`` values, not strings —
+    the frequent set must stay broadcastable (a 5M-row limit of raw
+    8-token strings is gigabytes; of 32-bit hashes, tens of MB), and
+    matching on the SAME portable hash on both engines makes the rare
+    collision a defined, parity-preserving part of the semantics
+    (the contaminated_keys precedent). ``n`` travels in the column's
+    schema metadata so the coverage side can reject a mismatched
+    ``n`` without running a job.
+
+    Plan: one narrow projection (tokens → distinct gram hashes per
+    doc), one explode, one hash aggregate — the decontam shuffle
+    shape; the HAVING filter collapses the output to the (small)
+    frequent set. Per-doc ``array_distinct`` makes the count a
+    document frequency, immune to within-doc repetition."""
     g = (
         docs.withColumn("__toks", tokens_expr(F.col(text_col)))
         .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
-        .select(F.explode(F.array_distinct("__grams")).alias("gram"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.col("__grams"), lambda x: portable_hash32(x))
+                )
+            ).alias("gram_hash")
+        )
     )
     return (
-        g.groupBy("gram")
+        g.groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_doc_count)
+        .select(
+            F.col("gram_hash").alias("gram_hash", metadata={"ngram_n": n}),
+            "n_docs",
+        )
     )
 
 
@@ -408,6 +427,7 @@ def boilerplate_fraction(
     n: int = 8,
     broadcast_frequent: bool | str = "auto",
     broadcast_gram_limit: int = 5_000_000,
+    frequent_count: int | None = None,
 ) -> DataFrame:
     """Per-document boilerplate coverage against a mined frequent-gram
     table (:func:`frequent_ngrams`): adds ``n_grams`` (total gram
@@ -416,31 +436,55 @@ def boilerplate_fraction(
     scores ~1.0), and ``boiler_frac``. Filter on ``boiler_frac`` to
     drop chrome-dominated docs before training.
 
-    The corpus side explodes grams without shuffling; the frequent
-    set joins broadcast under ``broadcast_gram_limit`` (same auto
-    policy as contaminated_keys), so the only real shuffles are the
-    per-key match count and the final keyed join."""
-    base = (
-        docs.withColumn("__toks", tokens_expr(F.col(text_col)))
-        .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
-        .drop("__toks")
-    )
-    fset = frequent.select("gram").distinct()
+    ``n`` must match the mining call; if ``frequent`` carries the
+    metadata tag frequent_ngrams writes, a mismatch raises here (a
+    silent mismatch would score every doc 0.0). The corpus side
+    explodes gram hashes without shuffling; the frequent set joins
+    broadcast under ``broadcast_gram_limit`` hashes (auto policy as
+    contaminated_keys). The auto count EXECUTES the mining plan once;
+    pass ``frequent_count`` (or a persisted ``frequent``) to skip
+    that extra pass when you already know the size. ``n_grams`` is
+    derived from the token count alone, so the non-exploded side
+    never materializes a gram array."""
+    if "gram_hash" in frequent.columns:
+        meta = frequent.schema["gram_hash"].metadata
+        if meta.get("ngram_n") is not None and meta["ngram_n"] != n:
+            raise ValueError(
+                f"frequent set was mined with n={meta['ngram_n']} but "
+                f"boilerplate_fraction was called with n={n} — coverage "
+                "would silently be zero"
+            )
+    base = docs.withColumn("__toks", tokens_expr(F.col(text_col)))
+    fset = frequent.select("gram_hash").distinct()
     if broadcast_frequent == "auto":
-        broadcast_frequent = (
-            fset.limit(broadcast_gram_limit + 1).count() <= broadcast_gram_limit
+        cnt = (
+            frequent_count
+            if frequent_count is not None
+            else fset.limit(broadcast_gram_limit + 1).count()
         )
+        broadcast_frequent = cnt <= broadcast_gram_limit
     if broadcast_frequent:
         fset = F.broadcast(fset)
     matched = (
-        base.select(F.col(key_col), F.explode("__grams").alias("gram"))
-        .join(fset, "gram", "left_semi")
+        base.select(
+            F.col(key_col),
+            F.explode(
+                F.transform(
+                    token_ngrams_expr(F.col("__toks"), n),
+                    lambda x: portable_hash32(x),
+                )
+            ).alias("gram_hash"),
+        )
+        .join(fset, "gram_hash", "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
+    n_grams = F.when(
+        F.size("__toks") >= n, (F.size("__toks") - (n - 1)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
     out = (
-        base.withColumn("n_grams", F.size("__grams").cast("bigint"))
-        .drop("__grams")
+        base.withColumn("n_grams", n_grams)
+        .drop("__toks")
         .join(matched, key_col, "left")
         .fillna({"n_boiler": 0})
     )

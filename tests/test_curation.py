@@ -246,10 +246,10 @@ def test_curate_corpus_optional_semantic_stage(spark):
 def test_boilerplate_fraction_matches_duckdb(spark, duck):
     """frequent_ngrams + boilerplate_fraction re-derived end-to-end in
     DuckDB (mining HAVING-filter included) — per-doc counts and the
-    rounded fraction must match row-for-row. Registry is frozen, so
-    the oracle lives here (the semantic_dedup precedent)."""
-    from pyspark.sql import functions as F
-
+    rounded fraction must match row-for-row. Both engines match on
+    the SAME portable gram hash, so any hash collision is a defined,
+    parity-preserving event (the decontam precedent). Registry is
+    frozen, so the oracle lives here (the semantic_dedup precedent)."""
     from fuserank_spark.pipeline_ext.curation import (
         boilerplate_fraction,
         frequent_ngrams,
@@ -269,21 +269,22 @@ def test_boilerplate_fraction_matches_duckdb(spark, duck):
         "ELSE regexp_split_to_array(trim(text), '\\s+') END"
     )
     gram = "concat_ws(' ', " + ", ".join(f"tk[i+{j}]" for j in range(n)) + ")"
-    grams_list = (
+    gh = f"CAST(concat('0x', substring(md5({gram}), 1, 8)) AS BIGINT)"
+    hashes_list = (
         f"CASE WHEN len(tk) >= {n} THEN "
-        f"list_transform(generate_series(1, len(tk)-{n - 1}), i -> {gram}) "
-        "ELSE CAST([] AS VARCHAR[]) END"
+        f"list_transform(generate_series(1, len(tk)-{n - 1}), i -> {gh}) "
+        "ELSE CAST([] AS BIGINT[]) END"
     )
     sql = f"""
     WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
-    dg AS (SELECT doc_id, unnest(list_distinct({grams_list})) AS gram FROM t),
-    freq AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= {k}),
-    allg AS (SELECT doc_id, unnest({grams_list}) AS gram FROM t),
+    dg AS (SELECT doc_id, unnest(list_distinct({hashes_list})) AS gh FROM t),
+    freq AS (SELECT gh FROM dg GROUP BY gh HAVING count(*) >= {k}),
+    allg AS (SELECT doc_id, unnest({hashes_list}) AS gh FROM t),
     tot AS (SELECT doc_id,
                    CASE WHEN len(tk) >= {n} THEN len(tk)-{n - 1} ELSE 0 END AS n_grams
             FROM t),
     m AS (SELECT doc_id, count(*) AS n_boiler
-          FROM allg WHERE gram IN (SELECT gram FROM freq) GROUP BY doc_id)
+          FROM allg WHERE gh IN (SELECT gh FROM freq) GROUP BY doc_id)
     SELECT tot.doc_id, tot.n_grams, coalesce(m.n_boiler, 0) AS n_boiler,
            CASE WHEN tot.n_grams > 0
                 THEN round(coalesce(m.n_boiler, 0) * 1.0 / tot.n_grams, 6)
@@ -299,3 +300,17 @@ def test_boilerplate_fraction_matches_duckdb(spark, duck):
     # the mined set is non-trivial and some docs actually score
     assert freq.count() > 0
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_boilerplate_fraction_rejects_mismatched_n(spark):
+    from fuserank_spark.pipeline_ext.curation import (
+        boilerplate_fraction,
+        frequent_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    freq = frequent_ngrams(docs, n=8, min_doc_count=1)
+    with pytest.raises(ValueError, match="mined with n=8.*n=5"):
+        boilerplate_fraction(docs, freq, n=5)

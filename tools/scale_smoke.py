@@ -185,11 +185,14 @@ def main():
     )
 
     t0 = time.time()
-    bfreq = frequent_ngrams(big, n=8, min_doc_count=50)
-    boilerplate_fraction(big, bfreq, key_col="row_id", n=8).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    bfreq = frequent_ngrams(big, n=8, min_doc_count=50).persist()
+    n_freq = bfreq.count()  # one mining pass; count doubles as the broadcast hint
+    boilerplate_fraction(
+        big, bfreq, key_col="row_id", n=8, frequent_count=n_freq
+    ).write.format("noop").mode("overwrite").save()
+    bfreq.unpersist()
     t["boilerplate"] = round(time.time() - t0, 2)
+    t["n_frequent_grams"] = n_freq
 
     test_slice = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
     t0 = time.time()
