@@ -576,3 +576,89 @@ def semantic_dedup(
         .select(F.col("id_b").alias(key_col))
     )
     return df.join(victims, key_col, "left_anti")
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    normalize: bool = True,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Cross-document line-level exact dedup (the C4 / RefinedWeb
+    corpus step: repeated lines — navigation chrome, cookie banners,
+    license blurbs — are removed everywhere except their FIRST
+    occurrence; reference has no analog, extension per build brief).
+
+    A line occurrence survives iff it is the globally first
+    occurrence of its normalized form, ordered by ``(key, position)``
+    (``key_col`` must be orderable — ties are impossible because
+    (key, pos) is unique per occurrence). Lines whose normalized form
+    is shorter than ``min_line_chars`` are structure, not content
+    (blank separators), and always survive. Documents are rebuilt by
+    joining the surviving lines in original order; the emitted frame
+    carries ``n_lines`` / ``n_kept`` counters, NULL text passes
+    through as NULL with zero counters.
+
+    Scale shape: one posexplode projection (narrow), one
+    combine-friendly groupBy on the 32-bit line hash (uniform by
+    construction; partial aggregation absorbs hot lines map-side),
+    one equi-join of the exploded lines against the 1-row-per-hash
+    winner table (a mass-duplicated line skews this join's left side
+    — AQE skew-join splits it), and one per-document groupBy whose
+    collect_list is bounded by document size. No O(n²) stage.
+
+    Matching is on ``portable_hash32`` of the normalized line on BOTH
+    engines of a differential check, so a hash collision is a
+    defined, parity-preserving event (the decontam / boilerplate
+    precedent; tests/test_line_dedup.py holds the DuckDB
+    re-derivation — the driver registry is frozen)."""
+    key, txt = F.col(key_col), F.col(text_col)
+    # \Q..\E quotes the delimiter for Java regex (split takes a regex)
+    lines = F.split(txt, "\\Q" + delim + "\\E")
+    base = df.withColumn("__n_lines", F.when(txt.isNull(), F.lit(0)).otherwise(F.size(lines)))
+    ex = base.select(key.alias("__k"), F.posexplode(lines).alias("__pos", "__line"))
+    norm = F.col("__line")
+    if normalize:
+        norm = F.regexp_replace(F.lower(F.trim(norm)), r"\s+", " ")
+    ex = ex.withColumn("__norm_len", F.length(norm)).withColumn(
+        "__lh", portable_hash32(norm)
+    )
+    eligible = ex.filter(F.col("__norm_len") >= min_line_chars)
+    winners = eligible.groupBy("__lh").agg(
+        F.min(F.struct("__k", "__pos")).alias("__win")
+    )
+    kept_eligible = (
+        eligible.join(winners, "__lh")
+        .filter((F.col("__k") == F.col("__win.__k")) & (F.col("__pos") == F.col("__win.__pos")))
+        .select("__k", "__pos", "__line")
+    )
+    kept = kept_eligible.unionByName(
+        ex.filter(F.col("__norm_len") < min_line_chars).select("__k", "__pos", "__line")
+    )
+    rebuilt = kept.groupBy("__k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            delim,
+        ).alias("__kept_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    out = (
+        base.join(rebuilt, base[key_col] == rebuilt["__k"], "left")
+        .drop("__k")
+        .withColumn(
+            text_col,
+            F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("__kept_text"), F.lit(""))
+            ),
+        )
+        .withColumn("n_lines", F.col("__n_lines").cast("bigint"))
+        .withColumn("n_kept", F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint"))
+        .drop("__kept_text", "__n_kept", "__n_lines")
+    )
+    return out
