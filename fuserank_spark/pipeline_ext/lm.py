@@ -210,3 +210,194 @@ def ngram_lm_perplexity(
         .drop("__lp_scaled", "__n_scored")
     )
     return out
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+@dataclass(frozen=True)
+class DsirModel:
+    """Trained DSIR importance model: per-bucket quantized
+    log-probability ratios between the target and raw feature
+    distributions, plus the constant ratio for buckets unseen in
+    BOTH corpora (pure smoothing mass).
+
+    ``logratios`` has at most ``n_buckets`` rows (bucket, lr_scaled)
+    — always broadcastable; ``lr_scaled`` is the 1e9-scaled integer
+    log ratio (fold-order-independent sums, see module docstring)."""
+
+    logratios: DataFrame
+    default_lr_scaled: int
+    ns: tuple[int, ...]
+    n_buckets: int
+
+
+def _feature_buckets(toks: Column, ns: tuple[int, ...], n_buckets: int) -> Column:
+    """Hashed n-gram feature buckets (DSIR §2: unigrams+bigrams
+    hashed into 10k buckets): every gram order in ``ns``, each gram
+    string portable-hashed mod ``n_buckets``."""
+    from .curation import token_ngrams_expr
+
+    parts = [
+        F.transform(
+            token_ngrams_expr(toks, n), lambda g: portable_hash32(g) % n_buckets
+        )
+        for n in ns
+    ]
+    return F.flatten(F.array(*parts))
+
+
+def dsir_train(
+    target: DataFrame,
+    raw: DataFrame,
+    *,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2),
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DsirModel:
+    """Train DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): estimate hashed
+    n-gram bag-of-words distributions over the TARGET corpus (what
+    you want more of) and the RAW corpus (what you are selecting
+    from), add-alpha smoothed; the model is the per-bucket
+    log-probability ratio.
+
+    Two explode + hash-aggregate scans (one per corpus) whose output
+    is at most ``n_buckets`` rows each, one tiny outer join, two
+    1-row total collects — training cost is the two corpus scans, and
+    the resulting model always broadcasts."""
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty gram orders >= 1, got {ns}")
+    if len(set(ns)) != len(ns):
+        raise ValueError(f"ns must be distinct, got {ns}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def counts(df: DataFrame) -> DataFrame:
+        toks = df.select(lc_tokens_expr(F.col(text_col)).alias("__toks"))
+        return (
+            toks.select(
+                F.explode(_feature_buckets(F.col("__toks"), ns, n_buckets)).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    tc, rc = counts(target), counts(raw)
+    t_total = int(tc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0])
+    r_total = int(rc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0])
+    if t_total == 0 or r_total == 0:
+        raise ValueError(
+            f"DSIR needs non-empty feature sets (target={t_total}, raw={r_total})"
+        )
+    denom_t = float(t_total) + alpha * n_buckets
+    denom_r = float(r_total) + alpha * n_buckets
+
+    def _lnq(cnt: Column, denom: float) -> Column:
+        """floor(ln((cnt+α)/denom)·1e9 + 0.5) as BIGINT."""
+        p = (cnt.cast("double") + F.lit(float(alpha))) / F.lit(denom)
+        return F.floor(F.log(p) * 1e9 + F.lit(0.5)).cast("bigint")
+
+    lr = (
+        tc.withColumnRenamed("c", "tc")
+        .join(rc.withColumnRenamed("c", "rc"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                _lnq(F.coalesce(F.col("tc"), F.lit(0)), denom_t)
+                - _lnq(F.coalesce(F.col("rc"), F.lit(0)), denom_r)
+            ).alias("lr_scaled"),
+        )
+    )
+    import math as _m
+
+    default = int(
+        _m.floor(_m.log(alpha / denom_t) * 1e9 + 0.5)
+        - _m.floor(_m.log(alpha / denom_r) * 1e9 + 0.5)
+    )
+    return DsirModel(
+        logratios=lr, default_lr_scaled=default, ns=tuple(ns), n_buckets=n_buckets
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    model: DsirModel,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents by DSIR log importance weight: the sum over
+    the document's hashed n-gram feature occurrences of
+    ln p_target(bucket) − ln p_raw(bucket). Adds ``n_feats`` and
+    ``log_weight`` (nats, rounded to 6; NULL when the document has no
+    features). High weight = looks like the target corpus.
+
+    The corpus side explodes feature buckets without shuffling, the
+    (≤ n_buckets)-row model joins broadcast, the per-document
+    aggregate is an exact integer sum — one scan, one combine-
+    friendly shuffle on the document key."""
+    base = docs.withColumn("__toks", lc_tokens_expr(F.col(text_col)))
+    ex = base.select(
+        F.col(key_col).alias("__k"),
+        F.explode(_feature_buckets(F.col("__toks"), model.ns, model.n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        ex.join(F.broadcast(model.logratios), "bucket", "left")
+        .groupBy("__k")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("lr_scaled"), F.lit(model.default_lr_scaled))
+            ).alias("__lw_scaled"),
+            F.count(F.lit(1)).alias("__n_feats"),
+        )
+    )
+    return (
+        docs.join(scored, docs[key_col] == scored["__k"], "left")
+        .drop("__k")
+        .withColumn("n_feats", F.coalesce(F.col("__n_feats"), F.lit(0)).cast("bigint"))
+        .withColumn("log_weight", F.round(F.col("__lw_scaled").cast("double") / 1e9, 6))
+        .drop("__lw_scaled", "__n_feats")
+    )
+
+
+def dsir_sample(
+    scored: DataFrame,
+    n: int,
+    *,
+    key_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Select ``n`` documents by Gumbel-top-k resampling — sampling
+    WITHOUT replacement with probability proportional to
+    exp(weight), the DSIR selection rule — made deterministic and
+    engine-portable: the Gumbel noise is derived from a salted
+    portable hash of the key ((h+0.5)/2^32 is an exact open-interval
+    uniform, so −ln(−ln(u)) never hits ±inf) and quantized to 9
+    decimals before the sort. Re-running with the same salt returns
+    the same sample on any engine; changing the salt redraws.
+
+    Global top-n = TakeOrderedAndProject — no full sort, scales to
+    any corpus (driver holds n rows). NULL weights (featureless docs)
+    sort last; ties break on the key."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (
+        portable_hash32(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gumbel = F.floor(-F.log(-F.log(u)) * 1e9 + F.lit(0.5)) / F.lit(1e9)
+    key = (F.col(weight_col) + gumbel).alias("__gumbel_key")
+    return (
+        scored.withColumn("__gumbel_key", key)
+        .orderBy(F.desc_nulls_last("__gumbel_key"), F.col(key_col))
+        .limit(n)
+        .drop("__gumbel_key")
+    )
