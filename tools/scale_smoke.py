@@ -194,6 +194,59 @@ def main():
     t["boilerplate"] = round(time.time() - t0, 2)
     t["n_frequent_grams"] = n_freq
 
+    # line-level dedup at volume: re-chunk each doc into ~6-token lines
+    # (the corpus has none), so the 100× replication makes every base
+    # line a mass duplicate — ~8M exploded lines through the hash
+    # groupBy + winner join + per-doc rebuild
+    from fuserank_spark.pipeline_ext.dedup import dedup_lines
+
+    lined = big.select(
+        "row_id",
+        F.regexp_replace("text", r"((?:\w+ ){5}\w+) ", "$1\n").alias("text"),
+    )
+    t0 = time.time()
+    dedup_lines(lined, key_col="row_id").select("row_id", "n_lines", "n_kept").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t["dedup_lines"] = round(time.time() - t0, 2)
+
+    # n-gram LM perplexity at volume: train bigram counts over the full
+    # replicated corpus (model stays tiny — the vocab is synthetic), then
+    # score all 500k docs through the broadcast-model join
+    from fuserank_spark.pipeline_ext.lm import (
+        dsir_sample,
+        dsir_train,
+        dsir_weights,
+        ngram_lm_perplexity,
+        ngram_lm_train,
+    )
+
+    t0 = time.time()
+    lm = ngram_lm_train(big, n=2)
+    n_model = lm.ngrams.count()
+    t["lm_train"] = round(time.time() - t0, 2)
+    t["n_lm_ngrams"] = n_model
+    t0 = time.time()
+    ngram_lm_perplexity(
+        big, lm, key_col="row_id", model_rows=n_model
+    ).select("row_id", "perplexity").write.format("noop").mode("overwrite").save()
+    t["lm_perplexity"] = round(time.time() - t0, 2)
+
+    # DSIR at volume: 1%-slice target distribution vs the full raw
+    # corpus, 10k hashed buckets, weights for all 500k docs + a
+    # deterministic Gumbel top-10k draw
+    t0 = time.time()
+    dmodel = dsir_train(
+        big.filter(F.col("row_id") % 100 == 0), big, ns=(1, 2), n_buckets=10_000
+    )
+    t["dsir_train"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    w = dsir_weights(big, dmodel, key_col="row_id")
+    dsir_sample(w, 10_000, key_col="row_id").select("row_id").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t["dsir_weights_sample"] = round(time.time() - t0, 2)
+
     test_slice = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
     t0 = time.time()
     n_contam = contaminated_keys(
