@@ -48,7 +48,7 @@ from pyspark.sql.window import Window
 
 from .hashing import portable_hash32
 
-__all__ = ["pack_split", "pack_greedy"]
+__all__ = ["pack_split", "pack_greedy", "chunk_documents"]
 
 _H32_SPAN = 1 << 32
 
@@ -221,3 +221,84 @@ def pack_greedy(
         return out
 
     return t.groupBy("__b").applyInPandas(pack, schema_out)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    token windows of at most ``max_tokens`` with ``overlap`` tokens of
+    context carried between consecutive windows — the standard
+    pre-embedding step when documents exceed the encoder's input
+    budget (and the retrieval-granularity knob for RAG corpora). The
+    reference embeds whole rows (src/encode.py batches full texts);
+    chunking is extension surface for long-document corpora.
+
+    One output row per (document, window): ``chunk_idx`` (0-based),
+    ``text`` replaced by the window's whitespace-normalized token
+    span, and ``chunk_tokens``; all other columns pass through.
+    Windows start every ``max_tokens − overlap`` tokens; the last
+    window always contains at least one token the previous one did
+    not (no fully-contained tail). Tokens are whitespace tokens,
+    case-preserving; reconstruction joins with single spaces, so
+    original whitespace runs are normalized. NULL/blank documents
+    produce ZERO rows — keep them upstream if you need them.
+
+    Pure expressions: token array materialized once per row (the
+    CSE-across-HOF trap), window math in integer ``div`` (portable —
+    both engines), one explode. Zero shuffles, zero joins — the op
+    distributes with the scan; per-task memory is one document's
+    windows (~n_tokens·(1 + overlap/stride) tokens)."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} for max_tokens={max_tokens}"
+        )
+    from .textstats import tokens_expr
+
+    stride = max_tokens - overlap
+    base = df.withColumn("__toks", tokens_expr(F.col(text_col))).withColumn(
+        "__nt", F.size("__toks").cast("bigint")
+    )
+    n_chunks = (
+        F.when(F.col("__nt") <= 0, F.lit(0).cast("bigint"))
+        .when(F.col("__nt") <= max_tokens, F.lit(1).cast("bigint"))
+        .otherwise(
+            F.expr(f"(__nt - {max_tokens} + {stride - 1}) div {stride}") + F.lit(1)
+        )
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), F.col("__nc") - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("__toks"), (i * stride + 1).cast("int"), max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(max_tokens).cast("bigint"), F.col("__nt") - i * stride).alias(
+                "chunk_tokens"
+            ),
+        ),
+    )
+    # sequence(0, -1) counts DOWN (the repo-wide guard): empty docs
+    # must short-circuit to an empty window array before the explode
+    empty = F.array().cast(
+        "array<struct<chunk_idx:bigint,chunk_text:string,chunk_tokens:bigint>>"
+    )
+    passthrough = [c for c in df.columns if c != text_col]
+    return (
+        base.withColumn("__nc", n_chunks)
+        .withColumn("__w", F.when(F.col("__nc") >= 1, windows).otherwise(empty))
+        .select(*passthrough, F.explode("__w").alias("__c"))
+        .select(
+            *passthrough,
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.col("__c.chunk_text").alias(text_col),
+            F.col("__c.chunk_tokens").alias("chunk_tokens"),
+        )
+    )
