@@ -1,0 +1,142 @@
+"""Web-provenance operators for crawl-derived corpora: URL parsing,
+canonicalization, and the host/domain keys that URL-level dedup and
+per-domain quotas hang off (RefinedWeb/C4-style pipelines dedupe and
+cap by normalized URL and registered domain before any content pass).
+
+Everything is pure Column expressions in the Java-regex ∩ RE2 subset
+(the pii_scrub precedent) — no backreferences or lookarounds — so a
+DuckDB twin evaluates the identical patterns; no UDFs, zero shuffles:
+the ops distribute with the scan. Reference analog: none (the
+reference has no provenance handling); extension per the build brief.
+The driver registry is frozen, so the oracle evidence is a full
+DuckDB re-derivation in tests/test_web.py.
+
+Compositions this module is designed for:
+
+- URL-level exact dedup: ``exact_dup_groups(normalize_urls(df),
+  text_col="url_norm")``;
+- per-domain caps: ``quota_sample(parse_urls(df),
+  group_col="domain", ...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that are tracking noise, not content identity —
+# dropped by normalize_urls (prefix match for utm_*)
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "igshid")
+
+# two-letter-TLD second-level registries where the registered domain
+# is three labels (example.co.uk). A pragmatic subset of the Public
+# Suffix List — documented approximation, NOT the full PSL.
+COMMON_SLDS = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def _authority(url: Column) -> Column:
+    return F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1)
+
+
+def parse_urls(df: DataFrame, *, url_col: str = "url") -> DataFrame:
+    """Decompose a URL column into ``scheme``, ``host`` (lowercased,
+    userinfo/port/trailing-dot stripped), ``port`` (NULL when
+    absent), ``path`` (`''` when absent), ``query`` (`''` when
+    absent), and ``domain`` — the registered domain: the last two
+    host labels, or three when the second-to-last label is a common
+    second-level registry under a two-letter TLD (co.uk-style; see
+    ``COMMON_SLDS`` — a documented PSL approximation).
+
+    URLs without a ``scheme://`` prefix parse to empty parts (they
+    fail the authority anchor) — filter on ``scheme != ''`` for
+    well-formed rows. All parts are '' (not NULL) on no-match, the
+    regexp_extract convention on both engines."""
+    url = F.col(url_col)
+    auth = _authority(url)
+    # strip userinfo (everything through the last '@'), then port
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    host = F.lower(F.regexp_replace(hostport, r":[0-9]*$", ""))
+    host = F.regexp_replace(host, r"\.$", "")
+    port_s = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & second.isin(*COMMON_SLDS)
+    )
+    domain = (
+        F.when(n <= 2, host)
+        .when(take3, F.array_join(F.slice(labels, n - 2, 3), "."))
+        .otherwise(F.array_join(F.slice(labels, n - 1, 2), "."))
+    )
+    return df.withColumns(
+        {
+            "scheme": F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+            "host": host,
+            "port": F.when(port_s != "", port_s.cast("int")),
+            "path": F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1),
+            "query": F.regexp_extract(url, r"\?([^#]*)", 1),
+            "domain": domain,
+        }
+    )
+
+
+def normalize_urls(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    out_col: str = "url_norm",
+) -> DataFrame:
+    """Canonicalize URLs for identity comparison (the key URL-level
+    dedup groups on): lowercase scheme and host, strip userinfo,
+    default ports (http:80 / https:443), trailing host dot and the
+    fragment; drop tracking query parameters (``utm_*`` and the
+    ``TRACKING_PARAMS`` set); byte-sort the surviving parameters;
+    empty path becomes '/'. Non-URL rows (no scheme) normalize to ''.
+
+    Everything is one projection — ``exact_dup_groups(...,
+    text_col=out_col, normalize=False)`` on the output is URL dedup
+    with one content-hash shuffle."""
+    # built from raw expressions rather than parse_urls so the caller's
+    # columns are never shadowed by the parsed-part names
+    url = F.col(url_col)
+    auth = _authority(url)
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    host = F.regexp_replace(F.lower(F.regexp_replace(hostport, r":[0-9]*$", "")), r"\.$", "")
+    port_s = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    keep = lambda p: ~(  # noqa: E731
+        F.lit(False)
+        | p.rlike(r"^(" + "|".join(TRACKING_PARAM_PREFIXES) + r")")
+        | p.rlike(r"^(" + "|".join(TRACKING_PARAMS) + r")=")
+        | p.rlike(r"^(" + "|".join(TRACKING_PARAMS) + r")$")
+    )
+    params = F.array_sort(
+        F.filter(
+            F.when(query == "", F.array().cast("array<string>")).otherwise(
+                F.split(query, "&")
+            ),
+            keep,
+        )
+    )
+    qnorm = F.array_join(params, "&")
+    default_port = (
+        ((scheme == "http") & (port_s == "80"))
+        | ((scheme == "https") & (port_s == "443"))
+    )
+    portpart = F.when(
+        (port_s != "") & ~default_port, F.concat(F.lit(":"), port_s)
+    ).otherwise(F.lit(""))
+    pathpart = F.when(path == "", F.lit("/")).otherwise(path)
+    norm = F.concat(
+        scheme, F.lit("://"), host, portpart, pathpart,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, F.when(scheme == "", F.lit("")).otherwise(norm))

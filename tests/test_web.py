@@ -1,0 +1,192 @@
+"""URL parsing / canonicalization (web.parse_urls / normalize_urls).
+
+Not in the frozen 67-entry driver registry, so the oracle evidence
+lives HERE: a full DuckDB re-derivation with the identical
+Java-regex ∩ RE2 patterns, compared row-for-row over a mixed
+hand-tricky + generated URL table fed to both engines from the same
+pandas frame.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark.pipeline_ext.web import normalize_urls, parse_urls
+
+TRICKY = [
+    "HTTP://User:pw@Example.COM:80/a/b?utm_source=x&b=2&a=1#frag",
+    "https://sub.example.co.uk",
+    "https://example.com:8443/x?ref=aa&fbclid=1",
+    "not a url",
+    "",
+    None,
+    "ftp://files.example.net:21/pub/",
+    "https://example.org./",
+    "https://www.example.com/search?q=a+b&utm_medium=email&gclid=z",
+    "http://example.com?x=1#only-fragment",
+    "https://a.b.c.d.example.ac.jp/path/?z=9&y=8",
+    "http://localhost:8080/dev",
+    "https://example.com//double//slash?",
+]
+
+
+@pytest.fixture(scope="module")
+def urls(spark, duck):
+    rows = [(i, u) for i, u in enumerate(TRICKY)]
+    base = len(TRICKY)
+    for i in range(300):
+        tail = ".co.uk" if i % 7 == 0 else ".com"
+        u = (
+            f"https://site{i % 50}.example{tail}/p/{i}"
+            f"?id={i}&utm_campaign=c{i}&b={i % 3}&a={i % 5}"
+        )
+        if i % 11 == 0:
+            u = u.upper()
+        rows.append((base + i, u))
+    pdf = pd.DataFrame(rows, columns=["id", "url"])
+    duck.register("urls", pdf)
+    sdf = spark.createDataFrame(pdf).select("id", F.col("url").cast("string").alias("url"))
+    sdf.cache().count()
+    yield sdf
+    duck.unregister("urls")
+
+
+_PARSE_ORACLE = r"""
+WITH p AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                   '^.*@', '', 'g') AS hostport,
+    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM urls WHERE url IS NOT NULL),
+h AS (
+  SELECT *, regexp_replace(lower(regexp_replace(hostport, ':[0-9]*$', '', 'g')),
+                           '\.$', '', 'g') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s
+  FROM p),
+d AS (
+  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM h)
+SELECT id, scheme, host,
+       CASE WHEN port_s <> '' THEN CAST(port_s AS INT) END AS port,
+       path, query,
+       CASE WHEN n <= 2 THEN host
+            WHEN n >= 3 AND length(ls[n]) = 2
+                 AND ls[n-1] IN ('co','com','net','org','gov','ac','edu')
+            THEN array_to_string(ls[n-2:n], '.')
+            ELSE array_to_string(ls[n-1:n], '.') END AS domain
+FROM d ORDER BY id
+"""
+
+_TRACK = "fbclid|gclid|msclkid|ref|igshid"
+_NORM_ORACLE = rf"""
+WITH p AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                   '^.*@', '', 'g') AS hostport,
+    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM urls WHERE url IS NOT NULL),
+h AS (
+  SELECT *, regexp_replace(lower(regexp_replace(hostport, ':[0-9]*$', '', 'g')),
+                           '\.$', '', 'g') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s
+  FROM p),
+q AS (
+  SELECT *, array_to_string(list_sort(list_filter(
+      CASE WHEN query = '' THEN CAST([] AS VARCHAR[])
+           ELSE string_split(query, '&') END,
+      x -> NOT (regexp_matches(x, '^(utm_)')
+                OR regexp_matches(x, '^({_TRACK})=')
+                OR regexp_matches(x, '^({_TRACK})$')))), '&') AS qnorm
+  FROM h)
+SELECT id,
+  CASE WHEN scheme = '' THEN ''
+       ELSE scheme || '://' || host
+            || CASE WHEN port_s <> '' AND NOT ((scheme='http' AND port_s='80')
+                                            OR (scheme='https' AND port_s='443'))
+                    THEN ':' || port_s ELSE '' END
+            || CASE WHEN path = '' THEN '/' ELSE path END
+            || CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END
+  END AS url_norm
+FROM q ORDER BY id
+"""
+
+
+def test_parse_urls_matches_duckdb_rederivation(urls, duck):
+    got = {
+        r["id"]: (r["scheme"], r["host"], r["port"], r["path"], r["query"], r["domain"])
+        for r in parse_urls(urls)
+        .filter(F.col("url").isNotNull())
+        .select("id", "scheme", "host", "port", "path", "query", "domain")
+        .collect()
+    }
+    want = {r[0]: tuple(r[1:]) for r in duck.execute(_PARSE_ORACLE).fetchall()}
+    assert got == want
+
+
+def test_normalize_urls_matches_duckdb_rederivation(urls, duck):
+    got = {
+        r["id"]: r["url_norm"]
+        for r in normalize_urls(urls)
+        .filter(F.col("url").isNotNull())
+        .select("id", "url_norm")
+        .collect()
+    }
+    want = {r[0]: r[1] for r in duck.execute(_NORM_ORACLE).fetchall()}
+    assert got == want
+
+
+def test_normalization_hand_expected(spark):
+    """Normative cases: case folding, userinfo/default-port/fragment
+    strip, tracking-param drop, param byte-sort, empty path → '/',
+    co.uk registered domains, trailing-dot hosts."""
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(TRICKY) if u is not None],
+        "id long, url string",
+    )
+    norm = {r["id"]: r["url_norm"] for r in normalize_urls(df).collect()}
+    parsed = {r["id"]: r for r in parse_urls(df).collect()}
+    assert norm[0] == "http://example.com/a/b?a=1&b=2"
+    assert norm[1] == "https://sub.example.co.uk/"
+    assert parsed[1]["domain"] == "example.co.uk"
+    assert norm[2] == "https://example.com:8443/x"
+    assert norm[3] == "" and parsed[3]["scheme"] == ""
+    assert norm[6] == "ftp://files.example.net:21/pub/"
+    assert norm[7] == "https://example.org/"
+    assert norm[8] == "https://www.example.com/search?q=a+b"
+    assert parsed[8]["domain"] == "example.com"
+    assert norm[9] == "http://example.com/?x=1"
+    assert parsed[10]["domain"] == "example.ac.jp"
+    assert norm[11] == "http://localhost:8080/dev"
+    assert parsed[11]["domain"] == "localhost"
+
+
+def test_url_dedup_composition(spark):
+    """The intended composition: tracking-param and case variants of
+    one URL collapse to a single exact-dup group on url_norm."""
+    from fuserank_spark.pipeline_ext.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.com/a?utm_source=x&b=1"),
+            (2, "https://example.com:443/a?b=1"),
+            (3, "https://example.com/a?b=1#top"),
+            (4, "https://example.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = exact_dup_groups(
+        normalize_urls(df), text_col="url_norm", key_col="doc_id", normalize=False
+    ).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 1
+
+
+def test_web_plans_are_shuffle_free(urls):
+    for out in (parse_urls(urls), normalize_urls(urls)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
