@@ -506,24 +506,48 @@ def curate_corpus(
     semantic_vec_col: str = "embedding",
     semantic_threshold: float = 0.95,
     semantic_assign: str = "expr",
+    line_dedup: bool = False,
+    perplexity_lm=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
-    """End-to-end curation: quality-score filter → exact dedup
-    (keep min key per normalized content hash) → [optional semantic
-    dedup] → deterministic split assignment. Composition of the
-    individual operators — one narrow quality projection, one
-    hash-shuffle for dedup, one projection for the split.
+    """End-to-end curation: [optional line dedup] → quality-score
+    filter → [optional LM perplexity filter] → exact dedup (keep min
+    key per normalized content hash) → [optional semantic dedup] →
+    deterministic split assignment. Composition of the individual
+    operators — one narrow quality projection, one hash-shuffle for
+    dedup, one projection for the split, plus one bounded stage per
+    enabled option.
 
-    Pass ``semantic_centroids`` (a frozen k-means centroid matrix;
-    ``df`` must carry ``semantic_vec_col``) to insert a SemDeDup
-    stage between exact dedup and the split: exact dedup removes
-    byte-near-identical docs cheaply first, the semantic pass then
-    catches paraphrase-level duplicates the content hash cannot —
-    the standard ordering at corpus scale (hash pass shrinks the
-    input the cluster-bucketed pass has to shuffle). The default
-    (None) is the r4 three-stage pipeline the q_curate oracle pins."""
+    ``line_dedup=True`` runs :func:`dedup.dedup_lines` FIRST (the C4
+    ordering — strip cross-document boilerplate lines before any
+    content-based scoring sees them). Pass ``perplexity_lm`` (a
+    trained :class:`lm.NgramLM`) + ``max_perplexity`` to keep only
+    the fluent head after the cheap quality filter (CCNet ordering;
+    documents too short to score — fewer than n tokens — are
+    dropped). Pass ``semantic_centroids`` (a frozen k-means centroid
+    matrix; ``df`` must carry ``semantic_vec_col``) to insert a
+    SemDeDup stage between exact dedup and the split: exact dedup
+    removes byte-near-identical docs cheaply first, the semantic pass
+    then catches paraphrase-level duplicates the content hash cannot
+    — the standard ordering at corpus scale (hash pass shrinks the
+    input the cluster-bucketed pass has to shuffle). The defaults
+    (all off) are the r4 three-stage pipeline the q_curate oracle
+    pins."""
     from .textstats import quality_features
 
+    if (perplexity_lm is None) != (max_perplexity is None):
+        raise ValueError("perplexity_lm and max_perplexity must be passed together")
+    if line_dedup:
+        from .dedup import dedup_lines
+
+        df = dedup_lines(df, key_col=key_col, text_col=text_col)
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
+    if perplexity_lm is not None:
+        from .lm import ngram_lm_perplexity
+
+        q = ngram_lm_perplexity(
+            q, perplexity_lm, key_col=key_col, text_col=text_col
+        ).filter(F.col("perplexity") <= max_perplexity)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     hashed = q.withColumn("__ch", F.md5(norm))
     w = Window.partitionBy("__ch").orderBy(F.col(key_col).asc())

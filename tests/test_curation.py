@@ -243,6 +243,59 @@ def test_curate_corpus_optional_semantic_stage(spark):
     assert sem == [1, 3]  # paraphrase collapsed to the lowest id
 
 
+def test_curate_corpus_optional_line_dedup_and_perplexity_stages(spark):
+    """line_dedup=True strips cross-document boilerplate lines BEFORE
+    scoring (the C4 ordering — here the repeated banner makes two docs
+    exact dups once stripped), and perplexity_lm + max_perplexity
+    drops the gibberish doc the heuristic quality score cannot
+    separate; the individually-oracle-checked stages compose."""
+    from fuserank_spark.pipeline_ext.lm import ngram_lm_train
+
+    banner = "subscribe to our newsletter for daily updates and offers"
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, banner + "\n" + fluent),
+        (2, banner + "\n" + fluent),  # exact dup once the banner goes
+        (3, banner + "\n" + "a completely different sentence about spark and parquet files"),
+        (4, "zxq wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu tt"),  # gibberish
+    ]
+    d = _docs(spark, rows)
+    lm = ngram_lm_train(
+        _docs(
+            spark,
+            [(i + 100, fluent) for i in range(5)]
+            + [
+                (200 + i, "a completely different sentence about spark and parquet files")
+                for i in range(5)
+            ],
+        ),
+        n=2,
+    )
+
+    # line dedup first: doc 2 is ALL boilerplate (both its lines first
+    # occur in doc 1) so it collapses to empty text — and the quality
+    # stage then drops it (empty docs score 0.5); docs 1/3 keep their
+    # novel lines
+    out = curate_corpus(d, min_quality=0.6, line_dedup=True)
+    rows_out = out.collect()
+    ids = sorted(r["doc_id"] for r in rows_out)
+    assert 2 not in ids and 1 in ids and 3 in ids
+    texts = {r["doc_id"]: r["text"] for r in rows_out}
+    assert banner in texts[1] and banner not in texts[3]
+
+    # perplexity stage: the gibberish doc is dropped, fluent docs stay
+    out2 = curate_corpus(
+        d, min_quality=0.6, line_dedup=True, perplexity_lm=lm, max_perplexity=10.0
+    )
+    ids2 = sorted(r["doc_id"] for r in out2.collect())
+    assert 4 not in ids2 and 1 in ids2 and 3 in ids2
+
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(d, perplexity_lm=lm)
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(d, max_perplexity=10.0)
+
+
 def test_boilerplate_fraction_matches_duckdb(spark, duck):
     """frequent_ngrams + boilerplate_fraction re-derived end-to-end in
     DuckDB (mining HAVING-filter included) — per-doc counts and the
