@@ -620,3 +620,40 @@ def mixture_sample(
         copies >= 1, F.sequence(F.lit(0).cast("long"), copies - 1)
     ).otherwise(F.array().cast("array<long>"))
     return df.withColumn("copy_idx", F.explode(seq))
+
+
+def temperature_rates(
+    sizes: dict[str, int | float],
+    *,
+    alpha: float = 0.3,
+    target_total: float | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual-LM sampling
+    rule, Conneau & Lample 2019 §3.1: sample source i with probability
+    ∝ size_i^alpha) expressed as the per-source epoch rates
+    :func:`mixture_sample` consumes.
+
+    ``alpha`` in (0, 1] flattens the source distribution — alpha=1
+    keeps natural proportions (every rate equals target_total/total),
+    alpha→0 approaches uniform over sources (heavy upsampling of small
+    sources). ``target_total`` is the desired output row count
+    (defaults to the input total, i.e. pure re-balancing). Driver-side
+    closed-form math over the ≤|sources| size dict — compose as
+    ``mixture_sample(df, temperature_rates(sizes))``. Expected output
+    per source is target_total · size_i^alpha / Σ size_j^alpha."""
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(s <= 0 for s in sizes.values()):
+        raise ValueError(f"all source sizes must be > 0, got {sizes}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    total = float(sum(sizes.values()))
+    if target_total is None:
+        target_total = total
+    if target_total <= 0:
+        raise ValueError(f"target_total must be > 0, got {target_total}")
+    z = sum(float(s) ** alpha for s in sizes.values())
+    return {
+        src: (float(s) ** alpha / z) * float(target_total) / float(s)
+        for src, s in sizes.items()
+    }

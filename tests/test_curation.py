@@ -367,3 +367,39 @@ def test_boilerplate_fraction_rejects_mismatched_n(spark):
     freq = frequent_ngrams(docs, n=8, min_doc_count=1)
     with pytest.raises(ValueError, match="mined with n=8.*n=5"):
         boilerplate_fraction(docs, freq, n=5)
+
+
+def test_temperature_rates_properties(spark):
+    """Conneau & Lample α-sampling as mixture_sample rates: expected
+    totals hit target exactly, alpha=1 preserves natural proportions,
+    alpha<1 boosts small sources; the composition's realized counts
+    land near the expectation (hash-gate sampling, 2k keys/source)."""
+    from fuserank_spark.pipeline_ext.curation import mixture_sample, temperature_rates
+
+    sizes = {"big": 8000, "mid": 900, "small": 100}
+    r = temperature_rates(sizes, alpha=0.5)
+    # expected output total == input total (default target)
+    assert sum(r[s] * n for s, n in sizes.items()) == pytest.approx(sum(sizes.values()))
+    assert r["small"] > r["mid"] > r["big"]  # flattening boosts the tail
+    r1 = temperature_rates(sizes, alpha=1.0, target_total=4500.0)
+    assert r1["big"] == pytest.approx(0.5) and r1["small"] == pytest.approx(0.5)
+
+    d = spark.range(9000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 8000, "big")
+        .when(F.col("id") < 8900, "mid")
+        .otherwise("small")
+        .alias("source"),
+    )
+    out = mixture_sample(d, temperature_rates(sizes, alpha=0.5))
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    for s, n in sizes.items():
+        expect = temperature_rates(sizes, alpha=0.5)[s] * n
+        assert abs(got[s] - expect) / expect < 0.15, (s, got[s], expect)
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(sizes, alpha=0.0)
+    with pytest.raises(ValueError, match="sizes"):
+        temperature_rates({})
+    with pytest.raises(ValueError, match="> 0"):
+        temperature_rates({"a": 0})
