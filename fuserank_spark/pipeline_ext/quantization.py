@@ -487,6 +487,29 @@ def _finish_topk(
     return _merge_topk(rescored, k, "query_id", key_col, score_col="cosine")
 
 
+def _probe_rows(
+    centroids: np.ndarray, queries: list[tuple], nprobe: int
+) -> list[tuple[int, int]]:
+    """Driver-side coarse probe selection shared by the IVF-PQ and
+    IVF-SQ serve paths: per query, the ``nprobe`` nearest cells by
+    centroid cosine. Scores are rounded half-away with lowest-cid
+    tie-break so the probe set shares a tie-break domain with a SQL
+    twin's ``round(cosine, 6)`` probe ranking."""
+    from .simsearch import round_half_away
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    rows: list[tuple[int, int]] = []
+    for qid, qv in queries:
+        q = np.asarray([float(x) for x in qv], dtype="float64")
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        sims = [round_half_away(float(s)) for s in cn @ qn]
+        for c in sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:nprobe]:
+            rows.append((int(qid), int(c)))
+    return rows
+
+
 def ivf_pq_knn(
     codes: DataFrame,
     centroids: np.ndarray,
@@ -533,20 +556,7 @@ def ivf_pq_knn(
         )
     spark = codes.sparkSession
     m = codebooks.shape[0]
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-    from .simsearch import round_half_away
-
-    probe_rows: list[tuple[int, int]] = []
-    for qid, qv in queries:
-        q = np.asarray([float(x) for x in qv], dtype="float64")
-        qn = q / max(float(np.linalg.norm(q)), 1e-12)
-        # rounded half-away + lowest-cid tie-break — shared tie-break
-        # domain with the SQL twin's round(cosine, 6) probe ranking
-        sims = [round_half_away(float(s)) for s in cn @ qn]
-        for c in sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:nprobe]:
-            probe_rows.append((int(qid), int(c)))
+    probe_rows = _probe_rows(centroids, queries, nprobe)
     probed_cells = sorted({c for _, c in probe_rows})
     probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")
     luts = _lut_frame(spark, codebooks, queries)
@@ -603,3 +613,246 @@ def pq_recall_at_k(
         exact.select("query_id", key_col), ["query_id", key_col], "left_semi"
     ).count()
     return hit / (len(queries) * k)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension uniform int8 codes
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255
+
+
+def sq_train(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Fit per-dimension uniform quantizer params in ONE aggregate
+    pass: returns ``(mins, scales)`` with ``scales[i] =
+    (max_i - min_i) / 255`` — the faiss ``IndexScalarQuantizer``
+    (QT_8bit) layout, the lighter sibling of PQ: 4x smaller than
+    float32 at far lower distortion than PQ's m-code words, and the
+    codes stay per-dimension so ADC is a plain weighted sum (no
+    lookup tables).
+
+    Reference parity: the reference serves flat float vectors via
+    faiss/Milvus (/root/reference/src/eval/milvus_experiment.py:32);
+    SQ8 is the standard first compression step of that same family.
+
+    Scale posture: the fit is 2*dim min/max aggregates — map-side
+    combine, no explode, no shuffle beyond the 1-row final combine;
+    the output is 2*dim doubles on the driver. min/max are
+    order-independent, so the params are bit-identical across
+    engines (no fold-order quantization needed, unlike Lloyd means).
+
+    NULL / short vectors contribute nothing to dims they lack
+    (element_at past the end is NULL, which min/max skip); encode is
+    where length is enforced (:func:`sq_encode`)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"__mn{i}"))
+        aggs.append(F.max(e).alias(f"__mx{i}"))
+    row = embeddings.agg(*aggs).collect()[0]
+    mins: list[float] = []
+    scales: list[float] = []
+    for i in range(dim):
+        mn, mx = row[f"__mn{i}"], row[f"__mx{i}"]
+        if mn is None or mx is None:
+            raise ValueError(f"sq_train: dimension {i} has no non-null values")
+        mn, mx = float(mn), float(mx)
+        mins.append(mn)
+        scales.append((mx - mn) / float(SQ_LEVELS))
+    return mins, scales
+
+
+def sq_encode(
+    df: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Quantize each vector to ``array<int>`` codes in [0, 255]:
+    ``code_i = clamp(floor((x_i - min_i)/scale_i + 0.5), 0, 255)``
+    (constant dimensions — scale 0 — encode as 0 and dequantize back
+    to the constant). EXPRESSION-ONLY: params ride as literal arrays
+    consumed by a transform-over-sequence HOF, the whole plan stays
+    in codegen, and the explicit IEEE ``floor(x + 0.5)`` form is the
+    portable-rounding discipline (CLAUDE.md) — a SQL twin evaluates
+    the same three ops on the same doubles and lands on the same
+    codes. Short / long / NULL vectors raise (pq_encode precedent:
+    silent null-slicing would mis-encode)."""
+    dim = len(mins)
+    if len(scales) != dim:
+        raise ValueError(f"mins ({dim}) and scales ({len(scales)}) differ")
+    df = df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"sq_encode: vector length != {dim} (got "),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
+                    F.lit(")"),
+                )
+            )
+        ),
+    )
+    mn_arr = F.array(*[F.lit(float(v)).cast("double") for v in mins])
+    sc_arr = F.array(*[F.lit(float(v)).cast("double") for v in scales])
+
+    def one(i):
+        x = F.element_at(F.col(vec_col), i).cast("double")
+        mn = F.element_at(mn_arr, i)
+        sc = F.element_at(sc_arr, i)
+        raw = F.floor((x - mn) / sc + F.lit(0.5))
+        clamped = F.least(
+            F.lit(SQ_LEVELS).cast("bigint"),
+            F.greatest(F.lit(0).cast("bigint"), raw),
+        )
+        return F.when(sc == F.lit(0.0), F.lit(0)).otherwise(
+            clamped.cast("int")
+        )
+
+    codes = F.transform(F.sequence(F.lit(1), F.lit(dim)), one)
+    out = df.withColumn(out_col, codes)
+    return out if keep_vec else out.drop(vec_col)
+
+
+def sq_adc_topk(
+    codes: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    queries: list[tuple],
+    *,
+    k: int = 10,
+    key_col: str = "vec_id",
+    code_col: str = "sq_code",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    max_query_batch: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """Batch asymmetric-inner-product top-k over SQ8 codes. The
+    dequantized score ``sum_i q_i*(min_i + code_i*scale_i)`` is
+    decomposed driver-side into ``bias + sum_i w_i*code_i`` with
+    ``bias = <q, mins>`` (sequential fold) and ``w_i = q_i*scale_i``,
+    so the scan is one zip_with + aggregate over the code array per
+    (row, query) — pure codegen, no lookup tables, no raw vectors.
+    Broadcast (query_id, bias, w) rows; two-phase top-k merge;
+    over-cap batches auto-chunk; optional exact-cosine refine — all
+    exactly the :func:`pq_adc_topk` contract. Scores are rounded to
+    6 before ranking (cross-engine tie-break domain)."""
+    _check_query_batch(queries)
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
+    if len(queries) > max_query_batch:
+        return _chunked_union(
+            queries,
+            lambda qs: sq_adc_topk(
+                codes, mins, scales, qs, k=k, key_col=key_col,
+                code_col=code_col, refine_with=refine_with,
+                refine_factor=refine_factor, vec_col=vec_col,
+                max_query_batch=max_query_batch,
+            ),
+            max_query_batch,
+        )
+    spark = codes.sparkSession
+    scored = codes.crossJoin(F.broadcast(_sq_query_frame(spark, mins, scales, queries))).select(
+        "query_id",
+        F.col(key_col),
+        F.round(_sq_score_expr(code_col), 6).alias("adc"),
+    )
+    return _finish_topk(
+        scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
+    )
+
+
+def _sq_query_frame(spark, mins, scales, queries: list[tuple]) -> DataFrame:
+    dim = len(mins)
+    rows = []
+    for qid, qv in queries:
+        q = [float(v) for v in qv]
+        if len(q) != dim:
+            raise ValueError(f"query is {len(q)}-dim, params expect {dim}")
+        rows.append(
+            (int(qid), _seq_dot(q, mins), [q[i] * scales[i] for i in range(dim)])
+        )
+    return spark.createDataFrame(
+        rows, "query_id bigint, __bias double, __w array<double>"
+    )
+
+
+def _sq_score_expr(code_col: str):
+    return F.col("__bias") + F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("__w"), lambda c, w: c.cast("double") * w
+        ),
+        F.lit(0.0).cast("double"),
+        lambda a, x: a + x,
+    )
+
+
+def ivf_sq_knn(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    mins: list[float],
+    scales: list[float],
+    queries: list[tuple],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+    key_col: str = "vec_id",
+    code_col: str = "sq_code",
+    cell_col: str = "centroid_id",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    max_query_batch: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """IVF-SQ serve — faiss ``IndexIVFScalarQuantizer`` on Spark:
+    ``codes`` carries the coarse cell (simsearch.ivf_assign;
+    persisted via ivf_persist the cell filter prunes parquet
+    partitions) and the SQ8 code array. Probe selection, static isin
+    pruning, broadcast probe join, ADC scoring and optional refine
+    all mirror :func:`ivf_pq_knn`; with ``nprobe == n_centroids``
+    the result is identical to unpartitioned :func:`sq_adc_topk`
+    (tested)."""
+    _check_query_batch(queries)
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
+    if len(queries) > max_query_batch:
+        return _chunked_union(
+            queries,
+            lambda qs: ivf_sq_knn(
+                codes, centroids, mins, scales, qs, k=k, nprobe=nprobe,
+                key_col=key_col, code_col=code_col, cell_col=cell_col,
+                refine_with=refine_with, refine_factor=refine_factor,
+                vec_col=vec_col, max_query_batch=max_query_batch,
+            ),
+            max_query_batch,
+        )
+    spark = codes.sparkSession
+    probe_rows = _probe_rows(centroids, queries, nprobe)
+    probed_cells = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")
+    scored = (
+        codes.filter(F.col(cell_col).isin(probed_cells))
+        .join(F.broadcast(probes), cell_col)
+        .join(F.broadcast(_sq_query_frame(spark, mins, scales, queries)), "query_id")
+        .select(
+            "query_id",
+            F.col(key_col),
+            F.round(_sq_score_expr(code_col), 6).alias("adc"),
+        )
+    )
+    return _finish_topk(
+        scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
+    )
