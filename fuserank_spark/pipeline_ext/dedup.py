@@ -179,6 +179,77 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash", bit
     return df.withColumn(out_col, sim).drop("__th")
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with a GUARANTEED-recall band
+    prefilter (Manku/Jarvelin/Sarma, "Detecting Near-Duplicates for
+    Web Crawling", WWW 2007 — the Google crawl-dedup design): split
+    each ``bits``-bit signature into ``bands`` contiguous bands; by
+    pigeonhole, two signatures within Hamming distance
+    ``<= bands - 1`` agree EXACTLY on at least one band, so bucketing
+    on (band_idx, band_value) finds every qualifying pair while the
+    pair space stays linear in the corpus (``max_hamming > bands-1``
+    raises rather than silently losing recall).
+
+    Candidates flow through the shared memory-bounded pair core
+    (:func:`_pairs_in_buckets` — mass-duplicate buckets star-degrade
+    row-wise instead of materializing); verification is one
+    ``bit_count(xor)`` per candidate in codegen; a pair surfaced by
+    several bands collapses via distinct (hamming is deterministic
+    per pair, so the distinct is exact).
+
+    Output: (id_a < id_b, hamming). Feed into
+    :func:`resolve_duplicate_clusters` / :func:`deduplicate` exactly
+    like the MinHash-LSH pair stream."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} > bands-1={bands - 1}: the band "
+            "prefilter would miss qualifying pairs; raise bands"
+        )
+    w = bits // bands
+    sigs = simhash(df, text_col=text_col, bits=bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.pmod(
+                    F.shiftright(F.col("simhash"), b * w), F.lit(1 << w)
+                ).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(key_col).alias("id"), F.col("simhash").alias("sig"),
+        F.explode(band_structs).alias("bd"),
+    ).select("bd.*", "id", "sig")
+    pairs = _pairs_in_buckets(
+        banded,
+        ["band_idx", "band_val"],
+        F.struct(F.col("id"), F.col("sig")),
+        max_bucket_size,
+    )
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
