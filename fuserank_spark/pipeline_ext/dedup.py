@@ -733,3 +733,125 @@ def dedup_lines(
         .drop("__kept_text", "__n_kept", "__n_lines")
     )
     return out
+
+
+def dedup_spans(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """Exact-substring span dedup (ExactSubstr, Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) at token-``L``-gram granularity: every token
+    span of ``min_span_tokens`` whitespace tokens that occurs more
+    than once in the corpus is DELETED everywhere except its globally
+    first occurrence, ordered by ``(key, start position)``. Unlike
+    document- or line-level dedup this removes duplicated passages
+    *inside* otherwise-unique documents (license blurbs, quoted
+    boilerplate, mirrored paragraphs); reference has no analog,
+    extension per build brief.
+
+    Gram-granular approximation of the paper's suffix-array pass: a
+    token position ``q`` is deleted iff some non-first duplicated
+    L-gram occurrence starts at ``p`` with ``p ≤ q < p+L`` —
+    equivalently iff the running max of loser start positions up to
+    ``q`` exceeds ``q − L`` (one O(n) unbounded-preceding window per
+    document, NOT an O(n·L) sliding frame). Consequences, both
+    shared with the paper's tool and documented here: the surviving
+    first occurrence can still lose tokens to a DIFFERENT
+    overlapping duplicated span, and deleting a span splices its
+    neighbors together (which can form new adjacencies). Documents
+    are rebuilt by joining surviving tokens with single spaces —
+    original inter-token whitespace is not preserved (the tool
+    operates on token sequences too). Docs with fewer than L tokens
+    have no grams and pass through unchanged; NULL text → NULL with
+    zero counters. Output carries ``n_tokens`` / ``n_kept``.
+
+    Scale shape: one narrow per-position gram-hash projection (the
+    token array materialized once — CSE-across-HOF trap), one
+    combine-friendly groupBy on the 32-bit gram hash (uniform by
+    construction; partial min/count map-side), a LEFT join of
+    exploded positions against ONLY the grams with ≥2 occurrences
+    (bounded by duplicated content, not corpus size — a mass-
+    duplicated passage skews the join's left side and AQE skew-join
+    splits it), then one per-document window + groupBy pair that
+    share a single Exchange on the key. No O(n²) stage; the gram
+    groupBy shuffle is token-granular — the honest cost of
+    ExactSubstr (the suffix-array analog is a global sort).
+
+    Matching is on ``portable_hash32`` of the space-joined gram on
+    both engines of a differential check, so a hash collision is a
+    defined, parity-preserving event (decontam / line-dedup
+    precedent; tests/test_span_dedup.py holds the DuckDB
+    re-derivation — the driver registry is frozen)."""
+    from .textstats import tokens_expr
+
+    L = int(min_span_tokens)
+    if L < 2:
+        raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
+    key, txt = F.col(key_col), F.col(text_col)
+    base = df.withColumn("__toks", tokens_expr(txt)).withColumn(
+        "__n_tok", F.size("__toks")
+    )
+    # per-position gram hash, aligned with the token array: position p
+    # (0-based) starts an L-gram iff p <= n - L, else NULL
+    ghs = F.transform(
+        F.col("__toks"),
+        lambda _t, i: F.when(
+            i <= F.col("__n_tok") - L,
+            portable_hash32(F.array_join(F.slice(F.col("__toks"), i + 1, L), " ")),
+        ).otherwise(F.lit(None).cast("long")),
+    )
+    ex = base.select(
+        key.alias("__k"),
+        F.posexplode(F.arrays_zip(F.col("__toks").alias("tok"), ghs.alias("gh"))).alias(
+            "__pos", "__z"
+        ),
+    ).select("__k", "__pos", F.col("__z.tok").alias("__tok"), F.col("__z.gh").alias("__gh"))
+    # grams occurring >= 2x, with their globally-first occurrence;
+    # unique (key, pos) makes the min-struct winner tie-free
+    dup_winners = (
+        ex.filter(F.col("__gh").isNotNull())
+        .groupBy("__gh")
+        .agg(F.min(F.struct("__k", "__pos")).alias("__win"), F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("__gh", "__win")
+    )
+    flagged = ex.join(dup_winners, "__gh", "left").withColumn(
+        "__loser",
+        F.col("__win").isNotNull()
+        & ~((F.col("__k") == F.col("__win.__k")) & (F.col("__pos") == F.col("__win.__pos"))),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__k").orderBy("__pos").rowsBetween(Window.unboundedPreceding, 0)
+    kept = (
+        flagged.withColumn("__lastl", F.max(F.when(F.col("__loser"), F.col("__pos"))).over(w))
+        .filter(F.col("__lastl").isNull() | (F.col("__lastl") <= F.col("__pos") - L))
+        .select("__k", "__pos", "__tok")
+    )
+    rebuilt = kept.groupBy("__k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__kept_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.join(rebuilt, base[key_col] == rebuilt["__k"], "left")
+        .drop("__k")
+        .withColumn(
+            text_col,
+            F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("__kept_text"), F.lit(""))
+            ),
+        )
+        .withColumn("n_tokens", F.col("__n_tok").cast("bigint"))
+        .withColumn("n_kept", F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint"))
+        .drop("__kept_text", "__n_kept", "__n_tok", "__toks")
+    )

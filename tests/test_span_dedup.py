@@ -1,0 +1,192 @@
+"""Exact-substring span dedup (dedup.dedup_spans) — the ExactSubstr
+step of Lee et al. 2021 (arXiv:2107.06499) at token-L-gram
+granularity.
+
+Not in the frozen 67-entry driver registry (adding entries would push
+verified rows out of the driver's first-50 window), so the oracle
+evidence lives HERE: a full DuckDB re-derivation of tokenize →
+per-position gram hash → duplicated-gram losers → running-max span
+coverage → in-order rebuild, compared row-for-row (the line-dedup /
+semantic-dedup precedent).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuserank_spark.pipeline_ext.dedup import dedup_spans
+
+PASSAGE = "this passage is quoted verbatim in many documents across the entire corpus"  # 12 tokens
+LICENSE = "licensed under the apache license version two point zero obtain copy"  # 11 tokens
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark, duck):
+    """Docs derived from the sf0.001 documents table with planted
+    duplicated passages: PASSAGE spliced into every doc_id % 3 == 0
+    at a varying token offset, LICENSE appended to every
+    doc_id % 4 == 0, one whole-document duplicate, one sub-L short
+    doc, one empty and one NULL text. The SAME pandas frame feeds
+    both engines."""
+    rows = (
+        duck.execute("SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100")
+        .fetchall()
+    )
+    out = []
+    for doc_id, text in rows:
+        toks = text.split()[:60]
+        if doc_id % 3 == 0:
+            at = doc_id % 7
+            toks = toks[:at] + PASSAGE.split() + toks[at:]
+        if doc_id % 4 == 0:
+            toks = toks + LICENSE.split()
+        out.append((doc_id, " ".join(toks)))
+    # a whole-document duplicate of the first doc (larger key → loser)
+    out.append((90001, out[0][1]))
+    out.append((90002, "too short for any gram"))
+    out.append((90003, ""))
+    out.append((90004, None))
+    pdf = pd.DataFrame(out, columns=["doc_id", "text"])
+    duck.register("span_docs", pdf)
+    sdf = spark.createDataFrame(pdf).select(
+        "doc_id", F.col("text").cast("string").alias("text")
+    )
+    sdf.cache().count()
+    yield sdf
+    duck.unregister("span_docs")
+
+
+_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM span_docs WHERE text IS NOT NULL
+), ex AS (
+  SELECT doc_id, u.pos - 1 AS pos, ts[u.pos] AS tok, len(ts) AS n, ts
+  FROM b, unnest(generate_series(1, len(ts))) AS u(pos)
+), g AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos <= n - {L} THEN
+           CAST(concat('0x', substring(md5(
+               array_to_string(ts[pos + 1 : pos + {L}], ' ')), 1, 8)) AS BIGINT)
+         END AS gh
+  FROM ex
+), occ AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gh) AS cnt,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM g WHERE gh IS NOT NULL
+), losers AS (
+  SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1
+), m AS (
+  SELECT g.doc_id, g.pos, g.tok,
+         max(CASE WHEN l.pos IS NOT NULL THEN g.pos END)
+           OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                 ROWS UNBOUNDED PRECEDING) AS lastl
+  FROM g LEFT JOIN losers l USING (doc_id, pos)
+), reb AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos)
+           FILTER (lastl IS NULL OR lastl <= pos - {L}) AS text_kept,
+         count(*) FILTER (lastl IS NULL OR lastl <= pos - {L}) AS n_kept
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.text_kept, '') END AS text,
+       CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM span_docs d LEFT JOIN reb r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in df.select("doc_id", "text", "n_tokens", "n_kept").collect()
+    }
+
+
+def _want(duck, L):
+    return {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(_ORACLE.format(L=L)).fetchall()
+    }
+
+
+def test_dedup_spans_matches_duckdb_rederivation(span_docs, duck):
+    """The whole op — whitespace tokenize, per-position portable gram
+    hash, ≥2-occurrence losers, (key, pos) first-occurrence winner,
+    running-max span coverage, in-order single-space rebuild —
+    re-derived in DuckDB; rebuilt text and both counters must match
+    row-for-row."""
+    got = _rows(dedup_spans(span_docs, min_span_tokens=8))
+    assert got == _want(duck, 8)
+
+
+def test_dedup_spans_matches_duckdb_at_other_span_length(span_docs, duck):
+    got = _rows(dedup_spans(span_docs, min_span_tokens=5))
+    assert got == _want(duck, 5)
+
+
+def test_dedup_spans_planted_passage_survives_exactly_once(span_docs):
+    """The 12-token planted passage is everywhere ≥ L=8 tokens of
+    duplicated span; after dedup it must appear exactly once in the
+    whole corpus (keep-first), and the whole-document duplicate must
+    collapse to empty."""
+    out = _rows(dedup_spans(span_docs, min_span_tokens=8))
+    n_pass = sum(1 for t, _, _ in out.values() if t and PASSAGE in t)
+    assert n_pass == 1
+    # globally-first occurrence owns it: the smallest planted doc_id
+    first = min(d for d in out if d % 3 == 0 and d < 90000)
+    assert PASSAGE in out[first][0]
+    assert out[90001][0] == ""  # whole-doc duplicate fully removed
+    assert out[90001][2] == 0
+
+
+def test_dedup_spans_sub_span_docs_pass_through(span_docs):
+    out = _rows(dedup_spans(span_docs, min_span_tokens=8))
+    assert out[90002] == ("too short for any gram", 5, 5)
+    assert out[90003] == ("", 0, 0)
+    assert out[90004] == (None, 0, 0)
+
+
+def test_dedup_spans_first_occurrence_keeps_span_inside_unique_doc(spark):
+    """A duplicated passage inside otherwise-unique documents is cut
+    out of the later doc only — the surrounding unique tokens splice
+    together; the earlier doc is untouched."""
+    shared = "s1 s2 s3 s4"
+    df = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} u3 u4"),
+            (2, f"v1 v2 v3 {shared} v4 v5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(dedup_spans(df, min_span_tokens=4))
+    assert out[1] == (f"u1 u2 {shared} u3 u4", 8, 8)
+    assert out[2] == ("v1 v2 v3 v4 v5", 9, 5)
+
+
+def test_dedup_spans_rejects_degenerate_span_length(span_docs):
+    with pytest.raises(ValueError):
+        dedup_spans(span_docs, min_span_tokens=1)
+
+
+def test_dedup_spans_preserves_other_columns(span_docs):
+    out = dedup_spans(span_docs.withColumn("src", F.lit("web")), min_span_tokens=8)
+    assert set(out.columns) == {"doc_id", "text", "src", "n_tokens", "n_kept"}
+    assert out.filter(F.col("src") != "web").count() == 0
+
+
+def test_dedup_spans_plan_has_no_quadratic_ops(span_docs):
+    plan = (
+        dedup_spans(span_docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
