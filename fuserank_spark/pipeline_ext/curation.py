@@ -210,14 +210,102 @@ def contaminated_keys(
         )
 
     tr = gram_hashes(train, key_col)
-    te = gram_hashes(test).distinct()
+    te = _test_gram_set(test, text_col, n, broadcast_test, broadcast_gram_limit)
+    return tr.join(te, "__g", "left_semi").select(key_col).distinct()
+
+
+def _test_gram_set(
+    test: DataFrame,
+    text_col: str,
+    n: int,
+    broadcast_test: bool | str,
+    broadcast_gram_limit: int,
+) -> DataFrame:
+    """DISTINCT portable gram hashes of the held-out side as a 1-col
+    frame ``__g``, broadcast under the auto-sizing policy documented
+    on contaminated_keys (shared by the overlap-fraction variant)."""
+    te = (
+        test.withColumn("__toks", tokens_expr(F.col(text_col)))
+        .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
+        .select(
+            F.explode(
+                F.transform(F.col("__grams"), lambda g: portable_hash32(g))
+            ).alias("__g")
+        )
+        .distinct()
+    )
     if broadcast_test == "auto":
         broadcast_test = (
             te.limit(broadcast_gram_limit + 1).count() <= broadcast_gram_limit
         )
     if broadcast_test:
         te = F.broadcast(te)
-    return tr.join(te, "__g", "left_semi").select(key_col).distinct()
+    return te
+
+
+def contamination_fraction(
+    train: DataFrame,
+    test: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_test: bool | str = "auto",
+    broadcast_gram_limit: int = 5_000_000,
+) -> DataFrame:
+    """Per-document contamination DEGREE: the fraction of each train
+    doc's DISTINCT token ``n``-grams that also occur in the test set
+    (the GPT-3 / PaLM overlap-fraction metric — ``contaminated_keys``
+    is the any-collision special case; thresholding the fraction is
+    the caller's policy knob, e.g. drop > 0.7, flag > 0.1).
+
+    Returns one row per train key: ``n_grams`` (distinct grams in the
+    doc; 0 for sub-``n`` docs), ``n_shared``, ``overlap_frac``
+    (= n_shared / n_grams, 0.0 when the doc has no grams — two exact
+    BIGINTs IEEE-divided, so the double is bit-identical across
+    engines without explicit rounding).
+
+    Plan shape: within-doc distinct grams fold via ``array_distinct``
+    BEFORE the explode (narrow — the in-doc dedup costs no shuffle);
+    the test side broadcasts under the same auto policy as
+    contaminated_keys, so the semi-join is shuffle-free on the
+    100 TB side; the per-key hit groupBy only sees grams that
+    MATCHED — its shuffle is bounded by the contamination rate, not
+    the corpus; ``n_grams`` itself is computed narrow from the array
+    size and the final key join is between one row per train doc and
+    one row per contaminated doc."""
+    base = (
+        train.withColumn("__toks", tokens_expr(F.col(text_col)))
+        .withColumn(
+            "__gh",
+            F.array_distinct(
+                F.transform(
+                    token_ngrams_expr(F.col("__toks"), n),
+                    lambda g: portable_hash32(g),
+                )
+            ),
+        )
+        .select(key_col, "__gh")
+    )
+    te = _test_gram_set(test, text_col, n, broadcast_test, broadcast_gram_limit)
+    hits = (
+        base.select(key_col, F.explode("__gh").alias("__g"))
+        .join(te, "__g", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+    )
+    return (
+        base.select(key_col, F.size("__gh").cast("bigint").alias("n_grams"))
+        .join(hits, key_col, "left")
+        .select(
+            key_col,
+            "n_grams",
+            F.coalesce(F.col("__n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(F.col("n_grams") > 0,
+                   F.coalesce(F.col("__n_shared"), F.lit(0)) / F.col("n_grams"))
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+        )
+    )
 
 
 # -------------------------------------------------------------- PII scrub
