@@ -855,3 +855,61 @@ def dedup_spans(
         .withColumn("n_kept", F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint"))
         .drop("__kept_text", "__n_kept", "__n_tok", "__toks")
     )
+
+
+def corpus_minhash_sketch(
+    df: DataFrame, text_col: str = "text", num_perms: int = 64
+) -> list[int]:
+    """Corpus-level MinHash sketch: for each of ``num_perms`` fixed
+    affine permutations, the global minimum over EVERY character
+    shingle hash in the corpus. One combine-friendly aggregate — the
+    per-doc mins fold narrow, executors reduce map-side, and only
+    ``num_perms`` BIGINTs cross the wire to the driver; zero joins,
+    zero data shuffle. Raises on a corpus with no shingles (the
+    sketch would be undefined).
+
+    This is the one-permutation-per-slot k-sketch: for two corpora
+    A, B, P(slot_A == slot_B) = J(shingles(A), shingles(B)), so the
+    slot-agreement fraction is an unbiased Jaccard estimator with
+    std-err ≈ sqrt(J(1−J)/k) (Broder 1997, "On the resemblance and
+    containment of documents")."""
+    from .hashing import minhash_perms
+
+    sh = shingles_expr(F.col(text_col))
+    hashed = df.withColumn("__sh", F.transform(sh, lambda s: portable_hash32(s)))
+    aggs = [
+        F.min(
+            F.array_min(F.transform(F.col("__sh"), lambda h: minhash_perm(h, a, b)))
+        ).alias(f"m{j}")
+        for j, (a, b) in enumerate(minhash_perms(num_perms))
+    ]
+    row = hashed.agg(*aggs).collect()[0]
+    mins = [row[f"m{j}"] for j in range(num_perms)]
+    if any(m is None for m in mins):
+        raise ValueError("corpus has no shingles — overlap sketch undefined")
+    return mins
+
+
+def corpus_overlap(
+    a: DataFrame, b: DataFrame, text_col: str = "text", num_perms: int = 64
+) -> dict:
+    """Estimate the shingle-level Jaccard overlap of two corpora
+    WITHOUT any cross-corpus join: two independent one-pass sketches
+    (each a single aggregate over its corpus), compared slot-wise on
+    the driver. The go/no-go check before mixing two crawls — at
+    100 TB a side, the exact answer is a full dedup run; this is two
+    scans and 2·k integers.
+
+    Returns ``{"jaccard_est", "std_err", "slots_equal", "num_perms"}``
+    where ``std_err`` is the binomial standard error of the
+    agreement fraction."""
+    sa = corpus_minhash_sketch(a, text_col, num_perms)
+    sb = corpus_minhash_sketch(b, text_col, num_perms)
+    eq = sum(1 for x, y in zip(sa, sb) if x == y)
+    j = eq / float(num_perms)
+    return {
+        "jaccard_est": j,
+        "std_err": (j * (1.0 - j) / num_perms) ** 0.5,
+        "slots_equal": eq,
+        "num_perms": num_perms,
+    }

@@ -42,3 +42,19 @@ def minhash_perm(h: Column, a: int, b: int) -> Column:
 
 def minhash_perm_sql(h_expr: str, a: int, b: int) -> str:
     return f"(({a} * {h_expr} + {b}) % {HASH_PRIME})"
+
+
+def minhash_perms(k: int) -> list[tuple[int, int]]:
+    """First ``k`` affine permutation constants: the 8 fixed
+    MINHASH_PERMS (signature compatibility) extended deterministically
+    by an LCG-derived sequence — constants are pinned forever by the
+    differential tests, both engines materialize them as literals.
+    All multipliers stay < HASH_PRIME so a·h fits in BIGINT."""
+    if k <= len(MINHASH_PERMS):
+        return MINHASH_PERMS[:k]
+    out = list(MINHASH_PERMS)
+    for i in range(len(MINHASH_PERMS), k):
+        a = (1103515245 * (i + 1) + 12345) % HASH_PRIME
+        b = (1013904223 * (i + 1)) % HASH_PRIME
+        out.append((a or 1, b))
+    return out
