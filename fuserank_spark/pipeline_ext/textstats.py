@@ -166,3 +166,88 @@ def gopher_features(
         allpass = c if allpass is None else (allpass & c)
     out["gopher_pass"] = allpass
     return df.withColumns(out).drop("__gt")
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 50_000,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary induction (the tokenizer-prep pass): the ``top_v``
+    whitespace tokens by total frequency, with total count ``tf``,
+    document frequency ``doc_freq`` and 1-based ``rank``. Ties break
+    on the token string ascending — fully deterministic, so two
+    engines derive the identical vocabulary (differential-checked in
+    tests/test_vocab.py; the registry is frozen).
+
+    Plan shape: one narrow explode of (token, key), one
+    combine-friendly groupBy token (count + two-phase distinct-key
+    count; token keys are near-uniform — the heavy head is exactly
+    what partial aggregation absorbs), then a global
+    TakeOrderedAndProject of ``top_v`` rows — no full sort
+    materializes at 100 TB."""
+    ex = (
+        df.withColumn("__toks", tokens_expr(F.col(text_col)))
+        .select(F.col(key_col).alias("__k"), F.explode("__toks").alias("token"))
+    )
+    counts = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__k").alias("doc_freq"),
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("tf").desc(), F.col("token")).limit(top_v)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("tf").desc(), F.col("token"))
+        ).cast("bigint"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against an induced
+    vocabulary: token count, OOV token count (WITH multiplicity —
+    the quantity a tokenizer's <unk> rate measures), and
+    ``oov_frac`` (two exact BIGINTs IEEE-divided; 0.0 for empty
+    docs; NULL text → 0 tokens). The pre-training check that a
+    vocabulary actually covers the corpus it will tokenize.
+
+    Plan shape: the vocab side is ≤ top_v rows and is broadcast
+    explicitly, so the corpus side never shuffles for the join; the
+    per-key groupBy is the only corpus-sized shuffle (combine-
+    friendly counts); keys with no tokens re-attach via a narrow
+    left join against one row per doc."""
+    base = df.withColumn("__toks", tokens_expr(F.col(text_col))).select(
+        F.col(key_col), F.size("__toks").cast("bigint").alias("n_tokens"), "__toks"
+    )
+    hits = (
+        base.select(key_col, F.explode("__toks").alias("token"))
+        .join(F.broadcast(vocab.select("token").distinct()), "token", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n_in"))
+    )
+    return (
+        base.drop("__toks")
+        .join(hits, key_col, "left")
+        .select(
+            key_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_in"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.col("n_tokens") - F.coalesce(F.col("__n_in"), F.lit(0)))
+                / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_frac"),
+        )
+    )

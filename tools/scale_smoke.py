@@ -456,6 +456,42 @@ def main():
     ).collect()
     t["fused_ivf_serve_persisted"] = round(time.time() - t0, 2)
 
+    # round-6 third-session ops at volume ---------------------------------
+
+    # exact-substring span dedup: every interior 8-gram of each base doc
+    # repeats `factor`× (the rep suffix only perturbs the tail), so the
+    # loser side is massive — worst-case pressure on the token-granular
+    # gram groupBy, the dup-winner join and the per-doc coverage window
+    from fuserank_spark.pipeline_ext.dedup import dedup_spans
+
+    t0 = time.time()
+    dedup_spans(big.select(F.col("row_id").alias("doc_id"), "text")).select(
+        "doc_id", "n_tokens", "n_kept"
+    ).write.format("noop").mode("overwrite").save()
+    t["dedup_spans"] = round(time.time() - t0, 2)
+
+    # overlap-fraction decontamination: per-doc degree instead of the
+    # any-collision semi-join — adds the contamination-bounded hit agg
+    from fuserank_spark.pipeline_ext.curation import contamination_fraction
+
+    t0 = time.time()
+    contamination_fraction(
+        big.select(F.col("row_id").alias("doc_id"), "text"), test_slice
+    ).write.format("noop").mode("overwrite").save()
+    t["contamination_fraction"] = round(time.time() - t0, 2)
+
+    # corpus-overlap sketch: two one-pass global-min aggregates, no join
+    from fuserank_spark.pipeline_ext.dedup import corpus_overlap
+
+    t0 = time.time()
+    ov = corpus_overlap(
+        big.filter(F.col("row_id") % 2 == 0),
+        big.filter(F.col("row_id") % 2 == 1),
+        num_perms=32,
+    )
+    t["corpus_overlap"] = round(time.time() - t0, 2)
+    t["corpus_overlap_jaccard"] = ov["jaccard_est"]
+
     t["n_rows"] = n
     print(json.dumps(t))
 
