@@ -266,45 +266,48 @@ def contamination_fraction(
 
     Plan shape: within-doc distinct grams fold via ``array_distinct``
     BEFORE the explode (narrow — the in-doc dedup costs no shuffle);
-    the test side broadcasts under the same auto policy as
-    contaminated_keys, so the semi-join is shuffle-free on the
-    100 TB side; the per-key hit groupBy only sees grams that
-    MATCHED — its shuffle is bounded by the contamination rate, not
-    the corpus; ``n_grams`` itself is computed narrow from the array
-    size and the final key join is between one row per train doc and
-    one row per contaminated doc."""
-    base = (
-        train.withColumn("__toks", tokens_expr(F.col(text_col)))
-        .withColumn(
-            "__gh",
+    the gram pipeline is evaluated ONCE — both counters come from one
+    groupBy after a LEFT marker join against the broadcast test-gram
+    set (a two-branch join of the base would re-run the md5 gram
+    hashing per branch, the CSE-across-self-join trap — measured 3×
+    at 500k rows); the corpus side never shuffles for the join, and
+    because a document's exploded grams stay inside one input
+    partition, partial aggregation collapses the groupBy's shuffle
+    to ONE row per doc; sub-``n`` docs re-attach via a narrow
+    token-count-only union — no join anywhere on the 100 TB side."""
+    te = _test_gram_set(test, text_col, n, broadcast_test, broadcast_gram_limit)
+    toked = train.withColumn("__toks", tokens_expr(F.col(text_col)))
+    ex = toked.select(
+        key_col,
+        F.explode(
             F.array_distinct(
                 F.transform(
                     token_ngrams_expr(F.col("__toks"), n),
                     lambda g: portable_hash32(g),
                 )
-            ),
-        )
-        .select(key_col, "__gh")
+            )
+        ).alias("__g"),
     )
-    te = _test_gram_set(test, text_col, n, broadcast_test, broadcast_gram_limit)
-    hits = (
-        base.select(key_col, F.explode("__gh").alias("__g"))
-        .join(te, "__g", "left_semi")
+    counted = (
+        ex.join(te.withColumn("__hit", F.lit(1)), "__g", "left")
         .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("__n_shared"))
-    )
-    return (
-        base.select(key_col, F.size("__gh").cast("bigint").alias("n_grams"))
-        .join(hits, key_col, "left")
-        .select(
-            key_col,
-            "n_grams",
-            F.coalesce(F.col("__n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
-            F.when(F.col("n_grams") > 0,
-                   F.coalesce(F.col("__n_shared"), F.lit(0)) / F.col("n_grams"))
-            .otherwise(F.lit(0.0))
-            .alias("overlap_frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_shared"),
         )
+    )
+    zeros = toked.filter(F.size("__toks") < n).select(
+        F.col(key_col),
+        F.lit(0).cast("bigint").alias("n_grams"),
+        F.lit(0).cast("bigint").alias("n_shared"),
+    )
+    return counted.unionByName(zeros).select(
+        key_col,
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.when(F.col("n_grams") > 0, F.col("n_shared") / F.col("n_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
     )
 
 
@@ -597,6 +600,8 @@ def curate_corpus(
     line_dedup: bool = False,
     perplexity_lm=None,
     max_perplexity: float | None = None,
+    quality_model=None,
+    pareto_alpha: float | None = None,
 ) -> DataFrame:
     """End-to-end curation: [optional line dedup] → quality-score
     filter → [optional LM perplexity filter] → exact dedup (keep min
