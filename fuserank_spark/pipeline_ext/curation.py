@@ -625,16 +625,35 @@ def curate_corpus(
     — the standard ordering at corpus scale (hash pass shrinks the
     input the cluster-bucketed pass has to shuffle). The defaults
     (all off) are the r4 three-stage pipeline the q_curate oracle
-    pins."""
+    pins.
+
+    Pass ``quality_model`` (a fitted
+    :func:`classifier.train_quality_classifier` PipelineModel) +
+    ``pareto_alpha`` to add the GPT-3 LEARNED quality gate after the
+    heuristic filter (Brown et al. 2020 App. A ordering: cheap rules
+    first, the classifier's stochastic Pareto acceptance on what
+    survives — narrow transforms + a deterministic expression gate,
+    no extra shuffle)."""
     from .textstats import quality_features
 
     if (perplexity_lm is None) != (max_perplexity is None):
         raise ValueError("perplexity_lm and max_perplexity must be passed together")
+    if (quality_model is None) != (pareto_alpha is None):
+        raise ValueError("quality_model and pareto_alpha must be passed together")
     if line_dedup:
         from .dedup import dedup_lines
 
         df = dedup_lines(df, key_col=key_col, text_col=text_col)
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
+    if quality_model is not None:
+        from .classifier import pareto_quality_filter, quality_scores
+
+        q = pareto_quality_filter(
+            quality_scores(q, quality_model, text_col=text_col, out_col="clf_score"),
+            score_col="clf_score",
+            key_col=key_col,
+            alpha=pareto_alpha,
+        )
     if perplexity_lm is not None:
         from .lm import ngram_lm_perplexity
 

@@ -132,3 +132,23 @@ def test_scoring_plan_is_shuffle_free(qc, spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_curate_corpus_optional_classifier_stage(qc, spark):
+    """curate_corpus(quality_model=..., pareto_alpha=...) drops
+    gibberish that passes the heuristic gate while keeping real docs;
+    paired-arg validation mirrors the perplexity stage."""
+    from fuserank_spark.pipeline_ext.curation import curate_corpus
+
+    model, pos_ho, neg_ho = qc
+    corpus = pos_ho.unionByName(neg_ho)
+    out = curate_corpus(
+        corpus, min_quality=0.0, quality_model=model, pareto_alpha=9.0
+    ).cache()
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    pos_keep = sum(1 for d in kept if d < 10_000)
+    neg_keep = sum(1 for d in kept if d >= 10_000)
+    assert pos_keep >= 15 and neg_keep <= 5
+    assert "clf_score" in out.columns and "split" in out.columns
+    with pytest.raises(ValueError):
+        curate_corpus(corpus, quality_model=model)  # alpha missing
