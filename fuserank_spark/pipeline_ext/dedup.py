@@ -780,6 +780,13 @@ def dedup_spans(
     share a single Exchange on the key. No O(n²) stage; the gram
     groupBy shuffle is token-granular — the honest cost of
     ExactSubstr (the suffix-array analog is a global sort).
+    Deliberate trade: the winner branch re-evaluates the gram-hash
+    projection (Catalyst cannot share a subplan across the two
+    branches — the dedup_lines precedent), a bounded 2× on the
+    narrow stage; the alternative, deriving loser flags from one
+    count/row_number window partitioned by gram hash, evaluates once
+    but puts every occurrence of a mass-duplicated gram in ONE
+    window partition that AQE cannot skew-split.
 
     Matching is on ``portable_hash32`` of the space-joined gram on
     both engines of a differential check, so a hash collision is a
