@@ -492,6 +492,40 @@ def main():
     t["corpus_overlap"] = round(time.time() - t0, 2)
     t["corpus_overlap_jaccard"] = ov["jaccard_est"]
 
+    # BPE: distributed word-frequency training input + driver merge
+    # loop, then Arrow-batched application over all 500k docs (the
+    # subword packing-budget path — Python, memoized per batch)
+    from fuserank_spark.pipeline_ext.bpe import bpe_token_count, bpe_train_from_corpus
+
+    t0 = time.time()
+    merges = bpe_train_from_corpus(docs, num_merges=200, max_words=20_000)
+    t["bpe_train"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    bpe_token_count(
+        big.select(F.col("row_id").alias("doc_id"), "text"), merges
+    ).write.format("noop").mode("overwrite").save()
+    t["bpe_apply"] = round(time.time() - t0, 2)
+
+    # learned quality classifier: tiny train set (the fit cost scales
+    # with labeled data, not the corpus), then narrow scoring + the
+    # deterministic Pareto gate over all 500k docs
+    from fuserank_spark.pipeline_ext.classifier import (
+        pareto_quality_filter,
+        quality_scores,
+        train_quality_classifier,
+    )
+
+    neg = docs.limit(200).select("doc_id", F.reverse(F.col("text")).alias("text"))
+    t0 = time.time()
+    qmodel = train_quality_classifier(docs.limit(200), neg, n_features=1 << 16)
+    t["clf_train"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pareto_quality_filter(
+        quality_scores(big.select(F.col("row_id").alias("doc_id"), "text"), qmodel),
+        key_col="doc_id",
+    ).select("doc_id").write.format("noop").mode("overwrite").save()
+    t["clf_score_filter"] = round(time.time() - t0, 2)
+
     t["n_rows"] = n
     print(json.dumps(t))
 
