@@ -190,3 +190,54 @@ def test_dedup_spans_plan_has_no_quadratic_ops(span_docs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _ref_dedup_spans(docs: dict[int, list[str]], L: int):
+    """Pure-Python reference of the gram-granular ExactSubstr
+    semantics (gram identity by content — the engine's 32-bit md5
+    prefix is collision-free at these corpus sizes)."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for k in sorted(docs):
+        toks = docs[k]
+        for p in range(len(toks) - L + 1):
+            occ.setdefault(tuple(toks[p : p + L]), []).append((k, p))
+    losers: dict[int, set[int]] = {k: set() for k in docs}
+    for occs in occ.values():
+        if len(occs) >= 2:
+            w = min(occs)
+            for o in occs:
+                if o != w:
+                    losers[o[0]].add(o[1])
+    out = {}
+    for k, toks in docs.items():
+        lastl = None
+        kept = []
+        for q, tok in enumerate(toks):
+            if q in losers[k]:
+                lastl = q
+            if lastl is None or lastl <= q - L:
+                kept.append(tok)
+        out[k] = (" ".join(kept), len(toks), len(kept))
+    return out
+
+
+def test_dedup_spans_randomized_against_python_reference(spark):
+    """Dense random corpora over a 3-token alphabet: duplicated and
+    OVERLAPPING spans appear everywhere, stressing the running-max
+    coverage against an independent Python implementation. Seeded —
+    deterministic; two L values, one Spark job each."""
+    import random
+
+    for seed, L in ((7, 3), (23, 4)):
+        rng = random.Random(seed)
+        docs = {
+            k: [rng.choice("abc") for _ in range(rng.randint(0, 14))]
+            for k in range(60)
+        }
+        df = spark.createDataFrame(
+            [(k, " ".join(toks) if toks else "") for k, toks in docs.items()],
+            "doc_id long, text string",
+        )
+        got = _rows(dedup_spans(df, min_span_tokens=L))
+        want = _ref_dedup_spans(docs, L)
+        assert got == want, f"seed={seed} L={L}"
