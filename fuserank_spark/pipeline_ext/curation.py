@@ -509,6 +509,64 @@ def frequent_ngrams(
     )
 
 
+def remove_boilerplate_spans(
+    docs: DataFrame,
+    frequent: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_frequent: bool | str = "auto",
+    broadcast_gram_limit: int = 5_000_000,
+    frequent_count: int | None = None,
+) -> DataFrame:
+    """Boilerplate EXCISION: cut every occurrence of a mined frequent
+    ``n``-gram (:func:`frequent_ngrams`) out of every document — the
+    C4-style remove-ALL-copies policy for chrome/license text, the
+    complement of :func:`dedup.dedup_spans`' keep-first rule for
+    organically duplicated passages. Token positions covered by any
+    frequent-gram span are deleted (overlaps merge via the running-max
+    coverage window), survivors rebuild with single spaces, and the
+    frame carries ``n_tokens`` / ``n_kept`` (NULL text → NULL, 0, 0).
+
+    Scale shape: CHEAPER than dedup_spans — the frequent set is
+    precomputed, so there is no corpus-wide gram groupBy at all: one
+    narrow per-position gram-hash projection, one broadcast LEFT
+    join (auto policy as boilerplate_fraction, with the same
+    ``frequent_count`` hint and mined-``n`` metadata check), then the
+    per-doc window + rebuild sharing one Exchange — a single
+    corpus-sized shuffle total.
+
+    Differential evidence: DuckDB re-derivation of mining + excision
+    end-to-end in tests/test_curation.py (frozen registry — the
+    oracle lives in the test)."""
+    from .dedup import _drop_covered_and_rebuild, _positional_grams
+
+    if "gram_hash" in frequent.columns:
+        meta = frequent.schema["gram_hash"].metadata
+        if meta.get("ngram_n") is not None and meta["ngram_n"] != n:
+            raise ValueError(
+                f"frequent set was mined with n={meta['ngram_n']} but "
+                f"remove_boilerplate_spans was called with n={n} — "
+                "excision would silently be a no-op"
+            )
+    fset = frequent.select(F.col("gram_hash").alias("__gh")).distinct()
+    if broadcast_frequent == "auto":
+        cnt = (
+            frequent_count
+            if frequent_count is not None
+            else fset.limit(broadcast_gram_limit + 1).count()
+        )
+        broadcast_frequent = cnt <= broadcast_gram_limit
+    if broadcast_frequent:
+        fset = F.broadcast(fset)
+    base, ex = _positional_grams(docs, key_col, text_col, n)
+    flagged = ex.join(fset.withColumn("__hit", F.lit(1)), "__gh", "left").withColumn(
+        "__cut", F.col("__hit").isNotNull()
+    )
+    return _drop_covered_and_rebuild(base, flagged, key_col, text_col, n)
+
+
 def boilerplate_fraction(
     docs: DataFrame,
     frequent: DataFrame,

@@ -735,6 +735,85 @@ def dedup_lines(
     return out
 
 
+def _positional_grams(
+    df: DataFrame, key_col: str, text_col: str, L: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span-op front half: ``base`` carries the materialized
+    token array + count; ``ex`` is one row per token position with
+    ``__k / __pos / __tok / __gh`` where ``__gh`` is the portable
+    hash of the L-gram STARTING at the position (NULL for the last
+    L−1 positions). One narrow projection — no shuffle."""
+    from .textstats import tokens_expr
+
+    base = df.withColumn("__toks", tokens_expr(F.col(text_col))).withColumn(
+        "__n_tok", F.size("__toks")
+    )
+    # per-position gram hash, aligned with the token array: position p
+    # (0-based) starts an L-gram iff p <= n - L, else NULL
+    ghs = F.transform(
+        F.col("__toks"),
+        lambda _t, i: F.when(
+            i <= F.col("__n_tok") - L,
+            portable_hash32(F.array_join(F.slice(F.col("__toks"), i + 1, L), " ")),
+        ).otherwise(F.lit(None).cast("long")),
+    )
+    ex = base.select(
+        F.col(key_col).alias("__k"),
+        F.posexplode(F.arrays_zip(F.col("__toks").alias("tok"), ghs.alias("gh"))).alias(
+            "__pos", "__z"
+        ),
+    ).select("__k", "__pos", F.col("__z.tok").alias("__tok"), F.col("__z.gh").alias("__gh"))
+    return base, ex
+
+
+def _drop_covered_and_rebuild(
+    base: DataFrame,
+    flagged: DataFrame,
+    key_col: str,
+    text_col: str,
+    L: int,
+) -> DataFrame:
+    """Shared span-op back half: ``flagged`` is ``ex`` plus a boolean
+    ``__cut`` marking positions whose L-gram span must be deleted. A
+    position q is covered iff the running max of cut-starts up to q
+    exceeds q − L (O(n) unbounded-preceding window per doc); the
+    survivors rebuild in order, counters re-attach, NULL text stays
+    NULL. The window and the rebuild groupBy share one Exchange on
+    the doc key."""
+    from pyspark.sql import Window
+
+    txt = F.col(text_col)
+    w = Window.partitionBy("__k").orderBy("__pos").rowsBetween(Window.unboundedPreceding, 0)
+    kept = (
+        flagged.withColumn("__lastl", F.max(F.when(F.col("__cut"), F.col("__pos"))).over(w))
+        .filter(F.col("__lastl").isNull() | (F.col("__lastl") <= F.col("__pos") - L))
+        .select("__k", "__pos", "__tok")
+    )
+    rebuilt = kept.groupBy("__k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__kept_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.join(rebuilt, base[key_col] == rebuilt["__k"], "left")
+        .drop("__k")
+        .withColumn(
+            text_col,
+            F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("__kept_text"), F.lit(""))
+            ),
+        )
+        .withColumn("n_tokens", F.col("__n_tok").cast("bigint"))
+        .withColumn("n_kept", F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint"))
+        .drop("__kept_text", "__n_kept", "__n_tok", "__toks")
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     *,
@@ -793,30 +872,10 @@ def dedup_spans(
     defined, parity-preserving event (decontam / line-dedup
     precedent; tests/test_span_dedup.py holds the DuckDB
     re-derivation — the driver registry is frozen)."""
-    from .textstats import tokens_expr
-
     L = int(min_span_tokens)
     if L < 2:
         raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
-    key, txt = F.col(key_col), F.col(text_col)
-    base = df.withColumn("__toks", tokens_expr(txt)).withColumn(
-        "__n_tok", F.size("__toks")
-    )
-    # per-position gram hash, aligned with the token array: position p
-    # (0-based) starts an L-gram iff p <= n - L, else NULL
-    ghs = F.transform(
-        F.col("__toks"),
-        lambda _t, i: F.when(
-            i <= F.col("__n_tok") - L,
-            portable_hash32(F.array_join(F.slice(F.col("__toks"), i + 1, L), " ")),
-        ).otherwise(F.lit(None).cast("long")),
-    )
-    ex = base.select(
-        key.alias("__k"),
-        F.posexplode(F.arrays_zip(F.col("__toks").alias("tok"), ghs.alias("gh"))).alias(
-            "__pos", "__z"
-        ),
-    ).select("__k", "__pos", F.col("__z.tok").alias("__tok"), F.col("__z.gh").alias("__gh"))
+    base, ex = _positional_grams(df, key_col, text_col, L)
     # grams occurring >= 2x, with their globally-first occurrence;
     # unique (key, pos) makes the min-struct winner tie-free
     dup_winners = (
@@ -827,41 +886,11 @@ def dedup_spans(
         .select("__gh", "__win")
     )
     flagged = ex.join(dup_winners, "__gh", "left").withColumn(
-        "__loser",
+        "__cut",
         F.col("__win").isNotNull()
         & ~((F.col("__k") == F.col("__win.__k")) & (F.col("__pos") == F.col("__win.__pos"))),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__k").orderBy("__pos").rowsBetween(Window.unboundedPreceding, 0)
-    kept = (
-        flagged.withColumn("__lastl", F.max(F.when(F.col("__loser"), F.col("__pos"))).over(w))
-        .filter(F.col("__lastl").isNull() | (F.col("__lastl") <= F.col("__pos") - L))
-        .select("__k", "__pos", "__tok")
-    )
-    rebuilt = kept.groupBy("__k").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__kept_text"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    return (
-        base.join(rebuilt, base[key_col] == rebuilt["__k"], "left")
-        .drop("__k")
-        .withColumn(
-            text_col,
-            F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(
-                F.coalesce(F.col("__kept_text"), F.lit(""))
-            ),
-        )
-        .withColumn("n_tokens", F.col("__n_tok").cast("bigint"))
-        .withColumn("n_kept", F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint"))
-        .drop("__kept_text", "__n_kept", "__n_tok", "__toks")
-    )
+    return _drop_covered_and_rebuild(base, flagged, key_col, text_col, L)
 
 
 def corpus_minhash_sketch(

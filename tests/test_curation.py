@@ -500,3 +500,104 @@ def test_contamination_fraction_matches_duckdb(spark, duck):
     finally:
         duck.unregister("ctrain")
         duck.unregister("ctest")
+
+
+def test_remove_boilerplate_spans_matches_duckdb(spark, duck):
+    """frequent_ngrams mining + span EXCISION re-derived end-to-end in
+    DuckDB (same portable gram hash, same running-max coverage, same
+    rebuild) — text and both counters match row-for-row, and the
+    planted chrome phrase is gone from every document (remove-ALL-
+    copies, unlike dedup_spans' keep-first). Frozen registry — the
+    oracle lives here."""
+    import pandas as pd
+
+    from fuserank_spark.pipeline_ext.curation import (
+        frequent_ngrams,
+        remove_boilerplate_spans,
+    )
+
+    N, K = 4, 10
+    CHROME = "accept all cookies to continue reading now"  # 7 tokens
+    rows = (
+        duck.execute("SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 80")
+        .fetchall()
+    )
+    out = []
+    for doc_id, text in rows:
+        toks = text.split()[:40]
+        if doc_id % 2 == 0:
+            toks = CHROME.split() + toks
+        if doc_id % 5 == 0:
+            toks = toks + CHROME.split()
+        out.append((doc_id, " ".join(toks)))
+    out.append((90001, "tiny doc"))
+    out.append((90002, None))
+    pdf = pd.DataFrame(out, columns=["doc_id", "text"])
+    duck.register("bdocs", pdf)
+    try:
+        sdf = spark.createDataFrame(pdf).select(
+            "doc_id", F.col("text").cast("string").alias("text")
+        )
+        freq = frequent_ngrams(sdf, n=N, min_doc_count=K)
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+            for r in remove_boilerplate_spans(sdf, freq, n=N)
+            .select("doc_id", "text", "n_tokens", "n_kept")
+            .collect()
+        }
+        gh = (
+            "CAST(concat('0x', substring(md5("
+            f"array_to_string(ts[pos + 1 : pos + {N}], ' ')), 1, 8)) AS BIGINT)"
+        )
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in duck.execute(
+                rf"""
+                WITH b AS (
+                  SELECT doc_id,
+                         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+                  FROM bdocs WHERE text IS NOT NULL
+                ), ex AS (
+                  SELECT doc_id, u.pos - 1 AS pos, ts[u.pos] AS tok, len(ts) AS n, ts
+                  FROM b, unnest(generate_series(1, len(ts))) AS u(pos)
+                ), g AS (
+                  SELECT doc_id, pos, tok,
+                         CASE WHEN pos <= n - {N} THEN {gh} END AS gh
+                  FROM ex
+                ), mined AS (
+                  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g WHERE gh IS NOT NULL)
+                  GROUP BY gh HAVING count(*) >= {K}
+                ), m AS (
+                  SELECT doc_id, pos, tok,
+                         max(CASE WHEN gh IN (SELECT gh FROM mined) THEN pos END)
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS lastl
+                  FROM g
+                ), reb AS (
+                  SELECT doc_id,
+                         string_agg(tok, ' ' ORDER BY pos)
+                           FILTER (lastl IS NULL OR lastl <= pos - {N}) AS text_kept,
+                         count(*) FILTER (lastl IS NULL OR lastl <= pos - {N}) AS n_kept
+                  FROM m GROUP BY doc_id
+                )
+                SELECT d.doc_id,
+                       CASE WHEN d.text IS NULL THEN NULL
+                            ELSE coalesce(r.text_kept, '') END AS text,
+                       CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
+                       coalesce(r.n_kept, 0) AS n_kept
+                FROM bdocs d LEFT JOIN reb r USING (doc_id)
+                """
+            ).fetchall()
+        }
+        assert got == want
+        # remove-ALL-copies: the chrome phrase survives nowhere
+        assert not any(t and CHROME in t for t, _, _ in got.values())
+        assert got[90001] == ("tiny doc", 2, 2)  # sub-n passthrough
+        assert got[90002] == (None, 0, 0)
+        # mined-n metadata guard
+        with pytest.raises(ValueError):
+            remove_boilerplate_spans(sdf, freq, n=N + 1)
+    finally:
+        duck.unregister("bdocs")
