@@ -660,6 +660,7 @@ def curate_corpus(
     max_perplexity: float | None = None,
     quality_model=None,
     pareto_alpha: float | None = None,
+    span_dedup_tokens: int | None = None,
 ) -> DataFrame:
     """End-to-end curation: [optional line dedup] → quality-score
     filter → [optional LM perplexity filter] → exact dedup (keep min
@@ -691,7 +692,13 @@ def curate_corpus(
     heuristic filter (Brown et al. 2020 App. A ordering: cheap rules
     first, the classifier's stochastic Pareto acceptance on what
     survives — narrow transforms + a deterministic expression gate,
-    no extra shuffle)."""
+    no extra shuffle).
+
+    Pass ``span_dedup_tokens=L`` to run :func:`dedup.dedup_spans`
+    after the (optional) line dedup and before any scoring — the Lee
+    et al. 2021 ordering: cut duplicated passages first so quality /
+    perplexity / hash dedup judge the unique content that will
+    actually train."""
     from .textstats import quality_features
 
     if (perplexity_lm is None) != (max_perplexity is None):
@@ -701,7 +708,17 @@ def curate_corpus(
     if line_dedup:
         from .dedup import dedup_lines
 
-        df = dedup_lines(df, key_col=key_col, text_col=text_col)
+        # the per-stage counters are stage diagnostics — dropped in the
+        # composition so successive stages can't shadow each other's
+        df = dedup_lines(df, key_col=key_col, text_col=text_col).drop(
+            "n_lines", "n_kept"
+        )
+    if span_dedup_tokens is not None:
+        from .dedup import dedup_spans
+
+        df = dedup_spans(
+            df, key_col=key_col, text_col=text_col, min_span_tokens=span_dedup_tokens
+        ).drop("n_tokens", "n_kept")
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
     if quality_model is not None:
         from .classifier import pareto_quality_filter, quality_scores

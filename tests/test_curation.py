@@ -601,3 +601,25 @@ def test_remove_boilerplate_spans_matches_duckdb(spark, duck):
             remove_boilerplate_spans(sdf, freq, n=N + 1)
     finally:
         duck.unregister("bdocs")
+
+
+def test_curate_corpus_optional_span_dedup_stage(spark):
+    """span_dedup_tokens=L cuts duplicated passages before scoring
+    (Lee et al. ordering); composes with line_dedup, and the stage
+    counters never leak into the curated frame."""
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    banner = "subscribe to our newsletter for daily updates"
+    rows = [
+        (1, banner + "\n" + f"intro words here {passage} closing unique thoughts expressed"),
+        (2, banner + "\n" + f"other doc begins {passage} and then different tail content"),
+    ]
+    d = _docs(spark, rows)
+    out = curate_corpus(d, min_quality=0.0, line_dedup=True, span_dedup_tokens=5)
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert passage in texts[1]          # first occurrence survives
+    assert passage not in texts[2]      # later copy excised
+    assert banner in texts[1] and banner not in texts[2]  # line stage ran too
+    # the dedup stages' counters don't leak (n_tokens IS present, but
+    # it's quality_features' own fresh value, not a stage diagnostic)
+    for c in ("n_lines", "n_kept"):
+        assert c not in out.columns
