@@ -406,3 +406,42 @@ def file_pruning_fraction(path: str, col: str, lo: float, hi: float) -> float:
         if f_min is not None and (f_min > hi or f_max < lo):
             skipped += 1
     return skipped / len(files)
+
+
+def corpus_checksum(df: DataFrame, cols: list[str] | None = None) -> int:
+    """Order-independent multiset checksum of a corpus: the exact
+    DECIMAL(38) sum of a portable 32-bit row hash over the selected
+    columns. Two materializations of the same rows — different
+    partitioning, file layout, engine, or scan order — produce the
+    SAME integer, so snapshot equality (post-compaction serve
+    identity, an engine migration, a replicated sink) is one
+    aggregate per side instead of a sort-and-diff of 100 TB.
+    SUM (not bit_xor) so duplicate rows cannot cancel pairwise; the
+    decimal accumulator is exact far beyond any real row count
+    (2^32 max per row · 10^26 rows before 38 digits saturate).
+
+    Row hash: md5 over the '\\x1f'-joined column values with NULLs
+    mapped to an explicit sentinel — ``concat_ws`` alone SKIPS nulls,
+    which would alias ('a', NULL) with ('a',). Array/struct columns
+    are cast to strings; floating-point columns should be rounded by
+    the caller first (the portable-rounding invariant).
+
+    Differential twin (DuckDB — hex→int only casts to BIGINT, so
+    widen in a second cast)::
+
+        SELECT sum(CAST(CAST(concat('0x', substring(md5(
+                 concat_ws(chr(31), coalesce(CAST(c1 AS VARCHAR), chr(0)), ...)
+               ), 1, 8)) AS BIGINT) AS HUGEINT)) FROM t
+    """
+    from .pipeline_ext.hashing import portable_hash32
+
+    use = cols if cols is not None else df.columns
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in use
+    ]
+    row_hash = portable_hash32(F.concat_ws("\x1f", *parts))
+    row = df.agg(
+        F.sum(row_hash.cast("decimal(38,0)")).alias("cs"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["cs"]) if row["cs"] is not None else 0

@@ -190,3 +190,43 @@ def test_salted_join_rejects_zero_buckets(spark):
     small = spark.range(0, 2).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="salt_buckets"):
         salted_join(big, small, "k", salt_buckets=0)
+
+
+def test_corpus_checksum_order_independent_and_duckdb_twin(spark, duck):
+    """Checksum is invariant to partitioning/row order, differs on a
+    1-row change, never cancels duplicate rows pairwise, and matches
+    the exact DuckDB re-derivation (same portable row hash, same
+    exact sum). Registry frozen — the oracle lives here."""
+    from fuserank_spark.partitioning import corpus_checksum
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    a = corpus_checksum(docs)
+    assert a == corpus_checksum(docs.repartition(17, "lang"))
+    assert a == corpus_checksum(docs.orderBy(F.col("text").desc()))
+    # one-row change breaks it
+    from pyspark.sql import functions as SF
+
+    mutated = docs.withColumn(
+        "text", SF.when(SF.col("doc_id") == 3, SF.lit("tampered")).otherwise(SF.col("text"))
+    )
+    assert a != corpus_checksum(mutated)
+    # duplicated rows do NOT cancel (the bit_xor failure mode)
+    assert a != corpus_checksum(docs.unionAll(docs.limit(2)))
+    # NULL sentinel: ('x', NULL) never aliases ('x',)-style collapses
+    two = spark.createDataFrame([("x", None), ("xx", None)], "a string, b string")
+    assert corpus_checksum(two) != corpus_checksum(
+        spark.createDataFrame([("x", "x"), ("x", None)], "a string, b string")
+    )
+    want = duck.execute(
+        """
+        SELECT sum(CAST(CAST(concat('0x', substring(md5(concat_ws(chr(31),
+                 coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+                 coalesce(text, chr(0)),
+                 coalesce(lang, chr(0)))), 1, 8)) AS BIGINT) AS HUGEINT))
+        FROM documents
+        """
+    ).fetchone()[0]
+    assert a == int(want)
