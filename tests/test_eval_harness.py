@@ -57,3 +57,23 @@ def test_geo_rank_agreement(spark):
     mean = sum(r["recall"] for r in res) / len(res)
     assert mean >= 0.9, res
     assert all(0.0 <= r["r_precision"] <= 1.0 for r in res)
+
+
+def test_lsh_dedup_recall_eval(spark):
+    """The banding-recall metric behaves like LSH theory says it
+    must: recall is monotone in the true-similarity band, the
+    planted ≥0.9-J twins are essentially always found, and the
+    bookkeeping is consistent."""
+    from fuserank_spark.eval_harness import evaluate_lsh_dedup_recall
+    from tests.conftest import SF_SMOKE
+
+    r = evaluate_lsh_dedup_recall(spark, SF_SMOKE, n_docs=60)
+    by = r["recall_by_band"]
+    # the planted twins populate the top bands: near-exact pairs are
+    # essentially always found, and the 0.7-0.9 band can't beat them
+    # (the 0.5-0.7 band is too thin at this SF to assert on)
+    assert by["0.9-1.0"] is not None and by["0.9-1.0"] >= 0.8
+    if by["0.7-0.9"] is not None:
+        assert by["0.7-0.9"] <= by["0.9-1.0"]
+    assert r["n_candidates"] >= 1 and r["n_truth_pairs"] > 0
+    assert 0.0 <= r["false_candidate_frac"] <= 1.0
