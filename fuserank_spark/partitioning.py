@@ -445,3 +445,74 @@ def corpus_checksum(df: DataFrame, cols: list[str] | None = None) -> int:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     return int(row["cs"]) if row["cs"] is not None else 0
+
+
+def write_corpus_snapshot(
+    df: DataFrame,
+    path: str,
+    *,
+    checksum_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write a corpus as parquet plus a ``_snapshot.json`` manifest
+    recording row count, schema, checksum columns and the
+    order-independent :func:`corpus_checksum` — computed from a
+    READ-BACK of the written files, so the manifest certifies what is
+    actually on disk, not what the writer intended. The manifest
+    lands atomically AFTER the data (the `_compaction.json` /
+    encoder-meta publish pattern): a reader that sees the manifest
+    sees a complete, verified snapshot. Returns the manifest dict.
+
+    The price is one extra scan of the written files — the audit
+    trail for corpus hand-offs (training-data releases, engine
+    migrations, replicated sinks)."""
+    import json
+    import os as _os
+
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    cols = checksum_cols if checksum_cols is not None else sorted(back.columns)
+    manifest = {
+        "n_rows": back.count(),
+        "checksum": str(corpus_checksum(back, cols)),
+        "checksum_cols": cols,
+        "schema": back.schema.jsonValue(),
+        "partition_by": partition_by or [],
+    }
+    mpath = _os.path.join(path, "_snapshot.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    _os.replace(tmp, mpath)
+    return manifest
+
+
+def verify_corpus_snapshot(spark: SparkSession, path: str) -> dict:
+    """Recompute row count and checksum over the snapshot's files and
+    compare against its manifest; raises ``ValueError`` on any
+    mismatch, returns the manifest when clean. One aggregate — the
+    cheap pre-flight before training on (or serving from) a copied /
+    compacted / migrated corpus."""
+    import json
+    import os as _os
+
+    with open(_os.path.join(path, "_snapshot.json")) as f:
+        manifest = json.load(f)
+    back = spark.read.parquet(path)
+    n = back.count()
+    if n != manifest["n_rows"]:
+        raise ValueError(
+            f"snapshot row count mismatch at {path}: manifest "
+            f"{manifest['n_rows']}, files {n}"
+        )
+    cs = str(corpus_checksum(back, manifest["checksum_cols"]))
+    if cs != manifest["checksum"]:
+        raise ValueError(
+            f"snapshot checksum mismatch at {path}: manifest "
+            f"{manifest['checksum']}, files {cs}"
+        )
+    return manifest

@@ -230,3 +230,43 @@ def test_corpus_checksum_order_independent_and_duckdb_twin(spark, duck):
         """
     ).fetchone()[0]
     assert a == int(want)
+
+
+def test_corpus_snapshot_write_verify_and_tamper(spark, tmp_path):
+    """write_corpus_snapshot certifies the on-disk files (read-back
+    checksum); verify passes on the clean snapshot, survives a pure
+    rewrite of the same rows, and raises on row-count or content
+    drift."""
+    import shutil
+
+    from fuserank_spark.partitioning import (
+        verify_corpus_snapshot,
+        write_corpus_snapshot,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    path = str(tmp_path / "snap")
+    manifest = write_corpus_snapshot(docs, path, partition_by=["lang"])
+    assert manifest["n_rows"] == docs.count()
+    got = verify_corpus_snapshot(spark, path)
+    assert got["checksum"] == manifest["checksum"]
+
+    # a different physical layout of the SAME rows still verifies
+    path2 = str(tmp_path / "snap2")
+    m2 = write_corpus_snapshot(docs.repartition(13), path2)
+    assert m2["checksum"] == manifest["checksum"]
+    verify_corpus_snapshot(spark, path2)
+
+    # tamper: drop rows behind the manifest's back
+    shutil.rmtree(path2)
+    docs.filter("doc_id > 3").write.parquet(path2)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path2, "_snapshot.json"), "w") as f:
+        _json.dump(m2, f)
+    with pytest.raises(ValueError, match="row count"):
+        verify_corpus_snapshot(spark, path2)
