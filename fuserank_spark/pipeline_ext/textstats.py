@@ -251,3 +251,38 @@ def vocab_coverage(
             .alias("oov_frac"),
         )
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation: one row per sentence with its 0-based
+    index — the preprocessing granularity between documents and token
+    chunks (sentence-aware packing, per-sentence embedding, PII
+    review queues). Terminator-run boundaries ([.!?]+ followed by
+    whitespace); the terminators STAY on their sentence, trailing
+    text without a terminator is a sentence, and NULL/empty docs emit
+    no rows.
+
+    Engine-parity note: the natural lookbehind split
+    ``(?<=[.!?])\\s+`` is Java-only — RE2 (DuckDB) has no lookaround,
+    so the boundary is materialized instead: a capture-group
+    replacement plants a sentinel after each terminator run
+    (``([.!?]+)\\s+`` → ``$1<US>``) and the split is a literal on the
+    sentinel — the same two ops exist verbatim in both engines
+    (tests/test_textstats_sentences.py holds the DuckDB
+    re-derivation; frozen registry). Pure expressions, one
+    posexplode, zero shuffle."""
+    marked = F.regexp_replace(F.trim(F.col(text_col)), r"([.!?]+)\s+", "$1\x1f")
+    sents = F.filter(
+        F.split(marked, "\x1f"), lambda s: F.trim(s) != F.lit("")
+    )
+    guarded = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(sents)
+    return df.select(
+        F.col(key_col), F.posexplode(guarded).alias("sent_idx", "sentence")
+    )
