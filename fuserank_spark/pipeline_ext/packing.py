@@ -302,3 +302,74 @@ def chunk_documents(
             F.col("__c.chunk_tokens").alias("chunk_tokens"),
         )
     )
+
+
+def chunk_sentences(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Sentence-aware chunking: consecutive whole sentences grouped
+    into chunks of ~``max_tokens`` whitespace tokens — the
+    boundary-respecting alternative to :func:`chunk_documents` when
+    cutting mid-sentence hurts the consumer (embedding quality, RAG
+    display). One output row per (document, chunk): ``chunk_idx``
+    (0-based, dense), the chunk ``text`` (sentences joined by single
+    spaces), ``n_sentences`` and ``chunk_tokens``.
+
+    Chunk assignment is the :func:`pack_split` rule applied per
+    document: ``chunk = (running_tokens_before_sentence) div
+    max_tokens`` over sentences in order — deterministic, pure
+    window math, no sequential fold. Same documented consequence as
+    pack_split: a sentence can straddle a budget boundary, so a
+    chunk may exceed ``max_tokens`` by up to one sentence; a single
+    sentence longer than the budget gets a chunk of its own rather
+    than being cut (use chunk_documents for hard token caps).
+
+    Plan shape: sentence explode is narrow; ONE window + groupBy per
+    document key sharing an Exchange — per-task state bounded by one
+    document's sentences. NULL/blank docs emit zero rows
+    (split_sentences contract). DuckDB re-derivation in
+    tests/test_chunking.py (frozen registry)."""
+    from pyspark.sql import Window
+
+    from .textstats import split_sentences, tokens_expr
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    s = split_sentences(df, text_col=text_col, key_col=key_col).withColumn(
+        "__nt", F.size(tokens_expr(F.col("sentence"))).cast("bigint")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = s.withColumn(
+        "chunk_idx",
+        F.floor(F.coalesce(F.sum("__nt").over(w), F.lit(0)) / max_tokens).cast("bigint"),
+    )
+    return (
+        chunked.groupBy(key_col, "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "sentence"))),
+                    lambda x: x["sentence"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("__nt").alias("chunk_tokens"),
+        )
+        # dense re-index: the div rule can skip chunk numbers when one
+        # sentence spans multiple budgets
+        .withColumn(
+            "chunk_idx",
+            (
+                F.row_number().over(Window.partitionBy(key_col).orderBy("chunk_idx")) - 1
+            ).cast("bigint"),
+        )
+    )

@@ -134,3 +134,91 @@ def test_chunking_plan_is_shuffle_free(docs):
     )
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_sentences_matches_duckdb(spark, duck):
+    """Sentence-aware chunking re-derived in DuckDB: sentinel
+    sentence split → per-sentence token count → exclusive running sum
+    → div-by-budget chunk → ordered concat → dense re-index. Frozen
+    registry — the oracle lives here."""
+    import pandas as pd
+
+    from fuserank_spark.pipeline_ext.packing import chunk_sentences
+
+    rows = (
+        duck.execute("SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 60")
+        .fetchall()
+    )
+    out = []
+    for doc_id, text in rows:
+        toks = text.split()
+        # re-punctuate into sentences of 5-9 tokens so chunking has
+        # real boundaries; vary terminator runs
+        sents, i, j = [], 0, 0
+        while i < len(toks):
+            n = 5 + (j % 5)
+            sents.append(" ".join(toks[i : i + n]) + (".", "!", "?!")[j % 3])
+            i += n
+            j += 1
+        out.append((doc_id, " ".join(sents)))
+    out.append((90001, "one short sentence."))
+    out.append((90002, None))
+    pdf = pd.DataFrame(out, columns=["doc_id", "text"])
+    duck.register("chunk_sent_docs", pdf)
+    try:
+        sdf = spark.createDataFrame(pdf).select(
+            "doc_id", F.col("text").cast("string").alias("text")
+        )
+        B = 10
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["text"], r["n_sentences"], r["chunk_tokens"])
+            for r in chunk_sentences(sdf, max_tokens=B).collect()
+        }
+        want = {
+            (r[0], r[1]): (r[2], r[3], r[4])
+            for r in duck.execute(
+                rf"""
+                WITH m AS (
+                  SELECT doc_id,
+                         regexp_replace(trim(text), '([.!?]+)\s+',
+                                        '\1' || chr(31), 'g') AS mk
+                  FROM chunk_sent_docs
+                  WHERE text IS NOT NULL AND trim(text) <> ''
+                ), sp AS (
+                  SELECT doc_id, string_split(mk, chr(31)) AS ss FROM m
+                ), s AS (
+                  SELECT doc_id, ss[u.i] AS sentence,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY u.i) - 1 AS sent_idx,
+                         len(regexp_split_to_array(trim(ss[u.i]), '\s+')) AS nt
+                  FROM sp, unnest(generate_series(1, len(ss))) AS u(i)
+                  WHERE trim(ss[u.i]) <> ''
+                ), c AS (
+                  SELECT doc_id, sent_idx, sentence, nt,
+                         CAST(floor(coalesce(sum(nt) OVER (
+                             PARTITION BY doc_id ORDER BY sent_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           / {B}) AS BIGINT) AS raw_chunk
+                  FROM s
+                ), g AS (
+                  SELECT doc_id, raw_chunk,
+                         string_agg(sentence, ' ' ORDER BY sent_idx) AS text,
+                         count(*) AS n_sentences, sum(nt) AS chunk_tokens
+                  FROM c GROUP BY doc_id, raw_chunk
+                )
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY raw_chunk) - 1 AS chunk_idx,
+                       text, n_sentences, chunk_tokens
+                FROM g
+                """
+            ).fetchall()
+        }
+        assert got == want
+        # invariants: concatenating a doc's chunks in order reproduces
+        # the sentence stream; no empty chunks; short doc = one chunk
+        doc0 = rows[0][0]
+        chunks0 = [v[0] for k, v in sorted(got.items()) if k[0] == doc0]
+        assert len(chunks0) >= 2
+        assert got[(90001, 0)] == ("one short sentence.", 1, 3)
+        assert not any(k[0] == 90002 for k in got)
+    finally:
+        duck.unregister("chunk_sent_docs")
