@@ -385,3 +385,59 @@ def hybrid_topk(
     return rrf_fuse(
         [text_arm, dense_arm], id_col=doc_id_col, k_rrf=k_rrf, k=k
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (sklearn form: ``tf · (ln((N+1)/(df+1)) + 1)``) — the corpus-
+    exploration twin of the BM25 machinery: what is this document
+    ABOUT, for labeling clusters, eyeballing dedup survivors, or
+    seeding domain mixtures. Returns (key, term, tf, df, tfidf,
+    term_rank), rank 1-based by (tfidf desc, term asc).
+
+    Cross-engine discipline: tfidf is round(,6)-ed BEFORE the rank so
+    the tie-break domain is identical on any engine (the ADC/
+    fused-IVF precedent); ties inside a rounded score break on the
+    term string. ``min_df`` drops hapax noise (df < min_df) before
+    ranking.
+
+    Plan shape: one explode → one (key, term) count groupBy (the
+    honest per-doc-term shuffle), one term-level df groupBy whose
+    output is the distinct-term table joined back (AQE sizes it), one
+    bounded per-key window for the top-k. DuckDB re-derivation in
+    tests/test_retrieval.py (frozen registry)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ex = docs.select(
+        F.col(key_col), F.explode(lc_tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = ex.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.select(key_col).distinct().count()
+    df_tbl = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    import math
+
+    scored = tf.join(df_tbl, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.log((F.lit(float(n + 1))) / (F.col("df") + 1)) + 1.0), 6
+        ),
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= k)
+        .select(key_col, "term", "tf", "df", "tfidf", "term_rank")
+    )

@@ -225,3 +225,53 @@ def test_batch_dup_across_chunks_raises(docs):
         bm25_topk_batch(
             docs, [(1, ["cat"]), (2, ["dog"]), (1, ["mat"])], max_query_batch=2
         )
+
+
+def test_tfidf_top_terms_matches_duckdb(spark, duck):
+    """TF-IDF top-k per doc re-derived in DuckDB: same smoothed idf,
+    same round-before-rank discipline, same (tfidf desc, term asc)
+    tie-break. Frozen registry — the oracle lives here."""
+    from fuserank_spark.pipeline_ext.retrieval import tfidf_top_terms
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    ).select("doc_id", "text")
+    got = [
+        tuple(r)
+        for r in tfidf_top_terms(docs, k=5, min_df=2)
+        .orderBy("doc_id", "term_rank")
+        .collect()
+    ]
+    n = docs.count()
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            rf"""
+            WITH ex AS (
+              SELECT doc_id, unnest(
+                CASE WHEN text IS NULL OR trim(lower(text)) = ''
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+              ) AS term
+              FROM documents WHERE doc_id < 120
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+            ), dfl AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 2
+            ), sc AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfl.df,
+                     round(tf.tf * (ln(CAST({n} + 1 AS DOUBLE) / (dfl.df + 1)) + 1.0), 6) AS tfidf
+              FROM tf JOIN dfl USING (term)
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+              FROM sc
+            )
+            SELECT doc_id, term, tf, df, tfidf, term_rank
+            FROM rk WHERE term_rank <= 5 ORDER BY doc_id, term_rank
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(got) > 0
