@@ -423,72 +423,6 @@ def fused_ivf_nprobe_sweep(
     return spark.createDataFrame(rows, "nprobe int, recall double")
 
 
-def main() -> None:
-    """CLI twin of the reference's `python src/eval/evaluate.py`
-    (evaluate.py:205-242): run the sweep, print the grouped report."""
-    import argparse
-    import os
-
-    from .session import get_spark
-
-    ap = argparse.ArgumentParser(description="fused-vs-exact differential eval")
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    ap.add_argument("--harmonics", type=int, nargs="+", default=[8, 64, 200])
-    ap.add_argument("--epsilons", type=float, nargs="+", default=[0.01])
-    ap.add_argument("--queries", type=int, default=10)
-    ap.add_argument("--modalities", type=int, default=2)
-    ap.add_argument("--k", type=int, default=10)
-    ap.add_argument(
-        "--export-dir",
-        default=None,
-        help="also write CSV (+ PNG if matplotlib, else ASCII chart) here",
-    )
-    args = ap.parse_args()
-
-    spark = get_spark("fuserank-eval")
-    spark.sparkContext.setLogLevel("ERROR")
-    all_results: list[dict] = []
-    # one embed+stats pass shared by every ε, every K, and the geo
-    # metric — only the K-dependent encode re-runs inside the sweep
-    base = prepare_eval_base(spark, args.sf_dir)
-    for eps in args.epsilons:
-        all_results.extend(
-            evaluate_fused_vs_exact(
-                spark, args.sf_dir, tuple(args.harmonics),
-                n_queries=args.queries, n_modalities=args.modalities,
-                k=args.k, interval_epsilon=eps, base=base,
-            )
-        )
-    report(spark, all_results).show(truncate=False)
-    fused_ivf_nprobe_sweep(spark, args.sf_dir, k=args.k).show(truncate=False)
-    geo = evaluate_geo_rank_agreement(
-        spark, args.sf_dir, num_harmonics=max(args.harmonics),
-        n_queries=args.queries, k=args.k, base=base,
-    )
-    base[1].unpersist()
-    print(
-        "geo rank agreement vs exact haversine: "
-        f"mean recall@{args.k} = {sum(r['recall'] for r in geo) / len(geo):.4f} "
-        f"({len(geo)} seeded geo queries, K={max(args.harmonics)})"
-    )
-    lsh = evaluate_lsh_dedup_recall(spark, args.sf_dir)
-    print(
-        "minhash-LSH candidate recall vs exact shingle-Jaccard: "
-        + ", ".join(
-            f"J {band} → {r:.3f}" if r is not None else f"J {band} → n/a"
-            for band, r in lsh["recall_by_band"].items()
-        )
-        + f"; false-candidate frac (true J<0.3) = {lsh['false_candidate_frac']:.3f}"
-    )
-    if args.export_dir:
-        for p in export_report(spark, all_results, args.export_dir):
-            print(f"wrote {p}")
-
-
-if __name__ == "__main__":
-    main()
-
-
 def evaluate_lsh_dedup_recall(
     spark: SparkSession,
     sf_dir: str,
@@ -573,3 +507,69 @@ def evaluate_lsh_dedup_recall(
         "n_candidates": len(cands),
         "false_candidate_frac": (n_false / len(cands)) if cands else 0.0,
     }
+
+
+def main() -> None:
+    """CLI twin of the reference's `python src/eval/evaluate.py`
+    (evaluate.py:205-242): run the sweep, print the grouped report."""
+    import argparse
+    import os
+
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser(description="fused-vs-exact differential eval")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--harmonics", type=int, nargs="+", default=[8, 64, 200])
+    ap.add_argument("--epsilons", type=float, nargs="+", default=[0.01])
+    ap.add_argument("--queries", type=int, default=10)
+    ap.add_argument("--modalities", type=int, default=2)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--export-dir",
+        default=None,
+        help="also write CSV (+ PNG if matplotlib, else ASCII chart) here",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark("fuserank-eval")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_results: list[dict] = []
+    # one embed+stats pass shared by every ε, every K, and the geo
+    # metric — only the K-dependent encode re-runs inside the sweep
+    base = prepare_eval_base(spark, args.sf_dir)
+    for eps in args.epsilons:
+        all_results.extend(
+            evaluate_fused_vs_exact(
+                spark, args.sf_dir, tuple(args.harmonics),
+                n_queries=args.queries, n_modalities=args.modalities,
+                k=args.k, interval_epsilon=eps, base=base,
+            )
+        )
+    report(spark, all_results).show(truncate=False)
+    fused_ivf_nprobe_sweep(spark, args.sf_dir, k=args.k).show(truncate=False)
+    geo = evaluate_geo_rank_agreement(
+        spark, args.sf_dir, num_harmonics=max(args.harmonics),
+        n_queries=args.queries, k=args.k, base=base,
+    )
+    base[1].unpersist()
+    print(
+        "geo rank agreement vs exact haversine: "
+        f"mean recall@{args.k} = {sum(r['recall'] for r in geo) / len(geo):.4f} "
+        f"({len(geo)} seeded geo queries, K={max(args.harmonics)})"
+    )
+    lsh = evaluate_lsh_dedup_recall(spark, args.sf_dir)
+    print(
+        "minhash-LSH candidate recall vs exact shingle-Jaccard: "
+        + ", ".join(
+            f"J {band} → {r:.3f}" if r is not None else f"J {band} → n/a"
+            for band, r in lsh["recall_by_band"].items()
+        )
+        + f"; false-candidate frac (true J<0.3) = {lsh['false_candidate_frac']:.3f}"
+    )
+    if args.export_dir:
+        for p in export_report(spark, all_results, args.export_dir):
+            print(f"wrote {p}")
+
+
+if __name__ == "__main__":
+    main()

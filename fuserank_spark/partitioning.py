@@ -433,6 +433,13 @@ def corpus_checksum(df: DataFrame, cols: list[str] | None = None) -> int:
                  concat_ws(chr(31), coalesce(CAST(c1 AS VARCHAR), chr(0)), ...)
                ), 1, 8)) AS BIGINT) AS HUGEINT)) FROM t
     """
+    return _checksum_and_count(df, cols)[0]
+
+
+def _checksum_and_count(df: DataFrame, cols: list[str] | None) -> tuple[int, int]:
+    """(checksum, row count) in ONE aggregate — the snapshot paths
+    need both, and a second count() would double the advertised
+    one-extra-scan price (review catch, this round)."""
     from .pipeline_ext.hashing import portable_hash32
 
     use = cols if cols is not None else df.columns
@@ -444,7 +451,7 @@ def corpus_checksum(df: DataFrame, cols: list[str] | None = None) -> int:
         F.sum(row_hash.cast("decimal(38,0)")).alias("cs"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return int(row["cs"]) if row["cs"] is not None else 0
+    return (int(row["cs"]) if row["cs"] is not None else 0, int(row["n"]))
 
 
 def write_corpus_snapshot(
@@ -476,9 +483,10 @@ def write_corpus_snapshot(
     spark = df.sparkSession
     back = spark.read.parquet(path)
     cols = checksum_cols if checksum_cols is not None else sorted(back.columns)
+    cs, n_rows = _checksum_and_count(back, cols)
     manifest = {
-        "n_rows": back.count(),
-        "checksum": str(corpus_checksum(back, cols)),
+        "n_rows": n_rows,
+        "checksum": str(cs),
         "checksum_cols": cols,
         "schema": back.schema.jsonValue(),
         "partition_by": partition_by or [],
@@ -503,13 +511,13 @@ def verify_corpus_snapshot(spark: SparkSession, path: str) -> dict:
     with open(_os.path.join(path, "_snapshot.json")) as f:
         manifest = json.load(f)
     back = spark.read.parquet(path)
-    n = back.count()
+    cs_i, n = _checksum_and_count(back, manifest["checksum_cols"])
     if n != manifest["n_rows"]:
         raise ValueError(
             f"snapshot row count mismatch at {path}: manifest "
             f"{manifest['n_rows']}, files {n}"
         )
-    cs = str(corpus_checksum(back, manifest["checksum_cols"]))
+    cs = str(cs_i)
     if cs != manifest["checksum"]:
         raise ValueError(
             f"snapshot checksum mismatch at {path}: manifest "

@@ -148,10 +148,13 @@ def bpe_tokens(
     ``(key, n_bpe_tokens)`` (the packing-budget input). NULL text →
     empty/0."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # the key's real type rides through — a hardcoded `long` would
+    # break Arrow serialization for string/other keys (review catch)
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, n_bpe_tokens long"
+        f"{key_col} {key_type}, n_bpe_tokens long"
         if counts_only
-        else f"{key_col} long, bpe_tokens array<string>"
+        else f"{key_col} {key_type}, bpe_tokens array<string>"
     )
     lc = lowercase
 

@@ -195,23 +195,32 @@ def contaminated_keys(
     test set can no longer blow the driver/broadcast limit because
     the caller forgot to flip a flag; the count costs one extra pass
     over the (small) test side only. Pass True/False to force."""
-    def gram_hashes(df: DataFrame, *keep: str) -> DataFrame:
-        # tokens materialized as a column BEFORE the n-gram HOF —
-        # an inline split() would re-tokenize per gram position
-        return (
-            df.withColumn("__toks", tokens_expr(F.col(text_col)))
-            .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
-            .select(
-                *keep,
-                F.explode(
-                    F.transform(F.col("__grams"), lambda g: portable_hash32(g))
-                ).alias("__g"),
-            )
-        )
-
-    tr = gram_hashes(train, key_col)
+    tr = _gram_hash_rows(train, text_col, n, key_col)
     te = _test_gram_set(test, text_col, n, broadcast_test, broadcast_gram_limit)
     return tr.join(te, "__g", "left_semi").select(key_col).distinct()
+
+
+def _gram_hash_rows(
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    *keep: str,
+    distinct_within_doc: bool = False,
+) -> DataFrame:
+    """THE tokenize → n-gram → portable-hash → explode pipeline, as
+    one-row-per-gram ``__g`` (plus ``keep`` columns) — shared by the
+    decontamination train side, the test-gram set, and the
+    overlap-fraction metric, so gram construction can never silently
+    diverge between them (review catch, this round). Tokens are
+    materialized as a column BEFORE the n-gram HOF — an inline
+    split() would re-tokenize per gram position."""
+    base = df.withColumn("__toks", tokens_expr(F.col(text_col))).withColumn(
+        "__grams", token_ngrams_expr(F.col("__toks"), n)
+    )
+    hashes = F.transform(F.col("__grams"), lambda g: portable_hash32(g))
+    if distinct_within_doc:
+        hashes = F.array_distinct(hashes)
+    return base.select(*keep, F.explode(hashes).alias("__g"))
 
 
 def _test_gram_set(
@@ -224,16 +233,7 @@ def _test_gram_set(
     """DISTINCT portable gram hashes of the held-out side as a 1-col
     frame ``__g``, broadcast under the auto-sizing policy documented
     on contaminated_keys (shared by the overlap-fraction variant)."""
-    te = (
-        test.withColumn("__toks", tokens_expr(F.col(text_col)))
-        .withColumn("__grams", token_ngrams_expr(F.col("__toks"), n))
-        .select(
-            F.explode(
-                F.transform(F.col("__grams"), lambda g: portable_hash32(g))
-            ).alias("__g")
-        )
-        .distinct()
-    )
+    te = _gram_hash_rows(test, text_col, n).distinct()
     if broadcast_test == "auto":
         broadcast_test = (
             te.limit(broadcast_gram_limit + 1).count() <= broadcast_gram_limit
@@ -277,17 +277,7 @@ def contamination_fraction(
     token-count-only union — no join anywhere on the 100 TB side."""
     te = _test_gram_set(test, text_col, n, broadcast_test, broadcast_gram_limit)
     toked = train.withColumn("__toks", tokens_expr(F.col(text_col)))
-    ex = toked.select(
-        key_col,
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    token_ngrams_expr(F.col("__toks"), n),
-                    lambda g: portable_hash32(g),
-                )
-            )
-        ).alias("__g"),
-    )
+    ex = _gram_hash_rows(train, text_col, n, key_col, distinct_within_doc=True)
     counted = (
         ex.join(te.withColumn("__hit", F.lit(1)), "__g", "left")
         .groupBy(key_col)

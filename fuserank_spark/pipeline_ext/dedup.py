@@ -912,26 +912,22 @@ def dedup_spans(
     else:
         from pyspark.sql import Window
 
+        # the window runs ONLY over gram-bearing rows: the last L−1
+        # positions of EVERY doc carry a NULL __gh, and a
+        # partitionBy("__gh") over the full frame would funnel all of
+        # them — (L−1)·n_docs rows, independent of duplication — into
+        # one unsplittable NULL partition (review catch, this round);
+        # they rejoin as never-cut rows via a cheap union instead
         per_gram = Window.partitionBy("__gh")
-        flagged = (
-            ex.withColumn(
-                "__cnt",
-                F.when(F.col("__gh").isNotNull(), F.count(F.lit(1)).over(per_gram)),
-            )
-            .withColumn(
-                "__rn",
-                F.when(
-                    F.col("__gh").isNotNull(),
-                    F.row_number().over(per_gram.orderBy("__k", "__pos")),
-                ),
-            )
-            .withColumn(
-                "__cut",
-                F.col("__gh").isNotNull()
-                & (F.col("__cnt") >= 2)
-                & (F.col("__rn") > 1),
-            )
+        with_gram = (
+            ex.filter(F.col("__gh").isNotNull())
+            .withColumn("__cnt", F.count(F.lit(1)).over(per_gram))
+            .withColumn("__rn", F.row_number().over(per_gram.orderBy("__k", "__pos")))
+            .withColumn("__cut", (F.col("__cnt") >= 2) & (F.col("__rn") > 1))
             .drop("__cnt", "__rn")
+        )
+        flagged = with_gram.unionByName(
+            ex.filter(F.col("__gh").isNull()).withColumn("__cut", F.lit(False))
         )
     return _drop_covered_and_rebuild(base, flagged, key_col, text_col, L)
 

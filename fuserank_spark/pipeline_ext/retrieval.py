@@ -427,8 +427,6 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    import math
-
     scored = tf.join(df_tbl, "term").withColumn(
         "tfidf",
         F.round(

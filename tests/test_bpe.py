@@ -135,3 +135,14 @@ def test_bpe_packing_integration_and_plan(corpus_bpe):
         cnts.withColumnRenamed("n_bpe_tokens", "n_tokens"), budget=512, key_col="doc_id"
     )
     assert packed.count() > 0
+
+
+def test_bpe_token_count_non_long_key(spark):
+    """The mapInPandas schema derives the key's REAL type (review
+    catch: a hardcoded `long` broke string keys at Arrow time)."""
+    df = spark.createDataFrame(
+        [("u1", "ab ab ba"), ("u2", None)], "url string, text string"
+    )
+    merges = bpe_train([("ab", 3), ("ba", 2)], num_merges=4)
+    got = {r["url"]: r["n_bpe_tokens"] for r in bpe_token_count(df, merges, key_col="url").collect()}
+    assert got["u1"] > 0 and got["u2"] == 0
