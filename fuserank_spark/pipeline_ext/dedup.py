@@ -916,8 +916,11 @@ def dedup_spans(
         # positions of EVERY doc carry a NULL __gh, and a
         # partitionBy("__gh") over the full frame would funnel all of
         # them — (L−1)·n_docs rows, independent of duplication — into
-        # one unsplittable NULL partition (review catch, this round);
-        # they rejoin as never-cut rows via a cheap union instead
+        # one unsplittable NULL partition (review catch, this round).
+        # The NULL rows rejoin as never-cut rows derived DIRECTLY from
+        # the token-array tail — a filter on ex would re-run the full
+        # O(n·L) gram hashing just to discard it (the two-branch trap
+        # this strategy exists to avoid)
         per_gram = Window.partitionBy("__gh")
         with_gram = (
             ex.filter(F.col("__gh").isNotNull())
@@ -926,9 +929,24 @@ def dedup_spans(
             .withColumn("__cut", (F.col("__cnt") >= 2) & (F.col("__rn") > 1))
             .drop("__cnt", "__rn")
         )
-        flagged = with_gram.unionByName(
-            ex.filter(F.col("__gh").isNull()).withColumn("__cut", F.lit(False))
+        start = F.greatest(F.col("__n_tok") - F.lit(L - 1), F.lit(0))
+        tail_rows = (
+            base.select(
+                F.col(key_col).alias("__k"),
+                start.alias("__start"),
+                F.posexplode(
+                    F.slice(F.col("__toks"), start + 1, F.col("__n_tok") - start)
+                ).alias("__p", "__tok"),
+            )
+            .select(
+                "__k",
+                (F.col("__start") + F.col("__p")).alias("__pos"),
+                "__tok",
+                F.lit(None).cast("long").alias("__gh"),
+                F.lit(False).alias("__cut"),
+            )
         )
+        flagged = with_gram.unionByName(tail_rows)
     return _drop_covered_and_rebuild(base, flagged, key_col, text_col, L)
 
 
