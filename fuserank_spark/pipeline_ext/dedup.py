@@ -1006,3 +1006,46 @@ def corpus_overlap(
         "slots_equal": eq,
         "num_perms": num_perms,
     }
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """(size, n_clusters) over resolve_duplicate_clusters output —
+    the shape of the duplication problem (a fat tail of mega-clusters
+    means mirror sites / templated spam; many size-2 clusters means
+    organic near-dups). Two combine-friendly groupBys, output bounded
+    by the number of DISTINCT sizes."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def dedup_report(clusters: DataFrame, n_rows: int | None = None) -> dict:
+    """Duplication summary over resolved clusters: how many docs sit
+    in a duplicate cluster, how many a keep-one pass would remove,
+    and (with the corpus size ``n_rows``) the removable fraction —
+    the go/no-go number a 100 TB dedup run is judged by before
+    committing to the deletion. One aggregate over the bounded
+    histogram; no corpus scan (pass ``n_rows`` from a stat you
+    already have — the layout_corpus rows-hint doctrine)."""
+    row = (
+        cluster_size_histogram(clusters)
+        .agg(
+            F.sum("n_clusters").alias("n_clusters"),
+            F.sum(F.col("size") * F.col("n_clusters")).alias("n_members"),
+            F.sum((F.col("size") - 1) * F.col("n_clusters")).alias("n_removable"),
+            F.max("size").alias("max_cluster_size"),
+        )
+        .collect()[0]
+    )
+    out = {
+        "n_clusters": int(row["n_clusters"] or 0),
+        "n_members": int(row["n_members"] or 0),
+        "n_removable": int(row["n_removable"] or 0),
+        "max_cluster_size": int(row["max_cluster_size"] or 0),
+    }
+    if n_rows is not None:
+        out["removable_fraction"] = out["n_removable"] / n_rows if n_rows else 0.0
+    return out

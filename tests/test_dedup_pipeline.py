@@ -205,3 +205,57 @@ def test_pairs_in_buckets_randomized_vs_reference(spark):
         for r in _pairs_in_buckets(df, ["bkt"], member, max_bucket_size=cap).collect()
     }
     assert got == expected
+
+
+def test_cluster_histogram_and_report_match_duckdb(spark, duck):
+    """Histogram + summary re-derived in DuckDB over the SAME
+    resolved-clusters frame (the CC itself is iterative and stays
+    unit-tested; the reporting on top is plain aggregation and gets
+    the differential treatment). Frozen registry — oracle lives
+    here."""
+    import pandas as pd
+
+    from fuserank_spark.pipeline_ext.dedup import (
+        cluster_size_histogram,
+        dedup_report,
+        resolve_duplicate_clusters,
+    )
+
+    # chain 1-2-3, pair 10-11, star 20-{21,22,23}, singleton pairs none
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a long, id_b long",
+    )
+    clusters = resolve_duplicate_clusters(pairs).cache()
+    pdf = clusters.toPandas()
+    duck.register("clu", pdf)
+    try:
+        got = {
+            (r["size"], r["n_clusters"])
+            for r in cluster_size_histogram(clusters).collect()
+        }
+        want = {
+            tuple(r)
+            for r in duck.execute(
+                "SELECT size, count(*) AS n_clusters FROM ("
+                "SELECT cluster_id, count(*) AS size FROM clu GROUP BY cluster_id"
+                ") GROUP BY size"
+            ).fetchall()
+        }
+        assert got == want == {(3, 1), (2, 1), (4, 1)}
+        rep = dedup_report(clusters, n_rows=100)
+        assert rep == {
+            "n_clusters": 3,
+            "n_members": 9,
+            "n_removable": 6,
+            "max_cluster_size": 4,
+            "removable_fraction": 0.06,
+        }
+        # empty pairs → zero report
+        empty = resolve_duplicate_clusters(
+            spark.createDataFrame([], "id_a long, id_b long")
+        )
+        rep0 = dedup_report(empty)
+        assert rep0["n_clusters"] == 0 and rep0["n_removable"] == 0
+    finally:
+        duck.unregister("clu")
