@@ -78,6 +78,47 @@ def minhash_signature(
     return hashed.withColumns(cols).drop("__sh_hashes")
 
 
+def _band_rows(
+    sigs: DataFrame,
+    key_col: str,
+    bands: int,
+    rows_per_band: int,
+    out_prefix: str,
+) -> DataFrame:
+    """One row per (doc, band): ``(id, sig, band_idx, band_hash)`` —
+    the banding shared by lsh_candidate_pairs and the incremental
+    index (one definition, so the stored buckets and the batch path
+    can never hash differently)."""
+    n = bands * rows_per_band
+    sig_cols = [f"{out_prefix}{j}" for j in range(n)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(sig_cols[b * rows_per_band + r]).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    member = F.struct(
+        F.col(key_col).alias("id"), F.array(*[F.col(c) for c in sig_cols]).alias("sig")
+    )
+    return sigs.select(member.alias("__m"), F.explode(band_structs).alias("band")).select(
+        F.col("__m.id").alias("id"),
+        F.col("__m.sig").alias("sig"),
+        F.col("band.band_idx"),
+        F.col("band.band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     key_col: str = "doc_id",
@@ -101,33 +142,7 @@ def lsh_candidate_pairs(
     resolve_duplicate_clusters / deduplicate.
     """
     n = bands * rows_per_band
-    sig_cols = [f"{out_prefix}{j}" for j in range(n)]
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(sig_cols[b * rows_per_band + r]).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    member = F.struct(
-        F.col(key_col).alias("id"), F.array(*[F.col(c) for c in sig_cols]).alias("sig")
-    )
-    banded = sigs.select(member.alias("__m"), F.explode(band_structs).alias("band")).select(
-        F.col("__m.id").alias("id"),
-        F.col("__m.sig").alias("sig"),
-        F.col("band.band_idx"),
-        F.col("band.band_hash"),
-    )
+    banded = _band_rows(sigs, key_col, bands, rows_per_band, out_prefix)
     # signatures are computed ONCE: bucket members are grouped, pairs
     # are generated inside each bucket — no self-join re-evaluating
     # the upstream plan, one shuffle keyed on the (uniform) band hash
@@ -1049,3 +1064,93 @@ def dedup_report(clusters: DataFrame, n_rows: int | None = None) -> dict:
     if n_rows is not None:
         out["removable_fraction"] = out["n_removable"] / n_rows if n_rows else 0.0
     return out
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    bands: int = 2,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1024,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental near-dup maintenance: dedup a NEW batch against a
+    persisted LSH band-bucket store WITHOUT re-running the corpus-wide
+    pass, then append the survivors' band rows to the store — the
+    operational posture for a growing corpus (nobody re-deduplicates
+    100 TB per ingest; the store is the dedup state, exactly as the
+    streaming IVF index is the serving state).
+
+    Semantics (documented greedy, conservative in the dedup
+    direction): a batch doc is dropped iff (a) some stored doc's
+    signature estimates Jaccard ≥ ``threshold`` against it, or (b) it
+    loses within-batch LSH dedup (cluster keeper = min key). The
+    existing corpus ALWAYS wins — re-ingesting old content never
+    displaces it; replaying the same batch is a no-op (everything is
+    now a store dup, nothing appends — idempotent at-least-once
+    ingest).
+
+    Scale shape: the batch side computes signatures narrow and is
+    broadcast (``broadcast_new``, default — batches are small by
+    definition) so the store join is a single shuffle-free scan of
+    the store; within-batch pairs go through the shared bucketed
+    core; the append writes |survivors|·bands rows. The store and
+    the batch band with the SAME ``_band_rows`` — they cannot hash
+    apart. Store files accrete per batch — compact with
+    ``streaming.incremental.compact_ivf_index``'s doctrine (rewrite
+    + atomic publish) when file counts grow."""
+    from pyspark.sql.utils import AnalysisException
+
+    spark = new_docs.sparkSession
+    n = bands * rows_per_band
+    sigs = minhash_signature(
+        new_docs.select(key_col, text_col), text_col=text_col
+    )
+    banded_new = _band_rows(sigs, key_col, bands, rows_per_band, "mh")
+    try:
+        store = spark.read.parquet(store_path)
+        have_store = True
+    except AnalysisException:
+        have_store = False
+    victims = None
+    if have_store:
+        left = banded_new.select(
+            F.col("id").alias("__new_id"),
+            F.col("sig").alias("__new_sig"),
+            "band_idx",
+            "band_hash",
+        )
+        if broadcast_new:
+            left = F.broadcast(left)
+        eq = F.zip_with(
+            F.col("__new_sig"), F.col("sig"), lambda x, y: (x == y).cast("int")
+        )
+        est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(n)
+        victims = (
+            left.join(store, ["band_idx", "band_hash"])
+            .filter(est >= threshold)
+            .select(F.col("__new_id").alias(key_col))
+            .distinct()
+        )
+    within = lsh_candidate_pairs(
+        sigs,
+        key_col=key_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    ).filter(F.col("est_jaccard") >= threshold)
+    losers = resolve_duplicate_clusters(within).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(key_col))
+    survivors = new_docs.join(losers, key_col, "left_anti")
+    if victims is not None:
+        survivors = survivors.join(victims, key_col, "left_anti")
+    surv_bands = banded_new.join(
+        survivors.select(F.col(key_col).alias("id")), "id", "left_semi"
+    )
+    surv_bands.write.mode("append").parquet(store_path)
+    return survivors
