@@ -325,6 +325,12 @@ def resolve_duplicate_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: every iteration joins against `edges`, and
+        # an unmaterialized edge frame re-runs the caller's whole
+        # candidate-pair pipeline (signatures, banding, bucket
+        # pair-gen) per round — measured 65 s → 23 s on a 5k batch of
+        # incremental_lsh_dedup. Bounded: 2×|pairs| id pairs.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
@@ -1107,9 +1113,13 @@ def incremental_lsh_dedup(
 
     spark = new_docs.sparkSession
     n = bands * rows_per_band
+    # materialize the batch signatures once — three downstream actions
+    # (store join, within-batch pairs, survivor-band append) would
+    # otherwise each re-run the md5 shingle pipeline; bounded by the
+    # batch size, which is small by definition here
     sigs = minhash_signature(
         new_docs.select(key_col, text_col), text_col=text_col
-    )
+    ).localCheckpoint(eager=True)
     banded_new = _band_rows(sigs, key_col, bands, rows_per_band, "mh")
     try:
         store = spark.read.parquet(store_path)
