@@ -526,6 +526,46 @@ def main():
     ).select("doc_id").write.format("noop").mode("overwrite").save()
     t["clf_score_filter"] = round(time.time() - t0, 2)
 
+    # incremental LSH dedup steady state: band-store from the 500k
+    # corpus, then a 5k batch (half store-dups, half fresh) — the
+    # grow-the-corpus ingest cost, one shuffle-free store scan
+    import shutil
+
+    from fuserank_spark.pipeline_ext.dedup import (
+        _band_rows,
+        incremental_lsh_dedup,
+        minhash_signature as _mh_sig,
+    )
+
+    lsh_store = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "lsh_store_smoke",
+    )
+    shutil.rmtree(lsh_store, ignore_errors=True)
+    t0 = time.time()
+    _band_rows(
+        _mh_sig(big.select(F.col("row_id").alias("doc_id"), "text")),
+        "doc_id", 2, 4, "mh",
+    ).write.mode("overwrite").parquet(lsh_store)
+    t["lsh_store_build"] = round(time.time() - t0, 2)
+    ibatch = (
+        docs.limit(25)
+        .crossJoin(spark.range(max(2, factor)).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * factor + F.col("rep") + 10_000_000).alias("doc_id"),
+            F.when(
+                F.col("rep") % 2 == 0,
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep")),
+            ).otherwise(
+                F.concat(F.lit("fresh smoke "), F.col("text"), F.lit(" v"), F.col("rep"))
+            ).alias("text"),
+        )
+    )
+    t0 = time.time()
+    n_surv = incremental_lsh_dedup(ibatch, lsh_store, threshold=0.9).count()
+    t["incremental_lsh_batch"] = round(time.time() - t0, 2)
+    t["n_incremental_survivors"] = n_surv
+
     t["n_rows"] = n
     print(json.dumps(t))
 
