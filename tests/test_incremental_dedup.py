@@ -120,3 +120,39 @@ def test_store_and_batch_band_identically(spark, store):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_as_foreach_batch_sink(spark, store, tmp_path):
+    """The op IS the foreachBatch body: a file stream of document
+    batches maintains the band store across micro-batches — batch 2's
+    re-ingests of batch 1's content are dropped by the store, not by
+    within-batch state. availableNow + maxFilesPerTrigger=1 forces
+    two separate micro-batches."""
+    import os
+
+    t = _texts(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _docs(spark, [(1, t[0]), (2, t[1])]).coalesce(1).write.parquet(src + "/b1")
+    _docs(spark, [(10, t[0]), (11, t[5])]).coalesce(1).write.parquet(src + "/b2")
+    out: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        surv = incremental_lsh_dedup(batch_df, store)
+        out.extend((batch_id, r["doc_id"]) for r in surv.collect())
+
+    schema = "doc_id long, text string"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    survived = {d for _, d in out}
+    # doc 10 re-ingests t[0] from an EARLIER micro-batch → store drop
+    assert 10 not in survived
+    assert {1, 2, 11} <= survived
