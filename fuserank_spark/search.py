@@ -250,3 +250,43 @@ def topk_batch(
         .filter(F.col("__r") <= k)
         .drop("__r", query_vec_col)
     )
+
+
+def score_breakdown(
+    df: DataFrame,
+    layout,
+    qvec: np.ndarray,
+    vec_col: str = "vector",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-modality score explanation for a fused query: the top-``k``
+    rows with one ``score_<segment>`` column per VectorLayout segment
+    (the segment's slice-dot contribution) plus the total ``score`` —
+    "why did this row rank?" for debugging weights, encodings and
+    soft-filter behavior. The total is computed as the SUM OF THE
+    CONTRIBUTIONS (self-consistent by construction; equal to the
+    single-fold dot up to float fold order — everything is
+    round(``round_to``)-ed, the cross-engine tie discipline).
+
+    Pure expressions: each contribution is a slice + zip_with + fold
+    over the query segment as literals — narrow, one
+    TakeOrderedAndProject; cost is one extra pass over the vector per
+    segment, a debug-path trade."""
+    q = np.asarray(qvec, dtype="float64")
+    if len(q) != layout.dim:
+        raise ValueError(f"query dim {len(q)} != layout dim {layout.dim}")
+    cols: dict[str, Column] = {}
+    off = 0
+    for name, dim in layout.segments:
+        seg = lit_vector(q[off : off + dim])
+        cols[f"score_{name}"] = F.round(
+            dot_expr(F.slice(F.col(vec_col), off + 1, dim), seg), round_to
+        )
+        off += dim
+    out = df.withColumns(cols)
+    total = None
+    for c in cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    out = out.withColumn("score", F.round(total, round_to))
+    return out.orderBy(F.col("score").desc()).limit(k).drop(vec_col)

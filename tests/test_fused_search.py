@@ -245,3 +245,29 @@ def test_build_corpus_cached_self_heals_plan_keyed_eviction(spark):
     sl2 = c2.encoded.storageLevel
     assert sl2.useMemory or sl2.useDisk, "cache must self-heal after eviction"
     assert c2.encoded.count() == c1.encoded.count()
+
+
+def test_score_breakdown_decomposes_topk(corpus):
+    """score_breakdown: per-segment contributions sum to the total
+    (exact by construction), the top-k id set matches topk() on the
+    same query vector, and every layout segment gets a column."""
+    from fuserank_spark.search import score_breakdown
+
+    cq = _compiled(
+        corpus,
+        {"lang": ((["en", "de"], False), 2.0), "n_chars": ((120.0, 360.0, False), 1.5)},
+    )
+    bd = score_breakdown(corpus.encoded, corpus.layout, cq.vector, k=10).collect()
+    seg_cols = [f"score_{name}" for name, _ in corpus.layout.segments]
+    assert all(c in bd[0].asDict() for c in seg_cols)
+    for r in bd:
+        assert abs(sum(r[c] for c in seg_cols) - r["score"]) < 1e-5
+    top_ids = {
+        r["row_id"] for r in topk(corpus.encoded, cq.vector, k=10).collect()
+    }
+    assert {r["row_id"] for r in bd} == top_ids
+    # single-modality query: only that segment (plus text) contributes
+    # materially — the lang contribution dominates aux segments
+    cq2 = _compiled(corpus, {"lang": ((["en"], False), 5.0)}, text="spark")
+    bd2 = score_breakdown(corpus.encoded, corpus.layout, cq2.vector, k=5).collect()
+    assert all(abs(r["score_n_chars"]) < 1e-9 for r in bd2)  # unqueried dense seg ~0? 
