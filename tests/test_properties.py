@@ -108,3 +108,26 @@ def test_round9_idempotent_and_bounded(x):
     import math
 
     assert r == math.floor(x * 1e9 + 0.5) / 1e9
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_encoder_reconstructs_any_word(words, n_merges):
+    """For ANY corpus and merge budget: encoding a word and
+    concatenating the pieces reproduces word+END exactly, and every
+    emitted piece is a substring of word+END (merges never invent
+    content)."""
+    from fuserank_spark.pipeline_ext.bpe import END, bpe_encode_word, bpe_train
+
+    wf = [(w, 1 + (i % 3)) for i, w in enumerate(words)]
+    merges = bpe_train(wf, num_merges=n_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in set(words):
+        toks = bpe_encode_word(w, ranks)
+        assert "".join(toks) == w + END
+        assert all(t in (w + END) for t in toks)
