@@ -63,6 +63,48 @@ def assign_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits: every member of a duplicate cluster (connected components
+    over ``pairs`` — LSH candidates, span/semantic dup edges,
+    whatever the dedup pass produced) inherits the split of its
+    cluster id; singletons hash on their own key, bit-identical to
+    :func:`assign_split`. The classic eval bug — a paraphrase of a
+    test doc in the training set — is structurally impossible for
+    any pair the candidate generator surfaced.
+
+    Plan shape: the CC resolution is the usual O(log diameter)
+    label-propagation (bounded by the pair graph, not the corpus);
+    the corpus side takes ONE left join against the cluster map
+    (|clusters| ≤ 2·|pairs| rows) and the split itself stays a pure
+    projection. Adding new data never reassigns existing keys — same
+    stability contract as assign_split, now cluster-granular."""
+    from .dedup import resolve_duplicate_clusters
+
+    clusters = resolve_duplicate_clusters(pairs).withColumnRenamed(
+        "doc_id", "__lss_id"
+    )
+    joined = df.join(
+        clusters, df[key_col] == clusters["__lss_id"], "left"
+    ).drop("__lss_id")
+    eff = F.coalesce(F.col("cluster_id"), F.col(key_col))
+    h = split_hash_expr(eff, salt)
+    return joined.withColumn(
+        out_col,
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test"),
+    ).drop("cluster_id")
+
+
 # ---------------------------------------------------------- quota sample
 
 

@@ -623,3 +623,43 @@ def test_curate_corpus_optional_span_dedup_stage(spark):
     # it's quality_features' own fresh value, not a stage diagnostic)
     for c in ("n_lines", "n_kept"):
         assert c not in out.columns
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every pair edge lands both endpoints in the SAME split;
+    singletons get exactly their assign_split value (coalesce
+    identity); the three splits all materialize at corpus size."""
+    from fuserank_spark.pipeline_ext.curation import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    # chains of 3 over one third of the corpus: (3k, 3k+1), (3k+1, 3k+2)
+    pairs = (
+        spark.range(0, 200)
+        .select((F.col("id") * 3).alias("a"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("id_a"), (F.col("a") + 1).alias("id_b")),
+                    F.struct((F.col("a") + 1).alias("id_a"), (F.col("a") + 2).alias("id_b")),
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    out = leakage_safe_split(docs, pairs).cache()
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == 2000
+    for r in pairs.collect():
+        assert split_of[r["id_a"]] == split_of[r["id_b"]]
+    # singleton keys (not in any pair) match plain assign_split
+    plain = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    paired_ids = {i for r in pairs.collect() for i in (r["id_a"], r["id_b"])}
+    for k, v in split_of.items():
+        if k not in paired_ids:
+            assert v == plain[k]
+    assert {v for v in split_of.values()} == {"train", "val", "test"}
