@@ -85,24 +85,34 @@ def leakage_safe_split(
     label-propagation (bounded by the pair graph, not the corpus);
     the corpus side takes ONE left join against the cluster map
     (|clusters| ≤ 2·|pairs| rows) and the split itself stays a pure
-    projection. Adding new data never reassigns existing keys — same
-    stability contract as assign_split, now cluster-granular."""
+    projection.
+
+    Stability: assignments are stable under data growth ONLY while
+    the pair graph over existing docs is unchanged. A later ingest
+    that surfaces a NEW edge deliberately migrates the affected
+    cluster to its (possibly new) cluster-minimum's bucket —
+    leakage-safety wins over per-key stability by design, so re-run
+    the split (or freeze the pair set) when edges change; docs in no
+    pair keep the plain assign_split contract."""
     from .dedup import resolve_duplicate_clusters
 
-    clusters = resolve_duplicate_clusters(pairs).withColumnRenamed(
-        "doc_id", "__lss_id"
+    # collision-proof names: the caller may well carry its own
+    # cluster_id (this op's natural predecessor IS the cluster
+    # resolution workflow — review catch)
+    clusters = resolve_duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("__lss_id"), F.col("cluster_id").alias("__lss_cid")
     )
     joined = df.join(
         clusters, df[key_col] == clusters["__lss_id"], "left"
     ).drop("__lss_id")
-    eff = F.coalesce(F.col("cluster_id"), F.col(key_col))
+    eff = F.coalesce(F.col("__lss_cid"), F.col(key_col))
     h = split_hash_expr(eff, salt)
     return joined.withColumn(
         out_col,
         F.when(h < train_pct, "train")
         .when(h < train_pct + val_pct, "val")
         .otherwise("test"),
-    ).drop("cluster_id")
+    ).drop("__lss_cid")
 
 
 # ---------------------------------------------------------- quota sample

@@ -328,8 +328,8 @@ def resolve_duplicate_clusters(
         # materialize ONCE: every iteration joins against `edges`, and
         # an unmaterialized edge frame re-runs the caller's whole
         # candidate-pair pipeline (signatures, banding, bucket
-        # pair-gen) per round — measured 65 s → 23 s on a 5k batch of
-        # incremental_lsh_dedup. Bounded: 2×|pairs| id pairs.
+        # pair-gen) per round — measured 65 s → 27.5 s on a 5k batch
+        # of incremental_lsh_dedup. Bounded: 2×|pairs| id pairs.
         .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
@@ -1072,10 +1072,74 @@ def dedup_report(clusters: DataFrame, n_rows: int | None = None) -> dict:
     return out
 
 
+def _lsh_store_meta_path(store_path: str) -> str:
+    import os as _os
+
+    return _os.path.join(store_path, "_store_meta.json")
+
+
+def _write_lsh_store_meta(store_path: str, bands: int, rows_per_band: int) -> None:
+    import json as _json
+    import os as _os
+
+    _os.makedirs(store_path, exist_ok=True)
+    tmp = _lsh_store_meta_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"bands": bands, "rows_per_band": rows_per_band}, f)
+    _os.replace(tmp, _lsh_store_meta_path(store_path))
+
+
+def _check_lsh_store_meta(store_path: str, bands: int, rows_per_band: int) -> None:
+    """A band-parameter mismatch would silently disable ALL dedup
+    (different band hashes never join) AND corrupt the store with a
+    second incompatible layout — refuse instead (review catch)."""
+    import json as _json
+    import os as _os
+
+    p = _lsh_store_meta_path(store_path)
+    if not _os.path.exists(p):
+        return  # pre-metadata store: nothing to validate against
+    with open(p) as f:
+        meta = _json.load(f)
+    if meta["bands"] != bands or meta["rows_per_band"] != rows_per_band:
+        raise ValueError(
+            f"LSH store at {store_path} was built with bands="
+            f"{meta['bands']}, rows_per_band={meta['rows_per_band']} — "
+            f"called with ({bands}, {rows_per_band}); a mismatch would "
+            "silently admit every duplicate"
+        )
+
+
+def build_lsh_store(
+    docs: DataFrame,
+    store_path: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 2,
+    rows_per_band: int = 4,
+) -> None:
+    """Bootstrap the band store from an ALREADY-DEDUPED corpus (the
+    day-0 path before incremental ingest takes over): band rows for
+    every scorable doc under the reserved ``bootstrap`` ingest
+    partition, plus the band-parameter metadata every later call is
+    validated against. Docs with no shingles carry no signature and
+    are not stored (they are undetectable by MinHash either way)."""
+    _check_lsh_store_meta(store_path, bands, rows_per_band)
+    sigs = minhash_signature(docs.select(key_col, text_col), text_col=text_col)
+    _band_rows(
+        sigs.filter(F.col("mh0").isNotNull()), key_col, bands, rows_per_band, "mh"
+    ).withColumn("__ingest", F.lit("bootstrap")).write.partitionBy(
+        "__ingest"
+    ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(store_path)
+    _write_lsh_store_meta(store_path, bands, rows_per_band)
+
+
 def incremental_lsh_dedup(
     new_docs: DataFrame,
     store_path: str,
     *,
+    ingest_id: str | int,
     key_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.9,
@@ -1086,43 +1150,61 @@ def incremental_lsh_dedup(
 ) -> DataFrame:
     """Incremental near-dup maintenance: dedup a NEW batch against a
     persisted LSH band-bucket store WITHOUT re-running the corpus-wide
-    pass, then append the survivors' band rows to the store — the
-    operational posture for a growing corpus (nobody re-deduplicates
-    100 TB per ingest; the store is the dedup state, exactly as the
-    streaming IVF index is the serving state).
+    pass, then publish the survivors' band rows into the store under
+    this ``ingest_id``'s partition — the operational posture for a
+    growing corpus (nobody re-deduplicates 100 TB per ingest; the
+    store is the dedup state, exactly as the streaming IVF index is
+    the serving state). Bootstrap an existing corpus with
+    :func:`build_lsh_store`.
 
     Semantics (documented greedy, conservative in the dedup
-    direction): a batch doc is dropped iff (a) some stored doc's
-    signature estimates Jaccard ≥ ``threshold`` against it, or (b) it
-    loses within-batch LSH dedup (cluster keeper = min key). The
-    existing corpus ALWAYS wins — re-ingesting old content never
-    displaces it; replaying the same batch is a no-op (everything is
-    now a store dup, nothing appends — idempotent at-least-once
-    ingest).
+    direction): a batch doc is dropped iff (a) some PREVIOUSLY-stored
+    doc's signature estimates Jaccard ≥ ``threshold`` against it, or
+    (b) it loses within-batch LSH dedup (cluster keeper = min key).
+    Docs with no shingles (text shorter than one shingle) carry no
+    signature, are undetectable by MinHash, and pass through as
+    survivors WITHOUT being stored — otherwise they would all share
+    one degenerate band bucket whose store fan-out grows with corpus
+    age (review catch). The existing corpus always wins.
+
+    Retry safety (the foreachBatch contract): ``ingest_id`` names the
+    store partition this call owns — pass the micro-batch id. Victim
+    matching EXCLUDES the current ingest's own partition and the
+    write is a dynamic partition OVERWRITE of exactly that partition,
+    so replaying a failed epoch recomputes the SAME survivors (the
+    first attempt's half-published rows can neither suppress the
+    replay nor double-append) — at-least-once upstream becomes
+    effectively-once store state. A FIRST draft appended blindly and
+    a replayed epoch matched its own rows as store dups, silently
+    losing the whole batch (review catch). Band parameters are
+    validated against the store's metadata.
 
     Scale shape: the batch side computes signatures narrow and is
     broadcast (``broadcast_new``, default — batches are small by
-    definition) so the store join is a single shuffle-free scan of
-    the store; within-batch pairs go through the shared bucketed
-    core; the append writes |survivors|·bands rows. The store and
-    the batch band with the SAME ``_band_rows`` — they cannot hash
-    apart. Store files accrete per batch — compact with
-    ``streaming.incremental.compact_ivf_index``'s doctrine (rewrite
-    + atomic publish) when file counts grow."""
+    definition) so the store join is a shuffle-free scan of the
+    store; the survivors frame is localCheckpoint'ed BEFORE the store
+    write (the CLAUDE.md ≥2-action invariant: the caller's action
+    would otherwise re-run the store scan and both anti-joins);
+    within-batch pairs go through the shared bucketed core. Store
+    files accrete one partition per ingest — compact with
+    ``streaming.incremental.compact_ivf_index``'s doctrine (rewrite +
+    atomic publish) when partition counts grow."""
     from pyspark.sql.utils import AnalysisException
 
     spark = new_docs.sparkSession
+    _check_lsh_store_meta(store_path, bands, rows_per_band)
+    ingest = str(ingest_id)
     n = bands * rows_per_band
-    # materialize the batch signatures once — three downstream actions
-    # (store join, within-batch pairs, survivor-band append) would
-    # otherwise each re-run the md5 shingle pipeline; bounded by the
-    # batch size, which is small by definition here
+    # materialize the batch signatures once — the store join, the
+    # within-batch pairs and the survivor-band publish would otherwise
+    # each re-run the md5 shingle pipeline; bounded by the batch size
     sigs = minhash_signature(
         new_docs.select(key_col, text_col), text_col=text_col
     ).localCheckpoint(eager=True)
-    banded_new = _band_rows(sigs, key_col, bands, rows_per_band, "mh")
+    scorable = sigs.filter(F.col("mh0").isNotNull())
+    banded_new = _band_rows(scorable, key_col, bands, rows_per_band, "mh")
     try:
-        store = spark.read.parquet(store_path)
+        store = spark.read.parquet(store_path).filter(F.col("__ingest") != ingest)
         have_store = True
     except AnalysisException:
         have_store = False
@@ -1147,7 +1229,7 @@ def incremental_lsh_dedup(
             .distinct()
         )
     within = lsh_candidate_pairs(
-        sigs,
+        scorable,
         key_col=key_col,
         bands=bands,
         rows_per_band=rows_per_band,
@@ -1159,8 +1241,12 @@ def incremental_lsh_dedup(
     survivors = new_docs.join(losers, key_col, "left_anti")
     if victims is not None:
         survivors = survivors.join(victims, key_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
     surv_bands = banded_new.join(
         survivors.select(F.col(key_col).alias("id")), "id", "left_semi"
-    )
-    surv_bands.write.mode("append").parquet(store_path)
+    ).withColumn("__ingest", F.lit(ingest))
+    surv_bands.write.partitionBy("__ingest").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(store_path)
+    _write_lsh_store_meta(store_path, bands, rows_per_band)
     return survivors

@@ -259,6 +259,7 @@ def score_breakdown(
     vec_col: str = "vector",
     k: int = 10,
     round_to: int = 6,
+    key_col: str = "row_id",
 ) -> DataFrame:
     """Per-modality score explanation for a fused query: the top-``k``
     rows with one ``score_<segment>`` column per VectorLayout segment
@@ -268,6 +269,9 @@ def score_breakdown(
     CONTRIBUTIONS (self-consistent by construction; equal to the
     single-fold dot up to float fold order — everything is
     round(``round_to``)-ed, the cross-engine tie discipline).
+    Ordering ties break on ``key_col`` ascending, the topk doctrine —
+    rounding CREATES exact ties, and an untied sort is
+    nondeterministic across partitionings (review catch).
 
     Pure expressions: each contribution is a slice + zip_with + fold
     over the query segment as literals — narrow, one
@@ -289,4 +293,8 @@ def score_breakdown(
     for c in cols:
         total = F.col(c) if total is None else total + F.col(c)
     out = out.withColumn("score", F.round(total, round_to))
-    return out.orderBy(F.col("score").desc()).limit(k).drop(vec_col)
+    return (
+        out.orderBy(F.col("score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop(vec_col)
+    )

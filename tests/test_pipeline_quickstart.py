@@ -107,4 +107,20 @@ def test_readme_pipeline_composes_end_to_end(spark, tmp_path):
     manifest = write_corpus_snapshot(packed, path)
     assert verify_corpus_snapshot(spark, path)["checksum"] == manifest["checksum"]
     assert manifest["n_rows"] == packed.count() > 0
+
+    # day-2 ingest: bootstrap the band store from the curated corpus,
+    # then a re-ingest of curated content is fully suppressed
+    from fuserank_spark.pipeline_ext.dedup import (
+        build_lsh_store,
+        incremental_lsh_dedup,
+    )
+
+    lsh_store = str(tmp_path / "lsh_store")
+    build_lsh_store(clean.select("doc_id", "text"), lsh_store)
+    # docs emptied/shortened below shingle length are unscorable and
+    # pass through by design — re-ingest substantial texts only
+    reingest = clean.filter(F.length("text") > 50).limit(5).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    assert incremental_lsh_dedup(reingest, lsh_store, ingest_id="day2").count() == 0
     assert n0 == docs.count()  # inputs untouched

@@ -532,9 +532,8 @@ def main():
     import shutil
 
     from fuserank_spark.pipeline_ext.dedup import (
-        _band_rows,
+        build_lsh_store,
         incremental_lsh_dedup,
-        minhash_signature as _mh_sig,
     )
 
     lsh_store = os.path.join(
@@ -543,16 +542,17 @@ def main():
     )
     shutil.rmtree(lsh_store, ignore_errors=True)
     t0 = time.time()
-    _band_rows(
-        _mh_sig(big.select(F.col("row_id").alias("doc_id"), "text")),
-        "doc_id", 2, 4, "mh",
-    ).write.mode("overwrite").parquet(lsh_store)
+    build_lsh_store(
+        big.select(F.col("row_id").alias("doc_id"), "text"), lsh_store
+    )
     t["lsh_store_build"] = round(time.time() - t0, 2)
+    # id spacing must match the rep range or factor=1 collides ids
+    evr = max(2, factor)
     ibatch = (
         docs.limit(25)
-        .crossJoin(spark.range(max(2, factor)).select(F.col("id").alias("rep")))
+        .crossJoin(spark.range(evr).select(F.col("id").alias("rep")))
         .select(
-            (F.col("doc_id") * factor + F.col("rep") + 10_000_000).alias("doc_id"),
+            (F.col("doc_id") * evr + F.col("rep") + 10_000_000).alias("doc_id"),
             F.when(
                 F.col("rep") % 2 == 0,
                 F.concat(F.col("text"), F.lit(" rep"), F.col("rep")),
@@ -562,7 +562,9 @@ def main():
         )
     )
     t0 = time.time()
-    n_surv = incremental_lsh_dedup(ibatch, lsh_store, threshold=0.9).count()
+    n_surv = incremental_lsh_dedup(
+        ibatch, lsh_store, ingest_id="smoke", threshold=0.9
+    ).count()
     t["incremental_lsh_batch"] = round(time.time() - t0, 2)
     t["n_incremental_survivors"] = n_surv
 
