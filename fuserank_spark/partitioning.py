@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def write_bucketed(
@@ -524,3 +525,152 @@ def verify_corpus_snapshot(spark: SparkSession, path: str) -> dict:
             f"{manifest['checksum']}, files {cs}"
         )
     return manifest
+
+
+def corpus_diff(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two corpus materializations: one row per
+    key that was ``added`` (in ``b`` only), ``removed`` (in ``a``
+    only) or ``changed`` (both sides, differing compare-column
+    content). Unchanged keys are NEVER materialized — at 100 TB the
+    diff of two adjacent releases is tiny while the intersection is
+    the whole corpus, so emitting it would make the op's output scale
+    with the inputs instead of the change.
+
+    Scale shape: each side is first PROJECTED to (keys, 32-bit
+    portable row hash) — the full-outer join shuffles ~12 bytes + keys
+    per row, never document payloads. One shuffle join keyed on the
+    keys; hashing is scan-side codegen (portable md5 form, the
+    corpus_checksum row hash, so a diff twin in any engine agrees).
+
+    ``compare_cols`` defaults to all shared non-key columns (sorted);
+    a column present on only one side raises — schema drift should be
+    an explicit decision, not silently ignored content. Float columns
+    follow the caller-rounds-first discipline of corpus_checksum.
+
+    Differential twin (DuckDB)::
+
+        SELECT coalesce(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM ha a FULL OUTER JOIN hb b USING (k)
+        WHERE a.k IS NULL OR b.k IS NULL OR a.h <> b.h
+
+    Duplicate keys within one side are a caller error (the key is the
+    row identity); they are detected cheaply on the hashed projection
+    and raise.
+    """
+    from .pipeline_ext.hashing import portable_hash32
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in key_cols:
+        if c not in a.columns or c not in b.columns:
+            raise ValueError(f"key column {c!r} missing from one side")
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(a.columns) & set(b.columns)) - set(key_cols)
+        )
+    else:
+        for c in compare_cols:
+            if c not in a.columns or c not in b.columns:
+                raise ValueError(f"compare column {c!r} missing from one side")
+    def hashed(df: DataFrame, hcol: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in compare_cols
+        ]
+        h = (
+            portable_hash32(F.concat_ws("\x1f", *parts))
+            if compare_cols
+            else F.lit(0)
+        )
+        return df.select(*key_cols, h.alias(hcol))
+
+    ha = hashed(a, "__ha")
+    hb = hashed(b, "__hb")
+    # duplicate detection folds into the join result (one shuffle
+    # total, not a pre-pass window per side): a duplicated key fans
+    # out the full-outer match, so counting per key on the joined
+    # frame catches it on either side.
+    joined = ha.join(hb, on=key_cols, how="full_outer")
+    n_per_key = F.count(F.lit(1)).over(
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+    )
+    status = (
+        F.when(F.col("__ha").isNull(), F.lit("added"))
+        .when(F.col("__hb").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    # the guard must be INSIDE the filter predicate (referencing the
+    # materialized count column) — a guard column nothing reads gets
+    # column-pruned by Catalyst and never evaluates (caught by
+    # tests/test_corpus_diff.py::test_corpus_diff_duplicate_key_raises)
+    dup_ok = F.when(
+        F.col("__n") > 1,
+        F.raise_error(F.lit("corpus_diff: duplicate key within one side")),
+    ).otherwise(F.lit(True))
+    return (
+        joined.withColumn("__n", n_per_key)
+        .filter(
+            dup_ok
+            & (
+                F.col("__ha").isNull()
+                | F.col("__hb").isNull()
+                | (F.col("__ha") != F.col("__hb"))
+            )
+        )
+        .select(*key_cols, status.alias("status"))
+    )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    trust_manifests: bool = True,
+) -> DataFrame:
+    """:func:`corpus_diff` between two on-disk snapshots written by
+    :func:`write_corpus_snapshot`. When ``trust_manifests`` and both
+    ``_snapshot.json`` manifests carry identical checksum, row count
+    AND checksum-column list covering ``key_cols + compare_cols``, the
+    diff is PROVABLY empty (order-independent multiset checksum over a
+    superset of the compared content) and returns an empty frame
+    without scanning either side — the cheap no-change fast path for
+    release pipelines that re-publish unchanged corpora."""
+    import json
+    import os as _os
+
+    a = spark.read.parquet(path_a)
+    b = spark.read.parquet(path_b)
+    if compare_cols is None:
+        resolved = sorted((set(a.columns) & set(b.columns)) - set(key_cols))
+    else:
+        resolved = list(compare_cols)
+    if trust_manifests:
+        try:
+            with open(_os.path.join(path_a, "_snapshot.json")) as f:
+                ma = json.load(f)
+            with open(_os.path.join(path_b, "_snapshot.json")) as f:
+                mb = json.load(f)
+        except FileNotFoundError:
+            ma = mb = None
+        if (
+            ma is not None
+            and ma["checksum"] == mb["checksum"]
+            and ma["n_rows"] == mb["n_rows"]
+            and ma["checksum_cols"] == mb["checksum_cols"]
+            and set(key_cols) | set(resolved) <= set(ma["checksum_cols"])
+        ):
+            sel = [F.col(c) for c in key_cols] + [F.lit("").alias("status")]
+            return a.select(*sel).limit(0)
+    return corpus_diff(a, b, key_cols=key_cols, compare_cols=resolved)

@@ -856,3 +856,277 @@ def ivf_sq_knn(
     return _finish_topk(
         scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (BQ): 1-bit sign codes packed into 32-bit words,
+# Hamming-distance serve. The most aggressive member of the quantization
+# family built here (PQ: train_pq, SQ8: sq_train) — 32x smaller than
+# float32, and the scan score is a pure integer popcount, the cheapest
+# possible per-row work. Reference parity: the reference serves flat
+# vectors via faiss/Milvus (/root/reference/src/eval/
+# milvus_experiment.py:32); BQ is the binary-flat member of that same
+# family (faiss IndexBinaryFlat / the "binary quantization" tier of
+# production vector stores), standard public technique.
+# ---------------------------------------------------------------------------
+
+BQ_WORD_BITS = 32
+"""Bits packed per code word. 32 (not 64) so every word is a POSITIVE
+bigint built with shifts < 32 — a 1<<63 sign-bit word would error in a
+DuckDB twin's left shift and wrap negative under Java semantics; 32-bit
+words sidestep the portability edge entirely (CLAUDE.md hashing
+corollary's spirit: never depend on engine overflow behavior)."""
+
+
+def bq_train(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Fit per-dimension sign thresholds for 1-bit quantization in ONE
+    aggregate pass: the per-dim mean, rounded half-away to 9 decimals
+    (:func:`_round9`). Mean-centering each dimension before taking the
+    sign bit is the standard zero-cost recall upgrade over raw
+    ``sign(x)`` for non-centered embeddings.
+
+    The ROUNDED values are the quantizer (frozen-codebook doctrine,
+    q_pq_knn precedent): ``avg`` is fold-order-dependent across
+    engines, so the unrounded means could differ in the last ulp and
+    flip a ``x > thr`` bit near the boundary; freezing to 9 decimals
+    makes the thresholds exactly representable in a SQL twin and the
+    encode comparison bit-identical.
+
+    Scale posture: ``dim`` avg aggregates — map-side combine, 1-row
+    result, no shuffle beyond the final combine."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    aggs = [
+        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+            f"__t{i}"
+        )
+        for i in range(dim)
+    ]
+    row = embeddings.agg(*aggs).collect()[0]
+    out: list[float] = []
+    for i in range(dim):
+        v = row[f"__t{i}"]
+        if v is None:
+            raise ValueError(f"bq_train: dimension {i} has no non-null values")
+        out.append(_round9(float(v)))
+    return out
+
+
+def bq_n_words(dim: int) -> int:
+    return (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+
+
+def bq_encode(
+    df: DataFrame,
+    thresholds: list[float],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "bq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Pack each vector's sign bits (``x_i > thr_i``) into an
+    ``array<bigint>`` of ``ceil(dim/32)`` 32-bit words, bit ``j`` of
+    word ``w`` covering dimension ``32w + j`` (0-based, LSB-first).
+    EXPRESSION-ONLY: thresholds and the 32 powers of two ride as
+    literal arrays consumed by a transform-over-words /
+    aggregate-over-bits HOF pair — the whole encode stays in codegen,
+    no UDF. A NULL element contributes a 0 bit (documented: NULL is
+    "not above threshold"); wrong-length / NULL vectors raise
+    (sq_encode precedent — silent null-slicing would mis-encode)."""
+    dim = len(thresholds)
+    if dim < 1:
+        raise ValueError("thresholds must be non-empty")
+    n_words = bq_n_words(dim)
+    df = df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bq_encode: vector length != {dim} (got "),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
+                    F.lit(")"),
+                )
+            )
+        ),
+    )
+    thr_arr = F.array(*[F.lit(float(t)).cast("double") for t in thresholds])
+    pw_arr = F.array(
+        *[F.lit(1 << j).cast("bigint") for j in range(BQ_WORD_BITS)]
+    )
+    zero = F.lit(0).cast("bigint")
+
+    def one_word(w):
+        def step(acc, j):
+            pos = w * F.lit(BQ_WORD_BITS) + j  # 1-based dim position
+            set_bit = (pos <= F.lit(dim)) & (
+                F.element_at(F.col(vec_col), pos) > F.element_at(thr_arr, pos)
+            )
+            return acc + F.when(set_bit, F.element_at(pw_arr, j)).otherwise(
+                zero
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(BQ_WORD_BITS)), zero, step
+        )
+
+    words = F.transform(F.sequence(F.lit(0), F.lit(n_words - 1)), one_word)
+    out = df.withColumn(out_col, words)
+    return out if keep_vec else out.drop(vec_col)
+
+
+def bq_query_words(thresholds: list[float], qv) -> list[int]:
+    """Driver-side twin of :func:`bq_encode` for a single query vector
+    — same comparison, same LSB-first packing."""
+    dim = len(thresholds)
+    q = [float(v) for v in qv]
+    if len(q) != dim:
+        raise ValueError(f"query is {len(q)}-dim, thresholds expect {dim}")
+    words = []
+    for w in range(bq_n_words(dim)):
+        word = 0
+        for j in range(BQ_WORD_BITS):
+            idx = w * BQ_WORD_BITS + j
+            if idx < dim and q[idx] > thresholds[idx]:
+                word |= 1 << j
+        words.append(word)
+    return words
+
+
+def _bq_query_frame(spark, thresholds: list[float], queries: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(qid), bq_query_words(thresholds, qv)) for qid, qv in queries],
+        "query_id bigint, __qw array<bigint>",
+    )
+
+
+def _bq_score_expr(code_col: str, dim: int):
+    """±1-dot estimate from packed Hamming distance: if both vectors
+    are sign patterns over ``dim`` dims, ``dot = dim - 2*hamming``.
+    Integer-valued throughout — the no-refine serve needs NO float
+    rounding for cross-engine parity (round(int, 6) is the identity
+    both sides)."""
+    ham = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.col("__qw"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (F.lit(dim).cast("bigint") - F.lit(2).cast("bigint") * ham).cast(
+        "double"
+    )
+
+
+def bq_hamming_topk(
+    codes: DataFrame,
+    thresholds: list[float],
+    queries: list[tuple],
+    *,
+    k: int = 10,
+    key_col: str = "vec_id",
+    code_col: str = "bq_code",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    max_query_batch: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """Batch top-k over packed sign codes by the Hamming-derived
+    ±1-dot score ``dim - 2*popcount(xor)`` — per (row, query) the scan
+    work is ``n_words`` xor+popcount+add integer ops in codegen, the
+    cheapest serve in the quantization family. Broadcast
+    (query_id, packed-query) rows; two-phase top-k merge; over-cap
+    batches auto-chunk; optional exact-cosine refine — all exactly the
+    :func:`pq_adc_topk` / :func:`sq_adc_topk` contract. Ties
+    (score desc, key asc) are integer-exact, so a SQL twin needs no
+    rounding discipline at all on the unrefined path."""
+    _check_query_batch(queries)
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
+    if len(queries) > max_query_batch:
+        return _chunked_union(
+            queries,
+            lambda qs: bq_hamming_topk(
+                codes, thresholds, qs, k=k, key_col=key_col,
+                code_col=code_col, refine_with=refine_with,
+                refine_factor=refine_factor, vec_col=vec_col,
+                max_query_batch=max_query_batch,
+            ),
+            max_query_batch,
+        )
+    spark = codes.sparkSession
+    dim = len(thresholds)
+    scored = codes.crossJoin(
+        F.broadcast(_bq_query_frame(spark, thresholds, queries))
+    ).select(
+        "query_id",
+        F.col(key_col),
+        _bq_score_expr(code_col, dim).alias("adc"),
+    )
+    return _finish_topk(
+        scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
+    )
+
+
+def ivf_bq_knn(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    thresholds: list[float],
+    queries: list[tuple],
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+    key_col: str = "vec_id",
+    code_col: str = "bq_code",
+    cell_col: str = "centroid_id",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    max_query_batch: int = MAX_QUERY_BATCH,
+) -> DataFrame:
+    """IVF-BQ serve: coarse cells prune the scan (parquet partition
+    pruning when persisted via ivf_persist), packed-Hamming scoring
+    inside probed cells — the binary sibling of :func:`ivf_sq_knn` /
+    :func:`ivf_pq_knn` (faiss ``IndexBinaryIVF``). With ``nprobe ==
+    n_centroids`` identical to unpartitioned :func:`bq_hamming_topk`
+    (tested)."""
+    _check_query_batch(queries)
+    if max_query_batch < 1:
+        raise ValueError(f"max_query_batch must be >= 1, got {max_query_batch}")
+    if len(queries) > max_query_batch:
+        return _chunked_union(
+            queries,
+            lambda qs: ivf_bq_knn(
+                codes, centroids, thresholds, qs, k=k, nprobe=nprobe,
+                key_col=key_col, code_col=code_col, cell_col=cell_col,
+                refine_with=refine_with, refine_factor=refine_factor,
+                vec_col=vec_col, max_query_batch=max_query_batch,
+            ),
+            max_query_batch,
+        )
+    spark = codes.sparkSession
+    dim = len(thresholds)
+    probe_rows = _probe_rows(centroids, queries, nprobe)
+    probed_cells = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")
+    scored = (
+        codes.filter(F.col(cell_col).isin(probed_cells))
+        .join(F.broadcast(probes), cell_col)
+        .join(F.broadcast(_bq_query_frame(spark, thresholds, queries)), "query_id")
+        .select(
+            "query_id",
+            F.col(key_col),
+            _bq_score_expr(code_col, dim).alias("adc"),
+        )
+    )
+    return _finish_topk(
+        scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
+    )

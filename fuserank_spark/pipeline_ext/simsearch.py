@@ -535,3 +535,109 @@ def lsh_knn(
     # never concentrates one query's candidate set on a single task
     deduped = joined.groupBy(query_key, key_col).agg(F.max("cosine").alias("cosine"))
     return _merge_topk(deduped, k, query_key, key_col)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    key_col: str = "vec_id",
+    score_col: str = "cosine",
+    vec_col: str = "embedding",
+    out_col: str = "mmr",
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick, per query, the candidate
+    maximizing ``lam*relevance - (1-lam)*max_cosine_to_already_picked``
+    — the standard result-diversification pass over a first-stage
+    retriever's top-N. ``lam=1`` degenerates to plain relevance order;
+    lower ``lam`` trades relevance for diversity.
+
+    Input: one row per (query, candidate) carrying the first-stage
+    score and the candidate vector — i.e. a knn/serve output joined
+    back to its vectors (refine_with-style broadcast id join). The
+    greedy loop is inherently sequential IN k but independent ACROSS
+    queries, so it runs as one Arrow-batched ``applyInPandas`` per
+    query group (the data-plane doctrine: never a driver loop) —
+    incremental max-similarity updates keep it O(k·n·dim) per query
+    with no n×n matrix.
+
+    Scale posture: per-group state is one query's candidate list,
+    BOUNDED because first-stage retrieval already cut to top-N;
+    ``max_candidates`` enforces the contract (raise, don't spill — the
+    deduplicate/auto-bound doctrine). Shuffle is one Exchange keyed by
+    query_id over an already-k·|Q|-sized frame.
+
+    Determinism: relevance, pairwise cosines and the greedy objective
+    are all rounded half-away to 6 decimals BEFORE every argmax
+    (CLAUDE.md rounding invariant), ties break on lowest key — a
+    sequential-fold re-implementation lands on the identical selection
+    (tests/test_mmr.py python-reference differential).
+    """
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    out_schema = (
+        f"{query_col} bigint, {key_col} bigint, rnk int, {out_col} double"
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_candidates:
+            raise ValueError(
+                f"mmr_rerank: {n} candidates for one query exceeds "
+                f"max_candidates={max_candidates}; cut the first stage "
+                f"to a bounded top-N before diversifying"
+            )
+        keys = pdf[key_col].to_numpy()
+        rel = np.array(
+            [round_half_away(float(s)) for s in pdf[score_col]], dtype="float64"
+        )
+        vecs = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)
+        vn = vecs / norms[:, None]
+        max_sim = np.full(n, -np.inf)
+        picked: list[int] = []
+        values: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for step in range(min(k, n)):
+            if step == 0:
+                obj = lam * rel
+            else:
+                obj = lam * rel - (1.0 - lam) * max_sim
+            obj = np.array([round_half_away(float(x)) for x in obj])
+            # argmax with lowest-key tie-break among available rows
+            best = None
+            for i in np.flatnonzero(avail):
+                cand = (-obj[i], keys[i])
+                if best is None or cand < best[0]:
+                    best = (cand, i)
+            _, bi = best
+            picked.append(int(bi))
+            values.append(float(obj[bi]))
+            avail[bi] = False
+            sims = vn @ vn[bi]
+            sims = np.array([round_half_away(float(s)) for s in sims])
+            max_sim = np.maximum(max_sim, sims)
+        qid = int(pdf[query_col].iloc[0])
+        return pd.DataFrame(
+            {
+                query_col: [qid] * len(picked),
+                key_col: [int(keys[i]) for i in picked],
+                "rnk": list(range(1, len(picked) + 1)),
+                out_col: values,
+            }
+        )
+
+    return (
+        candidates.select(query_col, key_col, score_col, vec_col)
+        .groupBy(query_col)
+        .applyInPandas(_one, schema=out_schema)
+    )
