@@ -566,6 +566,24 @@ def main() -> None:
         )
         + f"; false-candidate frac (true J<0.3) = {lsh['false_candidate_frac']:.3f}"
     )
+    from pyspark.sql import functions as _F
+
+    from .pipeline_ext.quantization import quantization_recall_report
+
+    emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    qrows = emb.filter(_F.col("vec_id") < args.queries).orderBy("vec_id").collect()
+    qr = quantization_recall_report(
+        emb.select("vec_id", "embedding"),
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        dim=64, k=args.k,
+    )
+    print(
+        "quantization-family recall@%d (refine_factor=%d): " % (args.k, qr["refine_factor"])
+        + ", ".join(
+            f"{fam} {qr[fam]:.3f}"
+            for fam in ("pq_raw", "pq_refined", "sq8_raw", "sq8_refined", "bq_raw", "bq_refined")
+        )
+    )
     if args.export_dir:
         for p in export_report(spark, all_results, args.export_dir):
             print(f"wrote {p}")

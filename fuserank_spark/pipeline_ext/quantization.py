@@ -1130,3 +1130,87 @@ def ivf_bq_knn(
     return _finish_topk(
         scored, queries, k, key_col, refine_with, refine_factor, vec_col, spark
     )
+
+
+def quantization_recall_report(
+    embeddings: DataFrame,
+    queries: list[tuple],
+    *,
+    dim: int,
+    k: int = 10,
+    refine_factor: int = 4,
+    m: int = 8,
+    pq_codebook_k: int = 16,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Recall@k of every member of the quantization family — PQ (ADC,
+    trained Lloyd codebooks), SQ8 and BQ, each with and without the
+    exact-cosine refine at the SAME ``refine_factor`` — against one
+    shared exact brute-force oracle. The one-call answer to "which
+    compression tier do I serve at": compression is fixed by the
+    family (PQ m codes / SQ8 1 byte-per-dim / BQ 1 bit-per-dim), this
+    reports the quality axis (the reference's fused-vs-oracle recall
+    methodology, /root/reference/src/eval/evaluate.py:156-202, applied
+    across tiers).
+
+    The exact oracle and every encode run once per call; the corpus is
+    scanned once per family serve — eval-class cost, bounded by the
+    query batch like every serve path here."""
+    from .simsearch import brute_force_knn
+
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, [float(v) for v in qv]) for qid, qv in queries],
+        "query_id bigint, qvec array<double>",
+    )
+    exact = (
+        brute_force_knn(embeddings, qdf, k=k, vec_col=vec_col, key_col=key_col)
+        .select("query_id", key_col)
+        .cache()
+    )
+    denom = len(queries) * k
+
+    def _recall(approx: DataFrame) -> float:
+        hit = approx.join(exact, ["query_id", key_col], "left_semi").count()
+        return round(hit / denom, 4)
+
+    report: dict = {"k": k, "refine_factor": refine_factor, "n_queries": len(queries)}
+
+    books = train_pq(embeddings, dim=dim, m=m, k=pq_codebook_k, vec_col=vec_col)
+    pq_codes = pq_encode(embeddings, books, vec_col=vec_col)
+    report["pq_raw"] = _recall(
+        pq_adc_topk(pq_codes, books, queries, k=k, key_col=key_col)
+    )
+    report["pq_refined"] = _recall(
+        pq_adc_topk(
+            pq_codes, books, queries, k=k, key_col=key_col,
+            refine_with=embeddings, refine_factor=refine_factor, vec_col=vec_col,
+        )
+    )
+
+    mins, scales = sq_train(embeddings, dim=dim, vec_col=vec_col)
+    sq_codes = sq_encode(embeddings, mins, scales, vec_col=vec_col)
+    report["sq8_raw"] = _recall(
+        sq_adc_topk(sq_codes, mins, scales, queries, k=k, key_col=key_col)
+    )
+    report["sq8_refined"] = _recall(
+        sq_adc_topk(
+            sq_codes, mins, scales, queries, k=k, key_col=key_col,
+            refine_with=embeddings, refine_factor=refine_factor, vec_col=vec_col,
+        )
+    )
+
+    thr = bq_train(embeddings, dim=dim, vec_col=vec_col)
+    bq_codes = bq_encode(embeddings, thr, vec_col=vec_col)
+    report["bq_raw"] = _recall(
+        bq_hamming_topk(bq_codes, thr, queries, k=k, key_col=key_col)
+    )
+    report["bq_refined"] = _recall(
+        bq_hamming_topk(
+            bq_codes, thr, queries, k=k, key_col=key_col,
+            refine_with=embeddings, refine_factor=refine_factor, vec_col=vec_col,
+        )
+    )
+    exact.unpersist()
+    return report

@@ -204,3 +204,23 @@ def test_bq_encode_rejects_bad_vectors(spark, thresholds):
     )
     with pytest.raises((Py4JJavaError, SparkRuntimeException)):
         bq_encode(df, thresholds).collect()
+
+
+def test_quantization_recall_report_family(emb, queries):
+    """One shared oracle, all three families: refined recall can never
+    be below raw (the raw top-k is a subset of the refine candidate
+    set, and refine keeps the exact-best k of the candidates), and a
+    refine that covers the whole corpus is exact (recall 1.0)."""
+    from fuserank_spark.pipeline_ext.quantization import (
+        quantization_recall_report,
+    )
+
+    n = emb.count()
+    rep = quantization_recall_report(
+        emb, queries[:2], dim=DIM, k=K, refine_factor=(n // K) + 1
+    )
+    for fam in ("pq", "sq8", "bq"):
+        raw, ref = rep[f"{fam}_raw"], rep[f"{fam}_refined"]
+        assert 0.0 <= raw <= 1.0
+        assert ref == 1.0
+        assert ref >= raw

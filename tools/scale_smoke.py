@@ -568,6 +568,77 @@ def main():
     t["incremental_lsh_batch"] = round(time.time() - t0, 2)
     t["n_incremental_survivors"] = n_surv
 
+    # round-6 fourth-session ops at volume --------------------------------
+
+    # binary quantization: train thresholds (one agg), encode 500k
+    # vectors to packed 32-bit words, Hamming top-k serve for 8 queries
+    from fuserank_spark.pipeline_ext.quantization import (
+        bq_encode,
+        bq_hamming_topk,
+        bq_train,
+    )
+
+    t0 = time.time()
+    thr = bq_train(bigv, dim=64)
+    bq_codes = bq_encode(bigv, thr, keep_vec=False).persist()
+    bq_codes.count()
+    t["bq_train_encode"] = round(time.time() - t0, 2)
+    qrows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    qbatch = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    t0 = time.time()
+    bq_hamming_topk(bq_codes, thr, qbatch, k=10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t["bq_hamming_serve8"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    bq_hamming_topk(
+        bq_codes, thr, qbatch, k=10, refine_with=bigv, refine_factor=8
+    ).write.format("noop").mode("overwrite").save()
+    t["bq_refined_serve8"] = round(time.time() - t0, 2)
+    bq_codes.unpersist()
+
+    # MMR diversification over a first-stage top-200: the candidate
+    # gather join is broadcast (8 queries x 200 ids), the greedy loop
+    # runs per-query in one applyInPandas pass
+    from fuserank_spark.pipeline_ext.simsearch import brute_force_knn, mmr_rerank
+
+    qdf = spark.createDataFrame(
+        [(qid, qv) for qid, qv in qbatch], "query_id bigint, qvec array<double>"
+    )
+    t0 = time.time()
+    first = brute_force_knn(bigv, qdf, k=200)
+    cands = first.join(bigv, "vec_id").select(
+        "query_id", "vec_id", "cosine", "embedding"
+    )
+    mmr_rerank(cands, k=20, lam=0.5).write.format("noop").mode("overwrite").save()
+    t["mmr_rerank_top200"] = round(time.time() - t0, 2)
+
+    # corpus diff at volume: 500k-row side A vs a mutated B (0.1%
+    # edits, 0.1% drops, 500 adds) — shuffle carries (key, hash) only
+    from fuserank_spark.partitioning import corpus_diff
+
+    side_a = big.select("row_id", "text", "n_chars")
+    side_b = (
+        side_a.filter(F.col("row_id") % 1000 != 7)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("row_id") % 1000 == 3, F.concat(F.col("text"), F.lit(" !"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.range(500).select(
+                (F.col("id") + 900_000_000).alias("row_id"),
+                F.lit("added doc").alias("text"),
+                F.lit(5).cast("bigint").alias("n_chars"),
+            )
+        )
+    )
+    t0 = time.time()
+    n_diff = corpus_diff(side_a, side_b, key_cols=["row_id"]).count()
+    t["corpus_diff"] = round(time.time() - t0, 2)
+    t["n_diff_rows"] = n_diff
+
     t["n_rows"] = n
     print(json.dumps(t))
 
