@@ -641,3 +641,61 @@ def mmr_rerank(
         .groupBy(query_col)
         .applyInPandas(_one, schema=out_schema)
     )
+
+
+def truncated_prefilter_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    prefix_dim: int,
+    k: int = 10,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Dimension-truncation ANN (the Matryoshka-representation serve
+    pattern, Kusupati et al. 2022): coarse-score every row on only the
+    FIRST ``prefix_dim`` dimensions — an O(prefix/dim) scan-cost cut
+    orthogonal to value quantization (PQ/SQ/BQ compress bits per dim;
+    this drops dims) — keep the top ``k*refine_factor`` survivors per
+    query, then re-score ONLY those on the full vector via a broadcast
+    id join and cut to k.
+
+    Works best on embeddings trained front-loaded (MRL); on arbitrary
+    embeddings it is still a valid prefilter, just with a worse
+    coarse-recall curve — measure with
+    :func:`~fuserank_spark.pipeline_ext.quantization.quantization_recall_report`'s
+    oracle pattern before choosing ``prefix_dim``.
+
+    Composition: both stages are :func:`brute_force_knn`-shaped
+    (broadcast queries, two-phase merge); the refine touches the full
+    vector column for O(k·refine_factor) rows per query, never a full
+    scan — the pq/sq/bq refine contract. ``prefix_dim`` == full dim
+    with refine on degenerates to exact (tested)."""
+    if prefix_dim < 1:
+        raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1, got {refine_factor}")
+    coarse_corpus = corpus.select(
+        key_col, F.slice(F.col(vec_col), 1, prefix_dim).alias(vec_col)
+    )
+    coarse_queries = queries.select(
+        query_key, F.slice(F.col(query_vec), 1, prefix_dim).alias(query_vec)
+    )
+    cand = brute_force_knn(
+        coarse_corpus, coarse_queries, k=k * refine_factor,
+        vec_col=vec_col, key_col=key_col,
+        query_key=query_key, query_vec=query_vec,
+    ).select(query_key, key_col)
+    rescored = (
+        corpus.join(F.broadcast(cand), key_col)
+        .join(F.broadcast(queries), query_key)
+        .select(
+            query_key,
+            F.col(key_col),
+            _cosine(F.col(vec_col), F.col(query_vec)).alias("cosine"),
+        )
+    )
+    return _merge_topk(rescored, k, query_key, key_col)
