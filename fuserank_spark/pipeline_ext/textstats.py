@@ -286,3 +286,81 @@ def split_sentences(
     return df.select(
         F.col(key_col), F.posexplode(guarded).alias("sent_idx", "sentence")
     )
+
+
+def _rng(*pairs: tuple[int, int]) -> str:
+    """Character-class body from (start, end) code points."""
+    return "".join(f"{chr(a)}-{chr(b)}" for a, b in pairs)
+
+
+SCRIPT_RANGES: dict[str, str] = {
+    # Explicit code-point ranges, NOT \p{Script} classes: Java regex
+    # (Spark) spells scripts \p{IsLatin} while RE2 (DuckDB) spells
+    # them \p{Latin}, and the two engines ship different Unicode
+    # versions — literal ranges are the only form that is guaranteed
+    # char-identical in both (the split_sentences engine-parity
+    # doctrine). Coverage is the core BLOCK per script (block
+    # semantics: a few symbols like U+00D7 ride along — fine for
+    # routing); extend ranges, not mechanisms.
+    "arabic": _rng((0x0600, 0x06FF)),
+    "cyrillic": _rng((0x0400, 0x04FF)),
+    "devanagari": _rng((0x0900, 0x097F)),
+    "greek": _rng((0x0370, 0x03FF)),
+    "han": _rng((0x4E00, 0x9FFF)),
+    "hangul": _rng((0xAC00, 0xD7A3)),
+    "hebrew": _rng((0x0590, 0x05FF)),
+    "kana": _rng((0x3040, 0x30FF)),
+    "latin": "A-Za-z" + _rng((0x00C0, 0x024F)),
+}
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document writing-system profile: character counts and
+    fractions per script block (:data:`SCRIPT_RANGES`) plus the
+    ``dominant_script`` — the multilingual-corpus routing signal that
+    n-gram language ID (:func:`lang_scores`) cannot give you when the
+    scripts themselves differ (a Cyrillic doc scored against Latin
+    trigram tables is noise; script routing is the correct first
+    gate, language ID the second, within-script).
+
+    Counts use the length-difference form ``length(s) -
+    length(regexp_replace(s, '[range]', ''))`` — both engines count
+    UTF-8 CHARACTERS and both apply the same literal ranges, so the
+    counts are integer-identical cross-engine (test-resident DuckDB
+    oracle, frozen registry). Dominance compares INTEGER counts
+    (alphabetical script order breaks ties) — no float-tie domain to
+    manage; ``none`` when no script character occurs at all.
+    Fractions are over total characters, rounded to 6.
+
+    Pure expressions over one projection: zero shuffle, zero UDF —
+    embarrassingly parallel at any scale."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(t)
+    counts = {
+        name: total - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    mx = F.greatest(*counts.values())
+    # alphabetical CASE chain: first script (by name) holding the max
+    # count wins ties — deterministic and identical as a SQL CASE
+    chain = F.when(mx == 0, F.lit("none"))
+    for name in sorted(counts):
+        chain = chain.when(counts[name] == mx, F.lit(name))
+    dominant = chain.otherwise(F.lit("none"))
+    cols = [F.col(key_col), total.alias("n_chars_total")]
+    for name in sorted(counts):
+        cols.append(counts[name].alias(f"n_{name}"))
+        cols.append(
+            F.round(
+                F.when(total > 0, counts[name].cast("double") / total).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias(f"frac_{name}")
+        )
+    cols.append(dominant.alias("dominant_script"))
+    return df.select(*cols)
