@@ -1011,16 +1011,23 @@ def _bq_score_expr(code_col: str, dim: int):
     are sign patterns over ``dim`` dims, ``dot = dim - 2*hamming``.
     Integer-valued throughout — the no-refine serve needs NO float
     rounding for cross-engine parity (round(int, 6) is the identity
-    both sides)."""
-    ham = F.aggregate(
-        F.zip_with(
-            F.col(code_col),
-            F.col("__qw"),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    both sides).
+
+    UNROLLED over the (compile-time-known, tiny) word count rather
+    than a zip_with/aggregate HOF — the _adc_score_expr lesson: the
+    hot scan expression should be a flat codegen sum of
+    ``bit_count(xor)`` terms, not a per-row lambda pipeline allocating
+    intermediate arrays (n_words = ceil(dim/32) ≤ a handful, so the
+    expression tree stays small)."""
+    n_words = bq_n_words(dim)
+    ham = None
+    for w in range(1, n_words + 1):
+        term = F.bit_count(
+            F.element_at(F.col(code_col), w).bitwiseXOR(
+                F.element_at(F.col("__qw"), w)
+            )
+        ).cast("bigint")
+        ham = term if ham is None else ham + term
     return (F.lit(dim).cast("bigint") - F.lit(2).cast("bigint") * ham).cast(
         "double"
     )

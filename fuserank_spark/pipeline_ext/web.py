@@ -140,3 +140,105 @@ def normalize_urls(
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
     )
     return df.withColumn(out_col, F.when(scheme == "", F.lit("")).otherwise(norm))
+
+
+def domain_suffixes_expr(host: Column) -> Column:
+    """All dotted suffixes of a host, most-specific first:
+    ``a.b.example.com`` → [a.b.example.com, b.example.com,
+    example.com, com]. Bounded by the label count (hosts have a
+    handful), pure expressions."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked,
+    *,
+    host_col: str = "host",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows whose host IS a blocked domain or lives UNDER one
+    (suffix semantics: blocking ``example.com`` also blocks
+    ``a.b.example.com``, never ``notexample.com`` — label-boundary
+    matching via the dotted-suffix set, not endswith).
+
+    Two regimes by blocklist size (the decontam broadcast-asymmetry
+    doctrine):
+
+    - ``blocked`` as a Python sequence (curated lists, up to ~10k):
+      one ``exists(suffixes, s -> s IN set)`` expression — compiles to
+      an InSet probe per label suffix, ZERO shuffle, distributes with
+      the scan.
+    - ``blocked`` as a single-column DataFrame (registry-scale, e.g. a
+      crawl-wide spam list): explode the ≤#labels suffixes, inner-join
+      the blocklist (small side broadcast by AQE when it fits),
+      distinct blocked keys, anti-join back on ``key_col`` — every
+      join is key-wise, nothing quadratic.
+    """
+    host = F.lower(F.coalesce(F.col(host_col), F.lit("")))
+    sufs = domain_suffixes_expr(host)
+    if not isinstance(blocked, DataFrame):
+        bl = sorted({str(b).lower().strip(".") for b in blocked})
+        if not bl:
+            return df
+        hit = F.exists(sufs, lambda s: s.isin(*bl))
+        return df.filter(~hit)
+    bcol = blocked.columns[0]
+    bl_df = blocked.select(
+        F.lower(F.regexp_replace(F.col(bcol), r"^\.+|\.+$", "")).alias("__bd")
+    ).distinct()
+    if key_col not in df.columns:
+        raise ValueError(
+            f"DataFrame blocklists need key_col ({key_col!r}) on df for the "
+            "anti-join; pass a list for the expression path"
+        )
+    blocked_keys = (
+        df.select(F.col(key_col), F.explode(sufs).alias("__bd"))
+        .join(bl_df, "__bd")
+        .select(key_col)
+        .distinct()
+    )
+    return df.join(blocked_keys, key_col, "left_anti")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_per_domain: int,
+    *,
+    domain_col: str = "domain",
+    key_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` rows per domain — the
+    RefinedWeb/C4-style anti-monoculture cap. ``order_col`` (higher =
+    better, e.g. a quality score) selects WHICH rows survive; without
+    one, survival is a deterministic portable hash of the key (stable
+    across runs and engines, unlike any first-k-encountered sample).
+
+    Scale shape: the per-domain ranking reuses the two-phase top-k
+    merge (_merge_topk — no single task ever holds a mega-domain's
+    full row set, the q_topk doctrine), then survivors semi-join back
+    by key. Ties (score, then key) are deterministic, so a SQL twin's
+    single-window row_number lands on the same survivor set
+    (tests/test_web.py)."""
+    from .hashing import portable_hash32
+    from .simsearch import _merge_topk
+
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    if order_col is None:
+        score = portable_hash32(F.col(key_col).cast("string")).cast("double")
+    else:
+        score = F.col(order_col).cast("double")
+    scored = df.select(
+        F.col(domain_col).alias("__dom"), F.col(key_col), score.alias("__s")
+    )
+    survivors = _merge_topk(
+        scored, max_per_domain, "__dom", key_col, score_col="__s"
+    ).select(key_col)
+    return df.join(survivors, key_col, "left_semi")

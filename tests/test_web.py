@@ -190,3 +190,141 @@ def test_web_plans_are_shuffle_free(urls):
     for out in (parse_urls(urls), normalize_urls(urls)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- r6 s4:
+# blocklist filtering + per-domain caps
+
+from fuserank_spark.pipeline_ext.web import cap_per_domain, filter_blocked_domains
+
+_BLOCK = ["example.co.uk", "site3.example.com", "Spam.NET."]
+
+# suffix semantics re-derived in DuckDB: split the host into labels,
+# build every dotted suffix, survive iff NO suffix is in the blocklist
+_BLOCK_ORACLE = """
+WITH p AS (
+  SELECT id,
+    coalesce(regexp_replace(lower(regexp_replace(
+      regexp_replace(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                     '^.*@', ''), ':[0-9]*$', '')), '\\.$', ''), '') AS host
+  FROM urls
+), s AS (
+  SELECT id, host, string_split(host, '.') AS l FROM p
+)
+SELECT id FROM s
+WHERE len(list_filter(
+        list_transform(range(1, len(l) + 1),
+                       i -> array_to_string(l[i:len(l)], '.')),
+        x -> x IN ('example.co.uk', 'site3.example.com', 'spam.net'))) = 0
+ORDER BY id
+"""
+
+
+def test_filter_blocked_domains_matches_duckdb(urls, duck):
+    hosts = parse_urls(urls).select("id", "host")
+    got = sorted(
+        r["id"]
+        for r in filter_blocked_domains(
+            hosts, _BLOCK, host_col="host", key_col="id"
+        ).collect()
+    )
+    want = [r[0] for r in duck.execute(_BLOCK_ORACLE).fetchall()]
+    assert got == want
+    assert len(got) < urls.count()  # the blocklist actually bit
+
+
+def test_filter_blocked_dataframe_path_matches_list_path(urls):
+    hosts = parse_urls(urls).select("id", "host")
+    spark = urls.sparkSession
+    bdf = spark.createDataFrame([(b,) for b in _BLOCK], "domain string")
+    got_df = sorted(
+        r["id"]
+        for r in filter_blocked_domains(
+            hosts, bdf, host_col="host", key_col="id"
+        ).collect()
+    )
+    got_list = sorted(
+        r["id"]
+        for r in filter_blocked_domains(
+            hosts, _BLOCK, host_col="host", key_col="id"
+        ).collect()
+    )
+    assert got_df == got_list
+
+
+def test_filter_blocked_label_boundary(spark):
+    """Blocking example.com must not block notexample.com (suffix =
+    label boundary, not endswith)."""
+    df = spark.createDataFrame(
+        [(0, "a.example.com"), (1, "notexample.com"), (2, "example.com")],
+        "doc_id bigint, host string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domains(df, ["example.com"]).collect()
+    )
+    assert got == [1]
+    # empty blocklist is a no-op
+    assert filter_blocked_domains(df, []).count() == 3
+
+
+_CAP = 3
+
+_CAP_ORACLE = f"""
+WITH p AS (
+  SELECT id,
+    regexp_replace(lower(regexp_replace(
+      regexp_replace(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                     '^.*@', ''), ':[0-9]*$', '')), '\\.$', '') AS host
+  FROM urls
+), d AS (
+  SELECT id, host,
+         CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS h
+  FROM p
+), r AS (
+  SELECT id, host,
+         row_number() OVER (PARTITION BY host ORDER BY h DESC, id) AS rnk
+  FROM d
+)
+SELECT id FROM r WHERE rnk <= {_CAP} ORDER BY id
+"""
+
+
+def test_cap_per_domain_matches_duckdb_single_window(urls, duck):
+    """The two-phase merge must pick the SAME survivors as a single
+    global window over the portable-hash score (per host, to get
+    real multi-row groups from the fixture)."""
+    hosts = parse_urls(urls).select("id", "host")
+    got = sorted(
+        r["id"]
+        for r in cap_per_domain(
+            hosts, _CAP, domain_col="host", key_col="id"
+        ).collect()
+    )
+    want = [r[0] for r in duck.execute(_CAP_ORACLE).fetchall()]
+    assert got == want
+
+
+def test_cap_per_domain_order_col_keeps_best(spark):
+    df = spark.createDataFrame(
+        [(i, "d.com", float(i % 10)) for i in range(30)],
+        "doc_id bigint, domain string, quality double",
+    )
+    out = cap_per_domain(df, 5, order_col="quality")
+    got = sorted(r["quality"] for r in out.collect())
+    # top-5 by quality: two 9s (doc 9, 19, 29 -> three 9s) ...
+    rows = sorted(
+        ((r["quality"], r["doc_id"]) for r in df.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(d for _, d in rows)
+    assert out.count() == 5
+
+
+def test_cap_per_domain_invalid(spark):
+    df = spark.createDataFrame([(0, "d", 1.0)], "doc_id bigint, domain string, q double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cap_per_domain(df, 0)
