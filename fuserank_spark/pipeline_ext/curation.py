@@ -26,6 +26,7 @@ oracles reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -886,3 +887,60 @@ def temperature_rates(
         src: (float(s) ** alpha / z) * float(target_total) / float(s)
         for src, s in sizes.items()
     }
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    *,
+    form: str = "NFC",
+    lowercase: bool = False,
+    strip_accents: bool = False,
+) -> DataFrame:
+    """Unicode normalization for multilingual corpora: composes the
+    canonical (NFC/NFD) or compatibility (NFKC/NFKD) form, optionally
+    strips accents (NFD → drop combining marks → recompose) and
+    lowercases — the prep step that makes downstream EXACT matching
+    (dedup hashes, decontam grams, URL/domain keys) see "café" ==
+    "cafe\\u0301". Skipping it silently splits duplicate groups by
+    encoding accident, which is a recall bug in every hash-keyed op.
+
+    Spark has no built-in Unicode normalizer, so this is an
+    Arrow-batched pandas UDF over ``unicodedata`` (the sanctioned
+    Python path — batch transfer, not per-row py4j); the plan stays
+    narrow (zero shuffle), so it distributes with the scan like any
+    projection. NULLs pass through.
+
+    Engine-parity note (test-resident oracle, frozen registry):
+    DuckDB's ``nfc_normalize`` / ``strip_accents`` / ``lower`` are
+    utf8proc-backed while Python uses its own Unicode tables — the
+    same algorithms, compared row-for-row in
+    tests/test_normalize_text.py over accent/ligature/full-width/
+    jamo/casing rows. ``lowercase`` maps to Python ``str.lower`` (not
+    ``casefold``, whose ß→ss expansion has no cheap SQL twin)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_accents:
+                y = "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", y)
+                    if not unicodedata.combining(c)
+                )
+                y = unicodedata.normalize(form, y)
+            if lowercase:
+                y = y.lower()
+            return y
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))
