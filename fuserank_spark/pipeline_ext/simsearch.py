@@ -576,6 +576,10 @@ def mmr_rerank(
     (CLAUDE.md rounding invariant), ties break on lowest key — a
     sequential-fold re-implementation lands on the identical selection
     (tests/test_mmr.py python-reference differential).
+
+    Contract: ``query_col``/``key_col`` must be integral (the output
+    schema types them bigint — the vec_id convention everywhere in
+    this module); map string keys to ids upstream.
     """
     import pandas as pd
 
@@ -673,7 +677,10 @@ def truncated_prefilter_topk(
     (broadcast queries, two-phase merge); the refine touches the full
     vector column for O(k·refine_factor) rows per query, never a full
     scan — the pq/sq/bq refine contract. ``prefix_dim`` == full dim
-    with refine on degenerates to exact (tested)."""
+    with refine on degenerates to exact (tested). Vectors shorter
+    than ``prefix_dim`` are coarse-scored on what exists (slice
+    truncates silently) — enforce uniform dims upstream if that
+    matters."""
     if prefix_dim < 1:
         raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
     if refine_factor < 1:
