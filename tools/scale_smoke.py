@@ -639,6 +639,33 @@ def main():
     t["corpus_diff"] = round(time.time() - t0, 2)
     t["n_diff_rows"] = n_diff
 
+    # script profiling over 500k docs: pure regex expressions, narrow
+    from fuserank_spark.pipeline_ext.textstats import script_profile
+
+    t0 = time.time()
+    script_profile(big.select(F.col("row_id").alias("doc_id"), "text")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t["script_profile"] = round(time.time() - t0, 2)
+
+    # unicode normalization over 500k docs: Arrow-batched pandas UDF
+    from fuserank_spark.pipeline_ext.curation import normalize_text
+
+    t0 = time.time()
+    normalize_text(
+        big.select("row_id", "text"), lowercase=True, strip_accents=True
+    ).write.format("noop").mode("overwrite").save()
+    t["normalize_text"] = round(time.time() - t0, 2)
+
+    # dimension-truncation prefilter over the vector corpus
+    from fuserank_spark.pipeline_ext.simsearch import truncated_prefilter_topk
+
+    t0 = time.time()
+    truncated_prefilter_topk(
+        bigv, qdf, prefix_dim=16, k=10, refine_factor=4
+    ).write.format("noop").mode("overwrite").save()
+    t["truncated_prefilter8"] = round(time.time() - t0, 2)
+
     t["n_rows"] = n
     print(json.dumps(t))
 
