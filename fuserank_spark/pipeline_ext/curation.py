@@ -202,6 +202,59 @@ def quota_sample(
     return result
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "doc_id",
+    n_per_cluster: int = 10,
+    metric: str = "l2",
+    score_round: int | None = 6,
+    cluster_col: str = "cluster_id",
+    salt: str = "cluster-balance",
+    prefilter_frac: float | str | None = None,
+) -> DataFrame:
+    """Diversity-preserving subsample: cap every embedding-space
+    REGION at ``n_per_cluster`` docs, so mass-duplicated modes (boiler
+    -plate families, template farms, one over-crawled topic) cannot
+    dominate the training mixture — the cluster-balancing step that
+    SemDeDup-style pipelines run after near-dup removal, with clusters
+    standing in for domains in the quota_sample sense.
+
+    Composition of two existing audited paths, nothing new to audit:
+    frozen-centroid assignment (simsearch.ivf_assign — expression-only
+    argmin over a literal centroid matrix, zero shuffle, the q_ivf_knn
+    SQL-twin formula with ``score_round`` fixing the cross-engine
+    tie-break domain) followed by :func:`quota_sample` keyed on the
+    cell (one window shuffle; ``prefilter_frac`` prunes hot clusters
+    before the sort — see quota_sample for the result-preserving
+    range-gate argument). Centroids come from ``ivf_build`` on a
+    bounded sample or any frozen k-means; passing them frozen keeps
+    the op deterministic and engine-portable. Output keeps
+    ``cluster_col`` for mixture accounting. Differentially pinned by a
+    full DuckDB re-derivation (assignment + quota) in
+    tests/test_curation.py (r6 registry-external convention)."""
+    from .simsearch import ivf_assign
+
+    assigned = ivf_assign(
+        df,
+        centroids,
+        vec_col=vec_col,
+        out_col=cluster_col,
+        metric=metric,
+        score_round=score_round,
+    )
+    return quota_sample(
+        assigned,
+        group_col=cluster_col,
+        key_col=key_col,
+        n_per_group=n_per_cluster,
+        salt=salt,
+        prefilter_frac=prefilter_frac,
+    )
+
+
 # ------------------------------------------------------- decontamination
 
 

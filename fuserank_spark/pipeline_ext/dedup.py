@@ -194,24 +194,41 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash", bit
     return df.withColumn(out_col, sim).drop("__th")
 
 
-def simhash_hamming_pairs(
+def _validate_bands(bits: int, bands: int, max_hamming: int) -> None:
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} > bands-1={bands - 1}: the band "
+            "prefilter would miss qualifying pairs; raise bands"
+        )
+
+
+def code_hamming_pairs(
     df: DataFrame,
-    text_col: str = "text",
+    code_col: str,
     key_col: str = "doc_id",
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs with a GUARANTEED-recall band
-    prefilter (Manku/Jarvelin/Sarma, "Detecting Near-Duplicates for
-    Web Crawling", WWW 2007 — the Google crawl-dedup design): split
-    each ``bits``-bit signature into ``bands`` contiguous bands; by
-    pigeonhole, two signatures within Hamming distance
+    """Near-duplicate pairs over ANY integer bit-code column with a
+    GUARANTEED-recall band prefilter (Manku/Jarvelin/Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007 — the Google
+    crawl-dedup design): split each ``bits``-bit code into ``bands``
+    contiguous bands; by pigeonhole, two codes within Hamming distance
     ``<= bands - 1`` agree EXACTLY on at least one band, so bucketing
     on (band_idx, band_value) finds every qualifying pair while the
     pair space stays linear in the corpus (``max_hamming > bands-1``
     raises rather than silently losing recall).
+
+    Works for the full 64-bit BIGINT range including negative codes
+    (two's-complement top bit set): arithmetic ``shiftright`` plus
+    ``pmod`` extracts band bits exactly, and ``bit_count(xor)`` is
+    sign-agnostic — the identical semantics DuckDB's ``>>``/``%``/
+    ``bit_count`` give a SQL twin (tests/test_phash.py pins this at
+    bits=64; q_simhash pins bits=32).
 
     Candidates flow through the shared memory-bounded pair core
     (:func:`_pairs_in_buckets` — mass-duplicate buckets star-degrade
@@ -223,28 +240,21 @@ def simhash_hamming_pairs(
     Output: (id_a < id_b, hamming). Feed into
     :func:`resolve_duplicate_clusters` / :func:`deduplicate` exactly
     like the MinHash-LSH pair stream."""
-    if bits % bands != 0:
-        raise ValueError(f"bits={bits} not divisible by bands={bands}")
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} > bands-1={bands - 1}: the band "
-            "prefilter would miss qualifying pairs; raise bands"
-        )
+    _validate_bands(bits, bands, max_hamming)
     w = bits // bands
-    sigs = simhash(df, text_col=text_col, bits=bits)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.pmod(
-                    F.shiftright(F.col("simhash"), b * w), F.lit(1 << w)
+                    F.shiftright(F.col(code_col), b * w), F.lit(1 << w)
                 ).alias("band_val"),
             )
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        F.col(key_col).alias("id"), F.col("simhash").alias("sig"),
+    banded = df.select(
+        F.col(key_col).alias("id"), F.col(code_col).alias("sig"),
         F.explode(band_structs).alias("bd"),
     ).select("bd.*", "id", "sig")
     pairs = _pairs_in_buckets(
@@ -262,6 +272,35 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: :func:`simhash` signatures fed
+    through the shared banded-Hamming core (:func:`code_hamming_pairs`
+    — see there for the pigeonhole recall guarantee and memory
+    posture). Oracle-pinned by q_simhash plus the banded-pair SQL twin
+    in ext_queries; the r6 extraction into the shared core kept the
+    plan shape identical (same band explode → pair core → xor
+    verify)."""
+    _validate_bands(bits, bands, max_hamming)
+    sigs = simhash(df, text_col=text_col, bits=bits)
+    return code_hamming_pairs(
+        sigs,
+        "simhash",
+        key_col=key_col,
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
     )
 
 

@@ -193,3 +193,117 @@ def frame_sample(
     return (
         out.withColumn(ts_col, ts).withColumn(frame_col, frame).drop("__fidx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (r6): dHash — the classic gradient hash — over a
+# grayscale pixel grid, then banded-Hamming near-dup pairs via the
+# shared dedup core. The DEDUP MECHANISM (bit code → bands → pair
+# core → xor verify → cluster resolve) is the real, scale-tested part;
+# the pixel SOURCE is the same deterministic md5-keystream stub the
+# rest of this module uses (real codecs absent in this container), and
+# because the keystream is md5-derived the ENTIRE hash is
+# SQL-expressible — the DuckDB twin in tests/test_phash.py re-derives
+# pixels → bits → code → pairs end-to-end. A production deployment
+# swaps `stub_gray_pixels_expr` for a mapInPandas PIL decode
+# (grayscale → resize to (grid_w+1)×grid_h) and keeps everything
+# downstream byte-identical.
+
+
+def stub_gray_pixels_expr(payload_col: str, n_pixels: int) -> "F.Column":
+    """Deterministic fake grayscale pixels from a binary payload:
+    byte ``p`` of the md5 keystream ``md5(payload‖'0') ‖
+    md5(payload‖'1') ‖ …`` (chunk suffixes are the DECIMAL STRING of
+    the chunk index, so any engine with md5-of-string can re-derive
+    the stream). Returns an ``array<int>`` of length ``n_pixels``,
+    values 0–255. Pure expressions — the hex string is materialized
+    by the caller once (Catalyst does not CSE across HOF projections,
+    the CLAUDE.md trap), so call via :func:`phash`."""
+    n_chunks = -(-n_pixels // 16)  # each md5 = 16 bytes = 32 hex chars
+    chunks = [
+        F.md5(F.concat(F.col(payload_col), F.encode(F.lit(str(c)), "utf-8")))
+        for c in range(n_chunks)
+    ]
+    return F.concat(*chunks) if len(chunks) > 1 else chunks[0]
+
+
+def phash(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    out_col: str = "phash",
+    grid_w: int = 8,
+    grid_h: int = 8,
+) -> DataFrame:
+    """64-bit dHash perceptual hash of a media payload: compare each
+    grayscale pixel to its right neighbour on a ``(grid_w+1) ×
+    grid_h`` grid; bit ``i = r*grid_w + c`` is set when
+    ``px[r][c] > px[r][c+1]``. Near-identical images flip few bits, so
+    Hamming distance on the code is visual similarity — feed
+    :func:`phash_hamming_pairs`.
+
+    Pure expressions end-to-end (md5-keystream stub pixels → one
+    ``transform`` to decode hex bytes → one ``aggregate`` to fold
+    bits): zero UDF, zero shuffle, constant-size plan for any grid.
+    The code uses the FULL signed 64-bit range (bit grid_w*grid_h-1 is
+    the BIGINT sign bit) — downstream band/xor math is sign-agnostic
+    (see dedup.code_hamming_pairs)."""
+    bits = grid_w * grid_h
+    if bits > 64 or bits < 1:
+        raise ValueError(f"grid_w*grid_h={bits} must be in 1..64 to fit a BIGINT code")
+    row_w = grid_w + 1
+    n_pixels = row_w * grid_h
+    hex_col, px_col = "__ph_hex", "__ph_px"
+    out = df.withColumn(hex_col, stub_gray_pixels_expr(payload_col, n_pixels))
+    out = out.withColumn(
+        px_col,
+        F.expr(
+            f"transform(sequence(0, {n_pixels - 1}), p -> "
+            f"CAST(conv(substr({hex_col}, p * 2 + 1, 2), 16, 10) AS INT))"
+        ),
+    )
+    # element_at is 1-based; left pixel of bit i sits at r*row_w + c
+    # where r = i div grid_w, c = i mod grid_w
+    code = F.expr(
+        f"""
+        aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(
+            element_at({px_col}, CAST(i div {grid_w} AS INT) * {row_w} + CAST(pmod(i, {grid_w}) AS INT) + 1)
+            > element_at({px_col}, CAST(i div {grid_w} AS INT) * {row_w} + CAST(pmod(i, {grid_w}) AS INT) + 2),
+            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))
+        """
+    )
+    return out.withColumn(out_col, code).drop(hex_col, px_col)
+
+
+def phash_hamming_pairs(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    key_col: str = "doc_id",
+    grid_w: int = 8,
+    grid_h: int = 8,
+    bands: int = 8,
+    max_hamming: int = 7,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Near-duplicate MEDIA pairs by perceptual hash: :func:`phash`
+    codes through the shared banded-Hamming prefilter
+    (dedup.code_hamming_pairs — pigeonhole guarantees every pair
+    within ``max_hamming <= bands-1`` surfaces; pair space stays
+    linear in the corpus, mass-dup buckets star-degrade). Output
+    (id_a < id_b, hamming) feeds resolve_duplicate_clusters /
+    deduplicate exactly like the text pair streams — media dedup and
+    text dedup share one clustering spine."""
+    from .dedup import code_hamming_pairs
+
+    coded = phash(df, payload_col=payload_col, grid_w=grid_w, grid_h=grid_h)
+    return code_hamming_pairs(
+        coded,
+        "phash",
+        key_col=key_col,
+        bits=grid_w * grid_h,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )

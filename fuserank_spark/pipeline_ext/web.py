@@ -242,3 +242,64 @@ def cap_per_domain(
         scored, max_per_domain, "__dom", key_col, score_col="__s"
     ).select(key_col)
     return df.join(survivors, key_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (r6): the step between a raw crawl payload and
+# every content op in this package (dedup, quality, langid all assume
+# extracted text, as C4/RefinedWeb extract before filtering).
+#
+# The step list is the single source of truth: the Spark op and the
+# DuckDB twin in tests/test_web.py are BOTH generated from it (the
+# script_profile precedent), so any edit stays differentially pinned.
+# Patterns live in the Java-regex ∩ RE2 subset: inline (?is) flags and
+# non-capturing groups only — RE2 has no backreferences, so script and
+# style blocks get separate literal patterns instead of <(script|style)
+# ... </\1>.
+# Ordering contract: container blocks whose CONTENT must vanish
+# (script/style/comments/doctype) go first; block-boundary tags become
+# newlines BEFORE the generic tag strip eats them; entities unescape
+# after tags so a literal "&lt;p&gt;" in text never becomes a tag; &amp;
+# unescapes LAST (the standard order — "&amp;lt;" means the four chars
+# "&lt;", not "<"); whitespace collapses at the end.
+_B = "br|hr"
+_BLOCK = "p|div|li|tr|h1|h2|h3|h4|h5|h6|ul|ol|table|blockquote|pre|section|article|header|footer|form|dd|dt"
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script[^>]*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style[^>]*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<!doctype[^>]*>", " "),
+    (rf"(?is)<(?:{_B})\b[^>]*>|</(?:{_BLOCK})\s*>", "\n"),
+    (r"(?s)</?[A-Za-z][^>]*>", " "),
+    (r"&nbsp;|&#160;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;|&#34;", "\""),
+    (r"&#39;|&apos;", "'"),
+    (r"&amp;|&#38;", "&"),
+    (r"[ \t\r\f]+", " "),
+    (r"\s*\n\s*", "\n"),
+    (r"^\s+|\s+$", ""),
+)
+
+
+def extract_html_text(
+    df: DataFrame, *, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Extract readable text from raw HTML markup — C4-style: drop
+    script/style/comment content entirely, turn block boundaries into
+    newlines, strip remaining tags, unescape the core entities,
+    collapse whitespace. A pragmatic regex extractor (documented
+    approximation of a DOM-based boilerplate remover, which needs a
+    parser this container doesn't have), NOT a sanitizer — never feed
+    its output back to a browser.
+
+    Pure Column expressions (one regexp_replace per
+    ``HTML_STRIP_STEPS`` row, applied in order): zero shuffle, zero
+    UDF, distributes with the scan; non-HTML text passes through with
+    only whitespace collapsing. Checked by a DuckDB twin generated
+    from the SAME step list (tests/test_web.py)."""
+    out = F.col(html_col)
+    for pat, repl in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out)

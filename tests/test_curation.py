@@ -663,3 +663,95 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
         if k not in paired_ids:
             assert v == plain[k]
     assert {v for v in split_of.values()} == {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# cluster_balanced_sample: registry-external, so the oracle lives here —
+# a full DuckDB re-derivation of frozen-Forgy assignment (the q_ivf_knn
+# formula: round(csq - 2<x,c>, 6) argmin, ties to lowest cell) plus the
+# quota_sample hash-rank window, compared row-for-row.
+
+_CB_N_CENT = 4
+_CB_N_PER = 5
+_CB_DIM = 64
+
+
+def _cb_oracle(duck):
+    dot = (
+        f"list_sum(list_transform(range(1,{_CB_DIM + 1}),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))"
+    )
+    h = (
+        "CAST(concat('0x', substring(md5(concat('cluster-balance:',"
+        " CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+    return duck.execute(
+        f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        cent AS (
+          SELECT CAST(vec_id AS INT) AS cid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+                 list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS csq
+          FROM embeddings WHERE vec_id < {_CB_N_CENT}
+        ), assigned AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY round(c.csq - 2 * {dot}, 6) ASC,
+                                             c.cid ASC) AS arn
+          FROM e CROSS JOIN cent c
+        ), cells AS (
+          SELECT vec_id, cid FROM assigned WHERE arn = 1
+        ), r AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY {h} ASC, vec_id ASC) AS rn
+          FROM cells
+        )
+        SELECT vec_id, cid FROM r WHERE rn <= {_CB_N_PER} ORDER BY vec_id
+        """
+    ).fetchall()
+
+
+def test_cluster_balanced_sample_matches_duckdb_twin(spark, duck):
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext.curation import cluster_balanced_sample
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    cents = np.array(
+        [
+            r["embedding"]
+            for r in e.filter(F.col("vec_id") < _CB_N_CENT).orderBy("vec_id").collect()
+        ],
+        dtype="float64",
+    )
+    out = cluster_balanced_sample(
+        e, cents, key_col="vec_id", n_per_cluster=_CB_N_PER
+    )
+    got = {(r["vec_id"], r["cluster_id"]) for r in out.select("vec_id", "cluster_id").collect()}
+    exp = {(v, c) for v, c in _cb_oracle(duck)}
+    assert got == exp
+    assert 0 < len(got) <= _CB_N_CENT * _CB_N_PER
+    # the cap binds per cluster
+    from collections import Counter
+
+    per = Counter(c for _, c in got)
+    assert all(n <= _CB_N_PER for n in per.values())
+
+
+def test_cluster_balanced_sample_prefilter_preserving(spark):
+    import numpy as np
+
+    from fuserank_spark.pipeline_ext.curation import cluster_balanced_sample
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id", "embedding")
+    cents = np.array(
+        [r["embedding"] for r in e.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()],
+        dtype="float64",
+    )
+    full = cluster_balanced_sample(e, cents, key_col="vec_id", n_per_cluster=3)
+    gated = cluster_balanced_sample(
+        e, cents, key_col="vec_id", n_per_cluster=3, prefilter_frac=0.5
+    )
+    as_set = lambda d: {(r["vec_id"], r["cluster_id"]) for r in d.collect()}  # noqa: E731
+    assert as_set(full) == as_set(gated)

@@ -328,3 +328,94 @@ def test_cap_per_domain_invalid(spark):
 
     with _pt.raises(ValueError):
         cap_per_domain(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# extract_html_text: the DuckDB twin is GENERATED from HTML_STRIP_STEPS
+# (the script_profile precedent) so both engines always evaluate the
+# identical pattern list in the identical order.
+
+HTML_ROWS = [
+    "<html><head><title>T</title><style>p{color:red}</style>"
+    "<script type='text/javascript'>var x = '<p>fake</p>';</script></head>"
+    "<body><h1>Header</h1><p>First para with <b>bold</b> and "
+    "<a href='http://x.com?a=1&amp;b=2'>a link</a>.</p>"
+    "<ul><li>one</li><li>two</li></ul>"
+    "<!-- a comment with <p>markup</p> inside -->"
+    "<div>Tail &lt;not a tag&gt; &quot;quoted&quot; &#39;apos&#39; "
+    "&nbsp;spaced &amp;lt; stays</div></body></html>",
+    "<!DOCTYPE html>\n<p>Line one<br>Line two<br/>Line three</p>",
+    "plain text, no markup at all — math like 3 < 5 survives",
+    "broken <p unclosed tag and <P>UPPER</P> mixed",
+    "entities only: &amp; &lt; &gt; &quot; &#39; &nbsp; &#160; &apos; &#34; &#38;",
+    "   \t leading ws <div>  inner \t ws  </div> trailing \n\n ",
+    "<pre>code  with   spaces</pre><table><tr><td>a</td><td>b</td></tr></table>",
+    "",
+    None,
+    "<script>no close",
+    "a<br>b<br>c",
+]
+
+
+def test_extract_html_text_matches_duckdb_twin(spark, duck):
+    from fuserank_spark.pipeline_ext.web import HTML_STRIP_STEPS, extract_html_text
+
+    rows = [(i, h) for i, h in enumerate(HTML_ROWS)]
+    # generated variety: entity/tag/comment mixes
+    for i in range(200):
+        h = (
+            f"<div id='d{i}'><h2>Doc {i}</h2><p>body {i} &amp; more "
+            f"{'<script>skip()</script>' if i % 3 == 0 else ''}"
+            f"{'<!-- c -->' if i % 4 == 0 else ''}text</p></div>"
+        )
+        rows.append((len(HTML_ROWS) + i, h))
+    pdf = pd.DataFrame(rows, columns=["id", "html"])
+    duck.register("html_docs", pdf)
+    sdf = spark.createDataFrame(pdf).select(
+        "id", F.col("html").cast("string").alias("html")
+    )
+
+    # pattern/replacement go in as bind parameters (never SQL string
+    # literals — standard SQL strings would mangle the backslashes and
+    # newlines); 'g' because Spark's regexp_replace is always global,
+    # and the (?is)-style inline flags ride inside the patterns
+    expr = "html"
+    params: list[str] = []
+    for pat, repl in HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, ?, ?, 'g')"
+        params.extend([pat, repl])
+    got = {
+        r["id"]: r["text"]
+        for r in extract_html_text(sdf).select("id", "text").collect()
+    }
+    exp = dict(
+        duck.execute(
+            f"SELECT id, {expr} AS text FROM html_docs ORDER BY id", params
+        ).fetchall()
+    )
+    duck.unregister("html_docs")
+    assert set(got) == set(exp)
+    for i in sorted(exp):
+        assert got[i] == exp[i], f"row {i}: spark={got[i]!r} duck={exp[i]!r}"
+
+
+def test_extract_html_text_semantics(spark):
+    from fuserank_spark.pipeline_ext.web import extract_html_text
+
+    sdf = spark.createDataFrame(
+        [(0, HTML_ROWS[0]), (1, HTML_ROWS[2]), (2, HTML_ROWS[4])], "id long, html string"
+    )
+    out = {r["id"]: r["text"] for r in extract_html_text(sdf).collect()}
+    t0 = out[0]
+    # script/style/comment CONTENT is gone, not just the tags
+    assert "color:red" not in t0 and "fake" not in t0 and "comment" not in t0
+    # body text and inline formatting content survive
+    assert "First para with bold and a link" in t0.replace("\n", " ")
+    # entity unescapes, and double-escaped &amp;lt; stays literal "&lt;"
+    assert '"quoted"' in t0 and "'apos'" in t0 and "<not a tag>" in t0
+    assert "&lt; stays" in t0
+    # block boundaries became newlines
+    assert "one\ntwo" in t0
+    # non-HTML text passes through modulo whitespace collapsing
+    assert out[1] == "plain text, no markup at all — math like 3 < 5 survives"
+    assert out[2] == "entities only: & < > \" ' ' \" &"
