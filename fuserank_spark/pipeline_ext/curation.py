@@ -557,17 +557,147 @@ def keep_best(
 # -------------------------------------------------------- full pipeline
 
 
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    *,
+    min_count: int,
+    budget: int = 1 << 15,
+    count_col: str = "count",
+) -> DataFrame:
+    """EXACT frequent items at a sketch's shuffle cost: every item
+    with global count ``>= min_count``, with its exact count — the
+    scale path for corpus-wide frequency mining (boilerplate n-grams,
+    hot URLs, heavy tokens) where a full ``groupBy(item)`` would
+    shuffle the entire exploded stream.
+
+    Two passes (Misra–Gries, Section 2 of Misra & Gries 1982, in its
+    mergeable-summary form — Agarwal et al., "Mergeable Summaries",
+    PODS 2012):
+
+    1. *Sketch*: each partition folds its items into a ``budget``-
+       counter MG summary inside one mapInPandas (vectorized bulk
+       evictions: subtract the (L-budget)-th smallest value, drop
+       non-positives — each subtracted unit destroys >= budget+1
+       units of mass, so a partition's undercount is at most
+       n_p/(budget+1)). Only the P·budget summary rows shuffle.
+    2. *Recount*: summed summaries undercount by at most
+       E = N/(budget+1), so every true heavy hitter survives the
+       gate ``summed >= min_count - E`` (no false negatives —
+       pigeonhole); the surviving candidate set is broadcast back
+       over the stream for one map-side-filtered exact count, which
+       removes the false positives.
+
+    The output is therefore EXACTLY ``groupBy.count >= min_count``
+    (pinned against both that plan and a DuckDB groupBy in
+    tests/test_heavy_hitters.py) whenever the guarantee holds:
+    ``min_count > N/(budget+1)``. When it does not — the threshold is
+    too deep for the budget — the op RAISES with the budget that
+    would work, rather than silently dropping items (the
+    embedding-neardup "refuses to guess" doctrine). NULL items are
+    ignored.
+
+    Cost shape at 100 TB: pass 1 is a narrow scan emitting
+    O(P·budget) rows; pass 2 shuffles only items that hash-match a
+    candidate (<= P·budget distinct values); nothing ever shuffles
+    the full stream. Memory: one budget-sized dict per task."""
+    from pyspark.sql import types as T
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    src = items.select(F.col(item_col).alias("item"))
+    item_type = src.schema.fields[0].dataType
+    sk_schema = T.StructType(
+        [
+            T.StructField("item", item_type),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("tot", T.LongType()),
+        ]
+    )
+    k = budget
+
+    def _sketch(batches):
+        counters = pd.Series(dtype="int64")
+        n_p = 0
+        for pdf in batches:
+            col = pdf["item"].dropna()
+            n_p += len(col)
+            vc = col.value_counts()
+            counters = vc if counters.empty else counters.add(vc, fill_value=0)
+            L = len(counters)
+            if L > k:
+                # np.partition COPIES — .to_numpy() can be a zero-copy
+                # view of the Series buffer, and an in-place sort would
+                # scramble values under their index labels
+                import numpy as np
+
+                s = np.partition(counters.to_numpy(), L - k - 1)[L - k - 1]
+                counters = counters[counters > s] - s
+        out = pd.DataFrame(
+            {"item": counters.index, "cnt": counters.to_numpy("int64")}
+        )
+        out["tot"] = 0
+        total = pd.DataFrame(
+            {
+                "item": pd.Series([None], dtype=object),
+                "cnt": [0],
+                "tot": [n_p],
+            }
+        )
+        yield pd.concat([out, total], ignore_index=True)
+
+    # consumed by two actions (N, candidates) — materialize once
+    # (CLAUDE.md r6-3: lazy fan-out inputs re-run their upstream)
+    sk = src.mapInPandas(_sketch, schema=sk_schema).localCheckpoint(eager=True)
+    n_total = sk.agg(F.sum("tot")).collect()[0][0] or 0
+    err = n_total / (k + 1)
+    if min_count <= err:
+        raise ValueError(
+            f"min_count={min_count} <= N/(budget+1)={err:.1f}: the sketch "
+            f"cannot guarantee recall at this depth; raise budget to "
+            f">= {int(n_total / min_count) + 1} (or use the exact groupBy path)"
+        )
+    candidates = (
+        sk.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("lb"))
+        .filter(F.col("lb") >= F.lit(min_count - err))
+        .select("item")
+    )
+    return (
+        src.join(F.broadcast(candidates), "item", "inner")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= min_count)
+        .withColumnRenamed("item", item_col)
+    )
+
+
 def frequent_ngrams(
     docs: DataFrame,
     *,
     text_col: str = "text",
     n: int = 8,
     min_doc_count: int = 10,
+    budget: int | None = None,
 ) -> DataFrame:
     """Corpus-wide boilerplate mining: token ``n``-grams that appear
     in at least ``min_doc_count`` DISTINCT documents (headers,
     footers, license blurbs, navigation chrome). Returns
     ``(gram_hash, n_docs)`` — feed to :func:`boilerplate_fraction`.
+
+    ``budget`` switches the aggregation to the two-pass
+    :func:`heavy_hitters` sketch path — IDENTICAL output (exact
+    counts, guaranteed; raises if the budget can't cover
+    ``min_doc_count`` at the observed gram volume), but the full
+    exploded gram stream never shuffles: at 100 TB the exact
+    ``groupBy(gram_hash)`` below moves the whole corpus's grams
+    through one exchange, while the sketch moves O(partitions ·
+    budget) summary rows plus the frequent tail. The docs scan runs
+    twice (sketch + recount) — the right trade when shuffle, not
+    scan, is the bottleneck.
 
     Grams are carried as ``portable_hash32`` values, not strings —
     the frequent set must stay broadcastable (a 5M-row limit of raw
@@ -594,14 +724,19 @@ def frequent_ngrams(
             ).alias("gram_hash")
         )
     )
-    return (
-        g.groupBy("gram_hash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_doc_count)
-        .select(
-            F.col("gram_hash").alias("gram_hash", metadata={"ngram_n": n}),
-            "n_docs",
+    if budget is not None:
+        counted = heavy_hitters(
+            g, "gram_hash", min_count=min_doc_count, budget=budget, count_col="n_docs"
         )
+    else:
+        counted = (
+            g.groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_doc_count)
+        )
+    return counted.select(
+        F.col("gram_hash").alias("gram_hash", metadata={"ngram_n": n}),
+        "n_docs",
     )
 
 

@@ -666,6 +666,64 @@ def main():
     ).write.format("noop").mode("overwrite").save()
     t["truncated_prefilter8"] = round(time.time() - t0, 2)
 
+    # HTML extraction over 500k synthetic-markup docs: regex chain, narrow
+    from fuserank_spark.pipeline_ext.web import extract_html_text
+
+    t0 = time.time()
+    html = big.select(
+        "row_id",
+        F.concat(
+            F.lit("<html><body><h1>t</h1><p>"), F.col("text"),
+            F.lit("</p><script>var x=1;</script><!-- c --></body></html>"),
+        ).alias("html"),
+    )
+    extract_html_text(html).write.format("noop").mode("overwrite").save()
+    t["extract_html_text"] = round(time.time() - t0, 2)
+
+    # perceptual-hash media dedup over 500k payloads: expression dHash
+    # + banded-Hamming pair core (replica texts are unique, so this
+    # prices the hash+banding machinery, not pair fan-out)
+    from fuserank_spark.pipeline_ext.multimodal import attach_payload, phash_hamming_pairs
+
+    t0 = time.time()
+    n_ppairs = phash_hamming_pairs(
+        attach_payload(big.select(F.col("row_id").alias("doc_id"), "text"))
+    ).count()
+    t["phash_pairs"] = round(time.time() - t0, 2)
+    t["n_phash_pairs"] = n_ppairs
+
+    # cluster-balanced sample over the 500k vector corpus
+    from fuserank_spark.pipeline_ext.curation import cluster_balanced_sample
+
+    cb_cents = np.array(
+        [r["embedding"] for r in bigv.orderBy("vec_id").limit(8).collect()],
+        dtype="float64",
+    )
+    t0 = time.time()
+    cluster_balanced_sample(
+        bigv, cb_cents, key_col="vec_id", n_per_cluster=1000,
+        prefilter_frac=0.2,
+    ).write.format("noop").mode("overwrite").save()
+    t["cluster_balanced_sample"] = round(time.time() - t0, 2)
+
+    # frequent-ngram mining at 500k: exact groupBy vs the MG
+    # sketch+recount path (identical output, summary-only shuffle)
+    from fuserank_spark.pipeline_ext.curation import frequent_ngrams
+
+    t0 = time.time()
+    n_freq_exact = frequent_ngrams(
+        big.select(F.col("row_id").alias("doc_id"), "text"), n=3, min_doc_count=50
+    ).count()
+    t["frequent_ngrams_exact"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_freq_sketch = frequent_ngrams(
+        big.select(F.col("row_id").alias("doc_id"), "text"),
+        n=3, min_doc_count=50, budget=1 << 17,
+    ).count()
+    t["frequent_ngrams_sketch"] = round(time.time() - t0, 2)
+    assert n_freq_exact == n_freq_sketch, (n_freq_exact, n_freq_sketch)
+    t["n_frequent_ngrams"] = n_freq_exact
+
     t["n_rows"] = n
     print(json.dumps(t))
 
