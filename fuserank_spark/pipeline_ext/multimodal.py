@@ -283,8 +283,8 @@ def phash_hamming_pairs(
     key_col: str = "doc_id",
     grid_w: int = 8,
     grid_h: int = 8,
-    bands: int = 8,
-    max_hamming: int = 7,
+    bands: int = 4,
+    max_hamming: int = 3,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Near-duplicate MEDIA pairs by perceptual hash: :func:`phash`
@@ -294,7 +294,17 @@ def phash_hamming_pairs(
     linear in the corpus, mass-dup buckets star-degrade). Output
     (id_a < id_b, hamming) feeds resolve_duplicate_clusters /
     deduplicate exactly like the text pair streams — media dedup and
-    text dedup share one clustering spine."""
+    text dedup share one clustering spine.
+
+    Band-width vs depth trade (Manku et al.'s table construction):
+    each band carries ``bits/bands`` bits, so a band has
+    ``2^(bits/bands)`` possible values — that count, not the corpus,
+    bounds the bucket fan-in. bands=8 over 64 bits (hamming depth 7)
+    leaves 8-bit bands: 256 buckets per band, which DEGENERATES past
+    a few thousand rows (measured 44 s at 500k, every bucket
+    star-degraded). The default bands=4 / max_hamming=3 keeps 16-bit
+    bands (65k values) — the standard near-dup depth. Go deeper only
+    on pre-blocked subsets."""
     from .dedup import code_hamming_pairs
 
     coded = phash(df, payload_col=payload_col, grid_w=grid_w, grid_h=grid_h)

@@ -303,3 +303,142 @@ def extract_html_text(
     for pat, repl in HTML_STRIP_STEPS:
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn(out_col, out)
+
+
+# ---------------------------------------------------------------------------
+# Link graph (r6): href harvesting from raw HTML plus domain-level
+# PageRank — the Common-Crawl-style quality prior ("how linked is this
+# domain") that large corpus curations blend into keep/drop decisions.
+
+HREF_PATTERN = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]+)["']"""
+
+
+def extract_links(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    key_col: str = "doc_id",
+    out_col: str = "href",
+) -> DataFrame:
+    """One row per quoted ``<a href="...">`` target in the raw HTML
+    (``HREF_PATTERN`` lives in the Java-regex ∩ RE2 subset; unquoted
+    hrefs are a documented miss — rare in real markup and ambiguous to
+    terminate without a parser). Pure expressions
+    (regexp_extract_all → explode), zero shuffle; rows with no links
+    vanish (inner explode). Compose with :func:`parse_urls` on the
+    output for host/domain keys, or :func:`domain_link_graph` for the
+    ranking pipeline."""
+    return df.select(
+        F.col(key_col),
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)).alias(
+            out_col
+        ),
+    )
+
+
+def domain_link_graph(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Distinct (src_domain, dst_domain) edges from pages' outbound
+    ABSOLUTE links (relative links stay within the source domain by
+    definition, so they add no cross-domain edge and are dropped;
+    self-edges are dropped — they carry no ranking information).
+    Source domain comes from the page's own URL, destination from each
+    href, both through the :func:`parse_urls` registered-domain rule.
+    The src domain rides THROUGH the href explode (no join back); the
+    only shuffle is the edge distinct."""
+    pages = parse_urls(df, url_col=url_col).select(
+        F.col("domain").alias("src_domain"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
+        ).alias("href"),
+    )
+    dst = parse_urls(pages, url_col="href").select(
+        "src_domain", F.col("domain").alias("dst_domain")
+    )
+    return (
+        dst.filter(
+            (F.col("dst_domain") != "") & (F.col("src_domain") != "")
+            & (F.col("dst_domain") != F.col("src_domain"))
+        )
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    damping: float = 0.85,
+    iterations: int = 10,
+    out_col: str = "rank",
+) -> DataFrame:
+    """PageRank over a (src, dst) edge list — the Common-Crawl-style
+    domain-authority prior corpus curations blend into keep/drop
+    scores. Standard power iteration with uniform teleport and
+    DANGLING-MASS REDISTRIBUTION (nodes without out-edges hand their
+    rank to everyone — drop this and rank mass leaks, a frequent
+    implementation bug the conservation test pins): ranks always sum
+    to 1.
+
+    Scale shape: node set and out-degrees are computed once; each of
+    the ``iterations`` rounds is ONE key-wise join (ranks ⋈ edges on
+    src — both sides hash-partitioned on the same key, so AQE reuses
+    the layout) plus ONE groupBy(dst) sum, with the dangling total as
+    a 1-row aggregate. Nothing quadratic, no broadcast of the
+    O(nodes) rank vector. Per the materialize-loop-inputs invariant
+    (CLAUDE.md r6-3), each iteration's ranks are
+    ``localCheckpoint(eager=True)``-ed — a lazy rank frame would
+    re-run the whole chain of prior iterations per action.
+
+    Deterministic up to float fold order (iterative sums have no
+    cross-engine bit-identical form — the differential test in
+    tests/test_web.py compares against an independent numpy power
+    iteration at 1e-9, the eval-harness tolerance doctrine, not the
+    oracle-hash one)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn(out_col, F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # node → out-degree (NULL = dangling), reused every iteration
+    base = nodes.join(deg, nodes["node"] == deg["src"], "left").select(
+        "node", "deg"
+    ).localCheckpoint(eager=True)
+    ranks = base.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        cur = base.join(ranks, "node")
+        dangling = (
+            cur.filter(F.col("deg").isNull()).agg(F.sum("r")).collect()[0][0] or 0.0
+        )
+        contrib = (
+            cur.join(e, cur["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        spread = teleport + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(spread) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias(out_col))

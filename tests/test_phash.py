@@ -82,7 +82,9 @@ def test_phash_codes_match_duckdb_twin(spark, duck, media):
 
 
 def test_phash_pairs_match_exact_hamming_oracle(spark, duck, media):
-    out = phash_hamming_pairs(media, bands=8, max_hamming=7)
+    # unbounded cap: the exact all-pairs oracle is only valid without
+    # star-degrade (the q_ngram_jaccard oracle-cap precedent)
+    out = phash_hamming_pairs(media, bands=8, max_hamming=7, max_bucket_size=10**9)
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in out.collect()}
     exp = set(
         duck.execute(

@@ -419,3 +419,112 @@ def test_extract_html_text_semantics(spark):
     # non-HTML text passes through modulo whitespace collapsing
     assert out[1] == "plain text, no markup at all — math like 3 < 5 survives"
     assert out[2] == "entities only: & < > \" ' ' \" &"
+
+
+# ---------------------------------------------------------------------------
+# Link graph: extract_links (DuckDB twin on the same HREF_PATTERN),
+# domain_link_graph semantics, and pagerank vs an independent numpy
+# power iteration (iterative float sums have no bit-identical
+# cross-engine form — 1e-9 tolerance, the eval-harness doctrine).
+
+
+def test_extract_links_matches_duckdb_twin(spark, duck):
+    from fuserank_spark.pipeline_ext.web import HREF_PATTERN, extract_links
+
+    rows = [
+        (0, '<a href="https://a.com/x">x</a> text <A HREF=\'http://b.org\'>b</A>'),
+        (1, '<a class="z" data-x="1" href="/relative/path">r</a>'),
+        (2, "<p>no links at all</p>"),
+        (3, '<a href="https://c.net/p?q=1#f">c</a><a href="https://c.net/p2">c2</a>'),
+        (4, "<a\n  href='https://multi.line/t'>m</a>"),
+        (5, "<a href=unquoted.com>skipped by contract</a>"),
+        (6, None),
+    ]
+    for i in range(100):
+        rows.append((7 + i, f'<div><a href="https://site{i % 9}.com/p{i}">l</a></div>'))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "html"])
+    duck.register("link_docs", pdf)
+    sdf = spark.createDataFrame(pdf).select(
+        "doc_id", F.col("html").cast("string").alias("html")
+    )
+    got = sorted(
+        (r["doc_id"], r["href"]) for r in extract_links(sdf).collect()
+    )
+    exp = sorted(
+        duck.execute(
+            "SELECT doc_id, unnest(regexp_extract_all(html, ?, 1)) FROM link_docs",
+            [HREF_PATTERN],
+        ).fetchall()
+    )
+    duck.unregister("link_docs")
+    assert got == exp
+    assert (0, "https://a.com/x") in got and (0, "http://b.org") in got
+    assert (4, "https://multi.line/t") in got
+    assert not any(d == 5 for d, _ in got)
+
+
+def test_domain_link_graph_semantics(spark):
+    from fuserank_spark.pipeline_ext.web import domain_link_graph
+
+    rows = [
+        # cross-domain edge + self-link (dropped) + relative (dropped)
+        (0, "https://news.example.com/a",
+         '<a href="https://other.org/x">x</a><a href="https://www.example.com/y">self</a>'
+         '<a href="/rel">r</a>'),
+        # duplicate edge collapses via distinct
+        (1, "https://blog.example.com/b", '<a href="https://other.org/z">z</a>'),
+        (2, "https://other.org/c", '<a href="https://example.com/back">b</a>'),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "url", "html"]))
+    edges = {
+        (r["src_domain"], r["dst_domain"]) for r in domain_link_graph(sdf).collect()
+    }
+    assert edges == {("example.com", "other.org"), ("other.org", "example.com")}
+
+
+def _np_pagerank(edges, damping, iters):
+    import numpy as np
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / deg[idx[s]]
+        r = (1 - damping) / n + damping * (dangling / n + contrib)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import random
+
+    from fuserank_spark.pipeline_ext.web import pagerank
+
+    rng = random.Random(11)
+    edges = sorted(
+        {(f"d{rng.randrange(50)}", f"d{rng.randrange(60)}") for _ in range(300)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    # nodes d50..d59 appear only as destinations -> dangling
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src_domain", "dst_domain"]))
+    got = {r["node"]: r["rank"] for r in pagerank(sdf, iterations=10).collect()}
+    exp = _np_pagerank(edges, 0.85, 10)
+    assert set(got) == set(exp)
+    for node, v in exp.items():
+        assert abs(got[node] - v) < 1e-9, node
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation w/ dangling
+
+
+def test_pagerank_validation(spark):
+    from fuserank_spark.pipeline_ext.web import pagerank
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(None, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(None, iterations=0)

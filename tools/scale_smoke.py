@@ -710,15 +710,18 @@ def main():
     # sketch+recount path (identical output, summary-only shuffle)
     from fuserank_spark.pipeline_ext.curation import frequent_ngrams
 
+    # min_doc_count must be HEAVY for the sketch guarantee
+    # (budget > N_grams/min_count); 2000/500k docs is the realistic
+    # boilerplate regime
     t0 = time.time()
     n_freq_exact = frequent_ngrams(
-        big.select(F.col("row_id").alias("doc_id"), "text"), n=3, min_doc_count=50
+        big.select(F.col("row_id").alias("doc_id"), "text"), n=3, min_doc_count=2000
     ).count()
     t["frequent_ngrams_exact"] = round(time.time() - t0, 2)
     t0 = time.time()
     n_freq_sketch = frequent_ngrams(
         big.select(F.col("row_id").alias("doc_id"), "text"),
-        n=3, min_doc_count=50, budget=1 << 17,
+        n=3, min_doc_count=2000, budget=1 << 15,
     ).count()
     t["frequent_ngrams_sketch"] = round(time.time() - t0, 2)
     assert n_freq_exact == n_freq_sketch, (n_freq_exact, n_freq_sketch)
