@@ -557,6 +557,28 @@ def keep_best(
 # -------------------------------------------------------- full pipeline
 
 
+def _mg_merge(counters: pd.Series, vc: pd.Series, k: int) -> pd.Series:
+    """One Misra–Gries bulk merge: fold a batch's value counts into a
+    ``k``-counter summary. Eviction subtracts the (L−k)-th smallest
+    value from all counters and drops non-positives — every subtracted
+    unit destroys ≥ k+1 units of mass while >k counters remain, so
+    total undercount per item stays ≤ (mass folded)/(k+1), the
+    textbook MG bound. np.partition COPIES — ``.to_numpy()`` can be a
+    zero-copy view of the Series buffer, and an in-place sort would
+    scramble values under their index labels (regression-pinned by the
+    mono-skew test). Shared by the batch sketch
+    (:func:`heavy_hitters`) and the streaming state op
+    (streaming.heavy_hitters)."""
+    import numpy as np
+
+    counters = vc if counters.empty else counters.add(vc, fill_value=0)
+    L = len(counters)
+    if L > k:
+        s = np.partition(counters.to_numpy(), L - k - 1)[L - k - 1]
+        counters = counters[counters > s] - s
+    return counters
+
+
 def heavy_hitters(
     items: DataFrame,
     item_col: str = "item",
@@ -624,17 +646,7 @@ def heavy_hitters(
         for pdf in batches:
             col = pdf["item"].dropna()
             n_p += len(col)
-            vc = col.value_counts()
-            counters = vc if counters.empty else counters.add(vc, fill_value=0)
-            L = len(counters)
-            if L > k:
-                # np.partition COPIES — .to_numpy() can be a zero-copy
-                # view of the Series buffer, and an in-place sort would
-                # scramble values under their index labels
-                import numpy as np
-
-                s = np.partition(counters.to_numpy(), L - k - 1)[L - k - 1]
-                counters = counters[counters > s] - s
+            counters = _mg_merge(counters, col.value_counts(), k)
         out = pd.DataFrame(
             {"item": counters.index, "cnt": counters.to_numpy("int64")}
         )

@@ -340,3 +340,46 @@ def test_pq_trained_serve_posture(spark):
     p = plan_str(q_pq_trained(spark, SF_SMOKE))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_extract_html_and_phash_codes_shuffle_free(spark):
+    """HTML extraction and the dHash code computation are narrow
+    projections: they must distribute with the scan — zero Exchange,
+    zero Python eval."""
+    from fuserank_spark.pipeline_ext.multimodal import attach_payload, phash
+    from fuserank_spark.pipeline_ext.web import extract_html_text
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", F.col("text").alias("html")
+    )
+    p1 = plan_str(extract_html_text(docs))
+    p2 = plan_str(phash(attach_payload(docs, text_col="html")))
+    for p in (p1, p2):
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_heavy_hitters_posture(spark):
+    """heavy_hitters pass shape: the sketch is mapInPandas directly on
+    the scan (no Exchange BEFORE it — the whole point is that the raw
+    stream never shuffles), and the recount joins the candidate set by
+    broadcast, never cartesian."""
+    import pandas as pd
+
+    from fuserank_spark.pipeline_ext.curation import heavy_hitters
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"rid": range(2000), "item": [f"i{j % 7}" for j in range(2000)]})
+    ).repartition(8, "rid")
+    out = heavy_hitters(sdf, "item", min_count=200, budget=64)
+    p = plan_str(out)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # pass 1 doesn't show here — it already ran at localCheckpoint
+    # time (the summaries appear as a checkpointed Scan ExistingRDD);
+    # its shape is pinned by construction: mapInPandas is applied
+    # straight to the projected scan, so nothing CAN exchange before
+    # it. The recount aggregates map-side (partial_count) after the
+    # broadcast probe — the only full-width exchange in the whole op
+    # carries candidate-matching rows only.
+    assert "ExistingRDD" in p
