@@ -904,6 +904,10 @@ def curate_corpus(
     quality_model=None,
     pareto_alpha: float | None = None,
     span_dedup_tokens: int | None = None,
+    domain_ranks: DataFrame | None = None,
+    min_domain_rank: float | None = None,
+    domain_col: str = "domain",
+    keep_unranked: bool = False,
 ) -> DataFrame:
     """End-to-end curation: [optional line dedup] → quality-score
     filter → [optional LM perplexity filter] → exact dedup (keep min
@@ -941,13 +945,36 @@ def curate_corpus(
     after the (optional) line dedup and before any scoring — the Lee
     et al. 2021 ordering: cut duplicated passages first so quality /
     perplexity / hash dedup judge the unique content that will
-    actually train."""
+    actually train.
+
+    Pass ``domain_ranks`` (a (node, rank) frame, e.g. `web.pagerank`
+    over `web.domain_link_graph`) + ``min_domain_rank`` to gate on the
+    domain-authority prior FIRST — the RefinedWeb ordering: provenance
+    filters are the cheapest signal, so they run before any content
+    pass touches the text. ``df`` must carry ``domain_col`` (from
+    `web.parse_urls`); domains absent from the rank table drop unless
+    ``keep_unranked=True``. The rank table is small (one row per
+    domain) — the join broadcasts. Defaults (all stages off) keep the
+    q_curate/q_assembly oracle paths byte-identical."""
     from .textstats import quality_features
 
     if (perplexity_lm is None) != (max_perplexity is None):
         raise ValueError("perplexity_lm and max_perplexity must be passed together")
     if (quality_model is None) != (pareto_alpha is None):
         raise ValueError("quality_model and pareto_alpha must be passed together")
+    if (domain_ranks is None) != (min_domain_rank is None):
+        raise ValueError("domain_ranks and min_domain_rank must be passed together")
+    if domain_ranks is not None:
+        ranked = F.broadcast(
+            domain_ranks.select(
+                F.col("node").alias("__dr_node"), F.col("rank").alias("__dr_rank")
+            )
+        )
+        df = df.join(ranked, df[domain_col] == ranked["__dr_node"], "left")
+        gate = F.col("__dr_rank") >= min_domain_rank
+        if keep_unranked:
+            gate = gate | F.col("__dr_rank").isNull()
+        df = df.filter(gate).drop("__dr_node", "__dr_rank")
     if line_dedup:
         from .dedup import dedup_lines
 

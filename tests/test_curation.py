@@ -755,3 +755,39 @@ def test_cluster_balanced_sample_prefilter_preserving(spark):
     )
     as_set = lambda d: {(r["vec_id"], r["cluster_id"]) for r in d.collect()}  # noqa: E731
     assert as_set(full) == as_set(gated)
+
+
+def test_curate_corpus_domain_rank_stage(spark):
+    """The provenance gate runs first: low-rank domains die before any
+    content pass; unranked domains obey keep_unranked; defaults-off
+    stays byte-identical to plain curate_corpus."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    dom = F.when(F.col("doc_id") % 3 == 0, "good.com").when(
+        F.col("doc_id") % 3 == 1, "spam.biz"
+    ).otherwise("unranked.org")
+    d = docs.withColumn("domain", dom)
+    ranks = spark.createDataFrame(
+        pd.DataFrame({"node": ["good.com", "spam.biz"], "rank": [0.9, 0.01]})
+    )
+    kept = curate_corpus(
+        d, min_quality=0.0, domain_ranks=ranks, min_domain_rank=0.5
+    )
+    doms = {r["domain"] for r in kept.select("domain").distinct().collect()}
+    assert doms == {"good.com"}
+    kept_u = curate_corpus(
+        d, min_quality=0.0, domain_ranks=ranks, min_domain_rank=0.5,
+        keep_unranked=True,
+    )
+    doms_u = {r["domain"] for r in kept_u.select("domain").distinct().collect()}
+    assert doms_u == {"good.com", "unranked.org"}
+    # defaults-off identity (the oracle-safety property)
+    plain = curate_corpus(d, min_quality=0.0)
+    assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
+        r["doc_id"] for r in curate_corpus(d.drop("domain").withColumn("domain", dom), min_quality=0.0).collect()
+    )
+    with pytest.raises(ValueError, match="domain_ranks"):
+        curate_corpus(d, domain_ranks=ranks)
