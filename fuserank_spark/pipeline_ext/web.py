@@ -269,7 +269,7 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?is)<style\b[^>]*>.*?</style[^>]*>", " "),
     (r"(?s)<!--.*?-->", " "),
     (r"(?is)<!doctype[^>]*>", " "),
-    (rf"(?is)<(?:{_B})\b[^>]*>|</(?:{_BLOCK})\s*>", "\n"),
+    (rf"(?is)<(?:{_B})\b[^>]*>|</(?:{_BLOCK})[ \t\n\r\f]*>", "\n"),
     (r"(?s)</?[A-Za-z][^>]*>", " "),
     (r"&nbsp;|&#160;", " "),
     (r"&lt;", "<"),
@@ -277,9 +277,11 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"&quot;|&#34;", "\""),
     (r"&#39;|&apos;", "'"),
     (r"&amp;|&#38;", "&"),
+    # explicit class, NOT \s: Java's \s includes \x0B, RE2's does not
+    # — \s here would break the generated DuckDB twin on VT input
     (r"[ \t\r\f]+", " "),
-    (r"\s*\n\s*", "\n"),
-    (r"^\s+|\s+$", ""),
+    (r"[ \t\n\r\f]*\n[ \t\n\r\f]*", "\n"),
+    (r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
 )
 
 
@@ -310,7 +312,12 @@ def extract_html_text(
 # PageRank — the Common-Crawl-style quality prior ("how linked is this
 # domain") that large corpus curations blend into keep/drop decisions.
 
-HREF_PATTERN = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"'<>]+)["']"""
+# whitespace-delimited attribute name ([ \t\n\r\f]href) — a bare
+# [^>]*?href would match the 'href' inside data-href and capture the
+# wrong URL; explicit class rather than \s for the Java∩RE2 contract
+HREF_PATTERN = (
+    r"""(?is)<a\b[^>]*?[ \t\n\r\f]href[ \t\n\r\f]*=[ \t\n\r\f]*["']([^"'<>]+)["']"""
+)
 
 
 def extract_links(
@@ -404,7 +411,12 @@ def pagerank(
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # edges are consumed EVERY iteration (r6-3 materialize-loop-inputs:
+    # a lazy frame would re-run the caller's whole edge derivation —
+    # WARC parse, href regexes, parse_urls — once per iteration)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

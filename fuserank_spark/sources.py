@@ -195,14 +195,19 @@ def read_warc(spark: SparkSession, path: str, record_types=("response",)) -> Dat
     lists and distributes files, one mapInPandas parses records per
     file, nothing ever shuffles.
 
-    Parser scope (documented): records are split on the ``WARC/1.x``
-    version line, headers parsed until the first blank line, payload
-    taken to the inter-record gap; HTTP response headers inside
-    ``application/http`` payloads are stripped to the body. Content
-    is decoded UTF-8 with replacement — binary payloads (images) ride
-    through lossily; pair with phash/multimodal on raw bytes when
-    fidelity matters. gzip members (.warc.gz) are decompressed
-    whole-file via the stdlib when the filename says so."""
+    Parser scope (documented): the walker advances by each record's
+    mandatory ``Content-Length`` header (ISO 28500 §5.3), so payloads
+    CONTAINING a ``WARC/1.x`` line — a page about the WARC format, an
+    archived .warc served as a response — parse intact (a version-line
+    regex split would truncate them; review catch). Records missing or
+    mis-stating Content-Length fall back to a scan for the next
+    version line from the current offset. HTTP response headers inside
+    ``application/http`` payloads are stripped to the entity body.
+    Content is decoded UTF-8 with replacement — binary payloads
+    (images) ride through lossily; pair with phash/multimodal on raw
+    bytes when fidelity matters. gzip members (.warc.gz) are
+    decompressed whole-file via the stdlib when the filename says
+    so."""
     import gzip as _gzip
     import re as _re
 
@@ -210,7 +215,37 @@ def read_warc(spark: SparkSession, path: str, record_types=("response",)) -> Dat
 
     import pandas as _pd
 
-    rec_split = _re.compile(rb"(?m)^WARC/\d+\.\d+\r?\n")
+    version_re = _re.compile(rb"(?m)^WARC/\d+\.\d+\r?\n")
+
+    def _records(data: bytes):
+        """Yield (headers, body) per record, Content-Length-driven."""
+        m = version_re.search(data)
+        while m is not None:
+            hdr_start = m.end()
+            for sep in (b"\r\n\r\n", b"\n\n"):
+                hdr_end = data.find(sep, hdr_start)
+                if hdr_end != -1:
+                    body_start = hdr_end + len(sep)
+                    break
+            else:
+                return
+            headers = {}
+            for line in data[hdr_start:hdr_end].replace(b"\r\n", b"\n").split(b"\n"):
+                k, colon, v = line.partition(b":")
+                if colon:
+                    headers[k.strip().lower()] = v.strip()
+            try:
+                clen = int(headers[b"content-length"])
+                if clen < 0 or body_start + clen > len(data):
+                    raise ValueError
+                body = data[body_start : body_start + clen]
+                nxt = version_re.search(data, body_start + clen)
+            except (KeyError, ValueError):
+                # absent/bad length: body runs to the next version line
+                nxt = version_re.search(data, body_start)
+                body = data[body_start : nxt.start() if nxt else len(data)]
+            yield headers, body.rstrip(b"\r\n")
+            m = nxt
 
     def _parse(batches: "_Iter[_pd.DataFrame]") -> "_Iter[_pd.DataFrame]":
         for pdf in batches:
@@ -219,20 +254,11 @@ def read_warc(spark: SparkSession, path: str, record_types=("response",)) -> Dat
                 data = bytes(blob)
                 if fname.endswith(".gz"):
                     data = _gzip.decompress(data)
-                for chunk in rec_split.split(data)[1:]:
-                    head, _, body = chunk.partition(b"\r\n\r\n")
-                    if not _:
-                        head, _, body = chunk.partition(b"\n\n")
-                    headers = {}
-                    for line in head.replace(b"\r\n", b"\n").split(b"\n"):
-                        k, sep, v = line.partition(b":")
-                        if sep:
-                            headers[k.strip().lower()] = v.strip()
+                for headers, body in _records(data):
                     rtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
                     if record_types and rtype not in record_types:
                         continue
                     ctype = headers.get(b"content-type", b"").decode("ascii", "replace")
-                    body = body.rstrip(b"\r\n")
                     if ctype.startswith("application/http"):
                         # strip the HTTP response head to the entity body
                         hb, sep2, rest = body.partition(b"\r\n\r\n")

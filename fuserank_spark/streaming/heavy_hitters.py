@@ -31,7 +31,6 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..pipeline_ext.curation import _mg_merge
-from ..pipeline_ext.hashing import portable_hash32
 
 HH_OUT_SCHEMA = T.StructType(
     [
@@ -107,8 +106,14 @@ def streaming_heavy_hitters(
     summary per trigger: read the LATEST emission per shard."""
     if shards < 1 or budget_per_shard < 1:
         raise ValueError("shards and budget_per_shard must be >= 1")
-    routed = stream.select(F.col(item_col).cast("string").alias("item")).withColumn(
-        "shard", F.pmod(portable_hash32(F.col("item")), F.lit(shards))
+    # NULLs drop BEFORE the groupBy — a NULL shard key would reach
+    # int(key[0]) in the state fn and kill the query on every restart.
+    # Shard placement never reaches an oracle-checked output, so the
+    # JVM-native hash applies (CLAUDE.md r6 corollary), not md5.
+    routed = (
+        stream.select(F.col(item_col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .withColumn("shard", F.pmod(F.xxhash64(F.col("item")), F.lit(shards)))
     )
     return routed.groupBy("shard").applyInPandasWithState(
         _make_hh_group(budget_per_shard),

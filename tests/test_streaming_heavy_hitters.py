@@ -97,3 +97,15 @@ def test_streaming_hh_guarantee_under_eviction(spark, tmpdir):
 def test_streaming_hh_validation(spark):
     with pytest.raises(ValueError, match=">= 1"):
         streaming_heavy_hitters(None, shards=0)
+
+
+def test_streaming_hh_null_items_ignored(spark, tmpdir):
+    """NULL items drop before sharding — a NULL shard key would kill
+    the query inside the state fn (review catch)."""
+    src = f"{tmpdir}/src"
+    spark.createDataFrame(
+        [("x",), (None,), ("x",), (None,)], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    got, latest_n = _run(spark, tmpdir, budget=64)
+    assert got == {"x": 2}
+    assert sum(latest_n.values()) == 2

@@ -95,3 +95,32 @@ def test_read_warc_plan_is_scan_plus_mapinpandas(spark, warcdir):
         f.write(_archive())
     plan = read_warc(spark, warcdir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_read_warc_payload_containing_version_line(spark, warcdir):
+    """Content-Length-driven walking: a page whose BODY contains a
+    'WARC/1.0' line (a page about the WARC format) parses intact —
+    a version-line split would truncate it (review catch)."""
+    tricky = b"<html><pre>WARC/1.0\r\nWARC-Type: fake</pre>end</html>"
+    data = (
+        _record("response", "https://a.com/warc-docs", tricky)
+        + _record("response", "https://a.com/after", b"<p>next record ok</p>")
+    )
+    with open(f"{warcdir}/t.warc", "wb") as f:
+        f.write(data)
+    out = {r["target_uri"]: r["content"] for r in read_warc(spark, warcdir).collect()}
+    assert out["https://a.com/warc-docs"] == tricky.decode()
+    assert out["https://a.com/after"] == "<p>next record ok</p>"
+
+
+def test_read_warc_bad_content_length_falls_back(spark, warcdir):
+    """A record with a LYING Content-Length still parses (scan-to-next-
+    version-line fallback), and following records survive."""
+    rec = _record("response", "https://a.com/x", b"<p>body</p>")
+    rec = rec.replace(b"Content-Length: ", b"Content-Length: 99")
+    data = rec + _record("response", "https://b.org/y", b"<p>two</p>")
+    with open(f"{warcdir}/bad.warc", "wb") as f:
+        f.write(data)
+    out = {r["target_uri"]: r["content"] for r in read_warc(spark, warcdir).collect()}
+    assert set(out) == {"https://a.com/x", "https://b.org/y"}
+    assert out["https://b.org/y"] == "<p>two</p>"

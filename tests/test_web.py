@@ -528,3 +528,38 @@ def test_pagerank_validation(spark):
         pagerank(None, damping=1.0)
     with pytest.raises(ValueError, match="iterations"):
         pagerank(None, iterations=0)
+
+
+def test_extract_links_data_href_not_matched(spark):
+    """Attribute-name delimiting: data-href must not shadow the real
+    href (review catch), and a lone data-href is no link at all."""
+    from fuserank_spark.pipeline_ext.web import extract_links
+
+    sdf = spark.createDataFrame(
+        [
+            (0, '<a data-href="/track.js" href="https://real.com/y">r</a>'),
+            (1, '<a data-href="/only-tracker">t</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    got = sorted((r["doc_id"], r["href"]) for r in extract_links(sdf).collect())
+    assert got == [(0, "https://real.com/y")]
+
+
+def test_streaming_and_html_vertical_tab_parity(spark, duck):
+    """\\x0B divergence guard: Java's \\s includes VT, RE2's does not —
+    the step list must use the explicit intersection class so both
+    engines agree on VT input (review catch)."""
+    from fuserank_spark.pipeline_ext.web import HTML_STRIP_STEPS, extract_html_text
+
+    pdf = pd.DataFrame({"id": [0], "html": ["a \x0b\nb <p>c</p>"]})
+    duck.register("vt_docs", pdf)
+    sdf = spark.createDataFrame(pdf)
+    expr, params = "html", []
+    for pat, repl in HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, ?, ?, 'g')"
+        params.extend([pat, repl])
+    got = extract_html_text(sdf).collect()[0]["text"]
+    exp = duck.execute(f"SELECT {expr} FROM vt_docs", params).fetchall()[0][0]
+    duck.unregister("vt_docs")
+    assert got == exp
