@@ -243,7 +243,7 @@ def phash(
     :func:`phash_hamming_pairs`.
 
     Pure expressions end-to-end (md5-keystream stub pixels → one
-    ``transform`` to decode hex bytes → one ``aggregate`` to fold
+    ``transform`` slicing hex byte-pairs → one ``aggregate`` folding
     bits): zero UDF, zero shuffle, constant-size plan for any grid.
     The code uses the FULL signed 64-bit range (bit grid_w*grid_h-1 is
     the BIGINT sign bit) — downstream band/xor math is sign-agnostic
@@ -255,11 +255,17 @@ def phash(
     n_pixels = row_w * grid_h
     hex_col, px_col = "__ph_hex", "__ph_px"
     out = df.withColumn(hex_col, stub_gray_pixels_expr(payload_col, n_pixels))
+    # pixels stay as 2-char lowercase-hex slices: fixed-width lowercase
+    # hex compares LEXICOGRAPHICALLY identically to its numeric value
+    # ('0'<'9'<'a'<'f' in ASCII), so the dHash greater-than needs no
+    # hex→int conv. Paired A/B at 500k: wall-flat vs the conv form —
+    # kept for the simpler plan and because the string-compare
+    # property holds verbatim in any SQL engine
     out = out.withColumn(
         px_col,
         F.expr(
             f"transform(sequence(0, {n_pixels - 1}), p -> "
-            f"CAST(conv(substr({hex_col}, p * 2 + 1, 2), 16, 10) AS INT))"
+            f"substr({hex_col}, p * 2 + 1, 2))"
         ),
     )
     # element_at is 1-based; left pixel of bit i sits at r*row_w + c

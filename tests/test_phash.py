@@ -64,7 +64,7 @@ def _duck_code_sql() -> str:
       SELECT doc_id, {hex_expr} AS hex FROM media_docs),
     p AS (
       SELECT doc_id, list_transform(range(0, {N_PIXELS}),
-        p -> CAST(concat('0x', substr(hex, CAST(p * 2 + 1 AS INT), 2)) AS BIGINT)) AS px
+        p -> substr(hex, CAST(p * 2 + 1 AS INT), 2)) AS px
       FROM h)
     SELECT doc_id, CAST(list_sum([{", ".join(terms)}]) AS BIGINT) AS code FROM p
     """
