@@ -454,3 +454,50 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias(out_col))
+
+
+# Markdown → text: same generated-twin design as HTML_STRIP_STEPS.
+# Replacement strings are LITERALS ONLY — capture references are $1 in
+# Java but \1 in RE2/DuckDB, so a shared step list can never use them;
+# link/image handling is decomposed into literal-replacement steps
+# instead ([text](url) → text via "](url)"-strip then bracket-strip).
+MD_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)```.*?```", " "),            # fenced code blocks drop whole
+    (r"(?m)^ {4}.*$", " "),             # indented code lines drop
+    (r"`", ""),                          # inline-code backticks strip
+    (r"!\[", "["),                       # image alt text becomes link text
+    (r"\]\([^)]*\)", ""),               # link target drops, anchor stays
+    (r"\[|\]", ""),                      # residual brackets strip
+    (r"(?m)^#{1,6}[ \t]+", ""),         # heading markers
+    (r"(?m)^>[ \t]?", ""),              # blockquote markers
+    (r"(?m)^[ \t]*([-*_][ \t]*){3,}$", " "),  # horizontal rules
+    (r"(?m)^[ \t]*[-*+][ \t]+", ""),    # bullet markers
+    (r"\*{1,3}", ""),                    # emphasis asterisks
+    (r"__|\b_|_\b", ""),                # emphasis underscores (word-edge)
+    (r"[ \t\r\f]+", " "),
+    (r"[ \t\n\r\f]*\n[ \t\n\r\f]*", "\n"),
+    (r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""),
+)
+
+
+def extract_markdown_text(
+    df: DataFrame, *, md_col: str = "markdown", out_col: str = "text"
+) -> DataFrame:
+    """Extract readable text from Markdown — the README/docs half of a
+    code-adjacent crawl: code blocks drop (they'd poison prose quality
+    scores; keep the raw column when code is the point), links keep
+    their anchor text and lose their targets, images keep alt text,
+    structural markers (headings, quotes, bullets, rules, emphasis)
+    strip, whitespace collapses. A documented approximation (literal
+    brackets not part of links also strip — see ``MD_STRIP_STEPS``),
+    NOT a CommonMark parser.
+
+    Same contract as :func:`extract_html_text`: one regexp_replace per
+    step in the Java-regex ∩ RE2 subset with LITERAL replacements only
+    (capture refs spell $1 vs \\1 across engines — a shared step list
+    cannot use them), zero shuffle, zero UDF; DuckDB twin generated
+    from the same step list in tests/test_web.py."""
+    out = F.col(md_col)
+    for pat, repl in MD_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out)

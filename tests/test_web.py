@@ -563,3 +563,67 @@ def test_streaming_and_html_vertical_tab_parity(spark, duck):
     exp = duck.execute(f"SELECT {expr} FROM vt_docs", params).fetchall()[0][0]
     duck.unregister("vt_docs")
     assert got == exp
+
+
+MD_ROWS = [
+    "# Title\n\nSome *emphasised* and **bold** text with `inline code`.\n\n"
+    "```python\nprint('dropped')\n```\n\n"
+    "A [link](https://x.com/a?b=1) and an ![image](img.png) here.\n\n"
+    "> a quote line\n\n- bullet one\n- bullet two\n\n---\n\nTail text_",
+    "plain text without any markdown at all",
+    "    indented code line\nreal text",
+    "broken [link without target] stays as words",
+    "",
+    None,
+]
+
+
+def test_extract_markdown_text_matches_duckdb_twin(spark, duck):
+    from fuserank_spark.pipeline_ext.web import MD_STRIP_STEPS, extract_markdown_text
+
+    rows = [(i, m) for i, m in enumerate(MD_ROWS)]
+    for i in range(150):
+        rows.append(
+            (len(MD_ROWS) + i,
+             f"## H{i}\n\ntext {i} with [l{i}](https://s{i % 7}.com) and `c{i}`\n"
+             f"{'```js' + chr(10) + 'x()' + chr(10) + '```' if i % 3 == 0 else '* item'}")
+        )
+    pdf = pd.DataFrame(rows, columns=["id", "markdown"])
+    duck.register("md_docs", pdf)
+    sdf = spark.createDataFrame(pdf).select(
+        "id", F.col("markdown").cast("string").alias("markdown")
+    )
+    expr, params = "markdown", []
+    for pat, repl in MD_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, ?, ?, 'g')"
+        params.extend([pat, repl])
+    got = {
+        r["id"]: r["text"]
+        for r in extract_markdown_text(sdf).select("id", "text").collect()
+    }
+    exp = dict(
+        duck.execute(f"SELECT id, {expr} AS text FROM md_docs ORDER BY id", params).fetchall()
+    )
+    duck.unregister("md_docs")
+    assert got == exp
+
+
+def test_extract_markdown_text_semantics(spark):
+    from fuserank_spark.pipeline_ext.web import extract_markdown_text
+
+    sdf = spark.createDataFrame(
+        [(0, MD_ROWS[0]), (1, MD_ROWS[1]), (2, MD_ROWS[2])],
+        "id long, markdown string",
+    )
+    out = {r["id"]: r["text"] for r in extract_markdown_text(sdf).collect()}
+    t = out[0]
+    assert "dropped" not in t and "```" not in t          # fences gone
+    assert "emphasised" in t and "**" not in t            # emphasis text kept
+    assert "inline code" in t and "`" not in t
+    assert "link" in t and "https://x.com" not in t       # anchor kept, target gone
+    assert "image" in t and "img.png" not in t
+    assert "a quote line" in t and ">" not in t
+    assert "bullet one\nbullet two" in t
+    assert t.startswith("Title")
+    assert out[1] == "plain text without any markdown at all"
+    assert out[2] == "real text"
