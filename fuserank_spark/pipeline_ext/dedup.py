@@ -1289,3 +1289,101 @@ def incremental_lsh_dedup(
     ).mode("overwrite").parquet(store_path)
     _write_lsh_store_meta(store_path, bands, rows_per_band)
     return survivors
+
+
+# ---------------------------------------------------------------- winnowing
+
+# winnowing position bound: pos must fit the low bits of the combined
+# (hash, rightmost-pos) encoding that makes window-argmin a plain min()
+_WINNOW_MAX_POS = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style robust winnowing (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): slide a ``window`` of consecutive token ``k``-gram
+    hashes and select each window's MINIMUM hash (ties → RIGHTMOST
+    position, the paper's robust rule). Output one row per selected
+    (``key_col``, ``pos``, ``fp``) — POSITIONAL local fingerprints,
+    the complement to MinHash's global signatures: any passage of at
+    least ``window + k - 1`` common tokens between two documents is
+    GUARANTEED to share a fingerprint (the winnowing theorem), and the
+    expected density is 2/(window+1) fingerprints per gram.
+
+    Plan shape: the shared positional-gram projection
+    (:func:`_positional_grams` — narrow, no shuffle), then ONE window
+    Exchange keyed on the doc: the argmin-by-(hash, rightmost-pos) is
+    encoded as a single BIGINT ``gh·2²¹ + (2²⁰ − pos)`` so the frame
+    aggregate is a plain ``min()`` — the identical closed form a SQL
+    twin evaluates (tests/test_winnow.py re-derives it end-to-end in
+    DuckDB). Documents with fewer than ``window`` grams winnow their
+    single short window (the last full-prefix frame). Docs longer
+    than 2²⁰ tokens raise (encoding bound), as does k/window < 1."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    _, ex = _positional_grams(df, key_col, text_col, k)
+    grams = ex.filter(F.col("__gh").isNotNull())
+    from pyspark.sql import Window as W
+
+    # guard the encoding bound INSIDE a load-bearing expression
+    # (SURVEY gotcha 20: a guard nothing reads gets pruned)
+    pos_ok = F.when(
+        F.col("__pos") < _WINNOW_MAX_POS, F.col("__pos")
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"winnow_fingerprints: document exceeds {_WINNOW_MAX_POS} tokens")
+        ).cast("int")
+    )
+    cmb = F.col("__gh") * F.lit(1 << 21) + (F.lit(1 << 20) - pos_ok)
+    wkey = W.partitionBy("__k").orderBy("__pos")
+    frame = wkey.rowsBetween(-(window - 1), 0)
+    sel = (
+        grams.withColumn("__cmb", cmb)
+        .withColumn("__sel", F.min("__cmb").over(frame))
+        .withColumn("__rn", F.row_number().over(wkey))
+        .withColumn("__ng", F.count(F.lit(1)).over(W.partitionBy("__k")))
+        # full windows only — except a short doc's single final frame
+        .filter((F.col("__rn") >= window) | (F.col("__rn") == F.col("__ng")))
+    )
+    return sel.select(
+        F.col("__k").alias(key_col),
+        (F.lit(1 << 20) - F.pmod(F.col("__sel"), F.lit(1 << 21))).alias("pos"),
+        # integer div, not `/`: float division of 53-bit combined values
+        # sits exactly at double precision's edge
+        F.expr(f"CAST(__sel div {1 << 21} AS BIGINT)").alias("fp"),
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowing
+    fingerprints — local-overlap candidates (plagiarism-style shared
+    passages) that global MinHash similarity dilutes away on long
+    documents. Fingerprints bucket by ``fp`` through the shared
+    memory-bounded pair core; output (id_a < id_b, n_shared).
+
+    By the winnowing theorem every common passage of
+    ``window + k - 1`` tokens contributes ≥1 shared fingerprint, so
+    ``min_shared`` is a direct knob on how much copied material is
+    required (≈ min_shared·(window+1)/2 grams in expectation)."""
+    fps = winnow_fingerprints(
+        df, key_col=key_col, text_col=text_col, k=k, window=window
+    ).select(F.col(key_col).alias("id"), "fp").distinct()
+    pairs = _pairs_in_buckets(fps, ["fp"], F.struct(F.col("id")), max_bucket_size)
+    return (
+        pairs.groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
