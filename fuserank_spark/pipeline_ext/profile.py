@@ -99,3 +99,75 @@ def profile(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
         for c in ("min", "max", "mean", "p25", "p50", "p75")
     ]
     return res.select("column", "n", "n_null", "n_distinct", *rounded)
+
+
+def dataset_card(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = False,
+    top_langs: int = 5,
+) -> dict:
+    """One-call corpus summary — the go/no-go "dataset card" numbers a
+    training run is signed off on: document/token volume, length
+    distribution, null fraction, exact-duplicate fraction, mean
+    heuristic quality, and the language mix. Returns a plain dict
+    (bounded driver-side result, the dedup_report convention).
+
+    Cost shape: ONE narrow projection (tokens / quality / langid /
+    content hash are all expressions) feeding ONE fused aggregate,
+    plus one bounded groupBy(pred_lang) for the mix — two jobs total.
+    ``exact=False`` (the 100 TB default) uses HLL++ for the distinct
+    content-hash count (duplicate fraction ±~2%); ``exact=True``
+    switches to exact count-distinct, which Catalyst runs as an
+    Expand — fine at audit scale, measured 3× at corpus scale (see
+    :func:`profile`)."""
+    from .textstats import lang_scores, quality_features, tokens_expr
+
+    base = quality_features(
+        lang_scores(docs, text_col=text_col), text_col=text_col
+    ).withColumns(
+        {
+            "__nt": F.size(tokens_expr(F.col(text_col))).cast("bigint"),
+            "__ch": F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+            ),
+        }
+    )
+    distinct_agg = (
+        F.count_distinct(F.col("__ch")) if exact
+        else F.approx_count_distinct(F.col("__ch"))
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum("__nt").alias("total_tokens"),
+        F.round(F.avg("__nt"), 2).alias("mean_tokens"),
+        F.expr("percentile_approx(__nt, 0.5)").alias("median_tokens"),
+        F.max("__nt").alias("max_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        distinct_agg.alias("n_distinct_content"),
+    ).collect()[0]
+    n = row["n_docs"] or 0
+    langs = (
+        base.groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("pred_lang"))
+        .limit(top_langs)
+        .collect()
+    )
+    return {
+        "n_docs": n,
+        "null_text_frac": round((row["n_null"] or 0) / n, 6) if n else 0.0,
+        "total_tokens": int(row["total_tokens"] or 0),
+        "mean_tokens": row["mean_tokens"],
+        "median_tokens": row["median_tokens"],
+        "max_tokens": row["max_tokens"],
+        "mean_quality": row["mean_quality"],
+        "duplicate_frac": (
+            round(1.0 - min(row["n_distinct_content"], n) / n, 6) if n else 0.0
+        ),
+        "distinct_exact": bool(exact),
+        "lang_mix": {r["pred_lang"]: r["c"] for r in langs},
+    }

@@ -5,6 +5,7 @@ path)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -364,3 +365,44 @@ def script_profile(
         )
     cols.append(dominant.alias("dominant_script"))
     return df.select(*cols)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio (compressed bytes / raw UTF-8 bytes) —
+    the RedPajama-v2-style repetitiveness signal: machine-generated
+    boilerplate, keyword stuffing, and template farms compress far
+    below real prose (ratios ~0.1-0.3 vs ~0.4-0.7), and the signal is
+    language-agnostic where word-ratio heuristics are not. Gate LOW
+    ratios out (too compressible) or pair with repetition_stats.
+
+    Arrow-batched pandas UDF (zlib has no Column-expression form) —
+    narrow plan, zero shuffle, scales with the scan. NULL/empty text →
+    NULL. The VALUE is a quality SIGNAL, not a join key: it depends on
+    the zlib build, so it is deliberately NOT part of any cross-engine
+    oracle (the driver twin in tests/test_textstats_compress.py pins
+    this build's behavior; never hash-compare it across engines)."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be 0..9, got {level}")
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

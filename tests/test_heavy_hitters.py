@@ -101,3 +101,41 @@ def test_frequent_ngrams_budget_path_identical(spark):
     assert e and as_set(sketched) == e
     # metadata contract preserved on the sketch path
     assert sketched.schema["gram_hash"].metadata["ngram_n"] == 3
+
+
+def test_dataset_card_hand_computed(spark):
+    """dataset_card on a crafted corpus: every number hand-derivable."""
+    import pandas as pd
+
+    from fuserank_spark.pipeline_ext.profile import dataset_card
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (2, "a be to of and in that it is was"),
+        (3, None),
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    card = dataset_card(sdf, exact=True)
+    assert card["n_docs"] == 4
+    assert card["null_text_frac"] == 0.25
+    assert card["total_tokens"] == 9 + 9 + 10  # NULL -> 0 tokens
+    assert card["max_tokens"] == 10
+    # 4 docs, 3 distinct normalized contents (two dups + NULL-hash-null)
+    # md5(NULL) is NULL -> not counted distinct; duplicate_frac uses n
+    assert card["distinct_exact"] is True
+    assert 0 < card["duplicate_frac"] <= 0.5
+    assert card["lang_mix"]  # at least one predicted language bucket
+
+
+def test_dataset_card_runs_on_documents(spark):
+    from fuserank_spark.pipeline_ext.profile import dataset_card
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(300)
+    card = dataset_card(docs)
+    assert card["n_docs"] == 300 and card["total_tokens"] > 0
+    assert card["null_text_frac"] == 0.0
+    assert 0.0 <= card["duplicate_frac"] < 1.0
+    assert sum(card["lang_mix"].values()) <= 300
