@@ -908,6 +908,7 @@ def curate_corpus(
     min_domain_rank: float | None = None,
     domain_col: str = "domain",
     keep_unranked: bool = False,
+    min_compression_ratio: float | None = None,
 ) -> DataFrame:
     """End-to-end curation: [optional line dedup] → quality-score
     filter → [optional LM perplexity filter] → exact dedup (keep min
@@ -955,7 +956,12 @@ def curate_corpus(
     `web.parse_urls`); domains absent from the rank table drop unless
     ``keep_unranked=True``. The rank table is small (one row per
     domain) — the join broadcasts. Defaults (all stages off) keep the
-    q_curate/q_assembly oracle paths byte-identical."""
+    q_curate/q_assembly oracle paths byte-identical.
+
+    Pass ``min_compression_ratio`` to drop too-compressible documents
+    (zlib ratio below the floor — template farms, keyword stuffing)
+    right after the heuristic rules and before any learned/LM stage
+    (the RedPajama-v2 signal; see textstats.compression_ratio)."""
     from .textstats import quality_features
 
     if (perplexity_lm is None) != (max_perplexity is None):
@@ -990,6 +996,15 @@ def curate_corpus(
             df, key_col=key_col, text_col=text_col, min_span_tokens=span_dedup_tokens
         ).drop("n_tokens", "n_kept")
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
+    if min_compression_ratio is not None:
+        # RPv2-style repetitiveness gate: too-compressible text
+        # (template farms, keyword stuffing) dies after the cheap
+        # heuristic rules and before any learned/LM scoring
+        from .textstats import compression_ratio
+
+        q = compression_ratio(q, text_col=text_col).filter(
+            F.col("compression_ratio") >= min_compression_ratio
+        )
     if quality_model is not None:
         from .classifier import pareto_quality_filter, quality_scores
 

@@ -1221,3 +1221,130 @@ def quantization_recall_report(
     )
     exact.unpersist()
     return report
+
+
+# ------------------------------------------------------------------- PCA
+
+
+def train_pca(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    dim_out: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 16384,
+    center: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit PCA on a BOUNDED deterministic sample (orderBy id, limit —
+    the train_pq doctrine): driver-side numpy SVD over at most
+    ``sample_n`` rows. Returns ``(mean[dim], components[dim_out,
+    dim])``, the frozen linear map :func:`pca_project` compiles into
+    the plan. The VALUE-compression counterpart to dimension
+    TRUNCATION (simsearch.truncated_prefilter_topk): PCA spends the
+    same scan-width budget on the directions that actually carry
+    variance, so recall at equal dim_out can only match or beat the
+    raw prefix — measure with quantization_recall_report-style A/Bs
+    before choosing.
+
+    Component SIGNS are canonicalized (largest-|coefficient| entry
+    positive) — SVD signs are otherwise arbitrary and would make the
+    frozen map irreproducible across refits of identical data."""
+    if not 1 <= dim_out <= dim:
+        raise ValueError(f"dim_out must be in 1..{dim}, got {dim_out}")
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if len(rows) < dim_out:
+        raise ValueError(f"sample has {len(rows)} rows < dim_out={dim_out}")
+    x = np.array([r["v"] for r in rows], dtype="float64")
+    if x.shape[1] != dim:
+        raise ValueError(f"vectors are {x.shape[1]}-dim, expected {dim}")
+    mean = x.mean(axis=0) if center else np.zeros(dim)
+    _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
+    comps = vt[:dim_out]
+    # sign canon: the largest-|coeff| entry of each component positive
+    flip = np.sign(comps[np.arange(dim_out), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return mean, comps * flip[:, None]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca_vec",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Apply a frozen PCA map as PURE expressions: output dim ``j`` is
+    ``dot(vec, comp_j) − dot(mean, comp_j)`` — the mean term folds to
+    a per-dim literal, so the projection is dim_out HOF dot products
+    over a literal matrix compiled into the plan (the ivf_assign
+    pattern): zero UDF, zero shuffle, SQL-expressible on both engines
+    (tests/test_pca.py re-derives it in DuckDB). ``score_round``
+    rounds each output coordinate — fix the tie-break/compare domain
+    before feeding a differential twin (the ADC rationale). Output:
+    ``array<double>`` ready for brute_force_knn / ivf_build /
+    truncated serve over the reduced space."""
+    comps = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+    offs = comps @ mu  # per-output-dim scalar offsets
+    tmp = "__pca_vd"
+    out = df.withColumn(tmp, F.col(vec_col).cast("array<double>"))
+    dims = []
+    for j in range(comps.shape[0]):
+        carr = F.array(*[F.lit(float(c)) for c in comps[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(tmp), carr, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        d = dot - F.lit(float(offs[j]))
+        if score_round is not None:
+            d = F.round(d, score_round)
+        dims.append(d)
+    return out.withColumn(out_col, F.array(*dims)).drop(tmp)
+
+
+def pca_project_arrow(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca_vec",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`pca_project` — the
+    wide-vector path (one einsum per batch instead of dim_out
+    interpreted HOF aggregates; the ivf_assign_arrow rationale).
+    Sequential-fold dot order matches the expression path only up to
+    float fold order — pass ``score_round`` on BOTH paths before
+    comparing them."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    comps = np.asarray(components, dtype="float64")
+    offs = comps @ np.asarray(mean, dtype="float64")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def _proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            y = x @ comps.T - offs if len(x) else np.zeros((0, comps.shape[0]))
+            if score_round is not None:
+                y = np.floor(y * (10.0**score_round) + 0.5) / (10.0**score_round)
+            pdf = pdf.copy()
+            pdf[out_col] = [list(r) for r in y]
+            yield pdf
+
+    return df.mapInPandas(_proj, schema=out_schema)

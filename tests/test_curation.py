@@ -791,3 +791,19 @@ def test_curate_corpus_domain_rank_stage(spark):
     )
     with pytest.raises(ValueError, match="domain_ranks"):
         curate_corpus(d, domain_ranks=ranks)
+
+
+def test_curate_corpus_compression_gate(spark):
+    import pandas as pd
+
+    rows = [
+        (0, "spam spam spam buy now " * 100),  # hyper-compressible farm
+        (1, "Genuinely varied prose discussing seventeen distinct topics with "
+            "numbers 3 14 159 and ample lexical diversity across sentences that "
+            "do not repeat themselves at all, ever, in any block."),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kept = curate_corpus(d, min_quality=0.0, min_compression_ratio=0.3)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # defaults-off identity: both docs survive without the gate
+    assert curate_corpus(d, min_quality=0.0).count() == 2
