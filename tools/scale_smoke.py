@@ -727,6 +727,41 @@ def main():
     assert n_freq_exact == n_freq_sketch, (n_freq_exact, n_freq_sketch)
     t["n_frequent_ngrams"] = n_freq_exact
 
+    # winnowing fingerprints + clustering-capped overlap pairs (the
+    # 100x-replicated corpus is a pathological mass-dup shape: the
+    # TRUE pair set is quadratic in the duplication factor, so the
+    # smoke prices the star-degraded clustering configuration)
+    from fuserank_spark.pipeline_ext.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    t0 = time.time()
+    t["n_winnow_fps"] = winnow_fingerprints(
+        big.select(F.col("row_id").alias("doc_id"), "text")
+    ).count()
+    t["winnow_fps"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    t["n_winnow_pairs"] = winnow_overlap_pairs(
+        big.select(F.col("row_id").alias("doc_id"), "text"),
+        min_shared=8, max_bucket_size=48,
+    ).count()
+    t["winnow_pairs_star48"] = round(time.time() - t0, 2)
+
+    # PCA projection over the 500k vector corpus (frozen 16-dim map)
+    from fuserank_spark.pipeline_ext.quantization import pca_project, train_pca
+
+    pca_mean, pca_comps = train_pca(bigv, dim=64, dim_out=16)
+    t0 = time.time()
+    pca_project(bigv, pca_mean, pca_comps).write.format("noop").mode("overwrite").save()
+    t["pca_project16"] = round(time.time() - t0, 2)
+
+    # compression-ratio quality signal over 500k docs (Arrow UDF)
+    from fuserank_spark.pipeline_ext.textstats import compression_ratio
+
+    t0 = time.time()
+    compression_ratio(big.select("row_id", "text")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t["compression_ratio"] = round(time.time() - t0, 2)
+
     t["n_rows"] = n
     print(json.dumps(t))
 
