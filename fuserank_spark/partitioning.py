@@ -674,3 +674,60 @@ def snapshot_diff(
             sel = [F.col(c) for c in key_cols] + [F.lit("").alias("status")]
             return a.select(*sel).limit(0)
     return corpus_diff(a, b, key_cols=key_cols, compare_cols=resolved)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    rows_per_shard: int,
+    key_col: str = "doc_id",
+    salt: str = "shards",
+    n_buckets: int | str = 256,
+    rows_hint: int | None = None,
+    snapshot: bool = True,
+) -> dict:
+    """The pipeline's LAST step: deterministically shuffle (salted-
+    hash order — reproducible training order across runs, engines and
+    cluster sizes) and write fixed-size shards: every shard holds
+    exactly ``rows_per_shard`` rows except the final one, files land
+    partitioned by ``shard_id``, and a verified ``_snapshot.json``
+    manifest publishes after the data (:func:`write_corpus_snapshot`).
+
+    Shard assignment is :func:`pipeline_ext.packing.pack_split` with a
+    unit token column — the SAME oracle-pinned two-phase cumsum
+    (bucket-major ≡ global hash order, driver prefix-sum of
+    ≤ n_buckets totals), so there is never a single global window:
+    ``shard_id = rank div rows_per_shard``, ``row_in_shard`` the
+    position within it. Returns the manifest dict plus ``n_shards``.
+
+    100 TB shape: one window Exchange for the rank, one write; the
+    shard count (not the corpus) bounds the output file listing, and
+    readers address work by shard_id partition directories."""
+    from .pipeline_ext.packing import pack_split
+
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    sharded = pack_split(
+        df.withColumn("__one", F.lit(1)),
+        budget=rows_per_shard,
+        token_col="__one",
+        key_col=key_col,
+        salt=salt,
+        n_buckets=n_buckets,
+        rows_hint=rows_hint,
+    )
+    out = (
+        sharded.withColumn("shard_id", F.col("start_seq"))
+        .withColumn("row_in_shard", F.col("start_offset"))
+        .drop("__one", "start_seq", "start_offset", "n_seqs")
+    )
+    if snapshot:
+        manifest = write_corpus_snapshot(out, path, partition_by=["shard_id"])
+    else:
+        out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+        manifest = {"n_rows": None}
+    back = df.sparkSession.read.parquet(path)
+    n_shards = back.agg(F.countDistinct("shard_id")).collect()[0][0]
+    manifest["n_shards"] = int(n_shards)
+    return manifest

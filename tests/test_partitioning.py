@@ -270,3 +270,65 @@ def test_corpus_snapshot_write_verify_and_tamper(spark, tmp_path):
         _json.dump(m2, f)
     with pytest.raises(ValueError, match="row count"):
         verify_corpus_snapshot(spark, path2)
+
+
+# ----------------------------------------------------- training shards
+
+
+def test_write_training_shards_duckdb_twin_and_contract(spark, duck, tmp_path):
+    """Shard assignment re-derived independently in DuckDB: global
+    salted-hash rank (the pack_split order: hash asc, key asc) div
+    rows_per_shard — row-for-row (doc_id, shard_id, row_in_shard);
+    plus the size contract and manifest verification."""
+    from fuserank_spark.partitioning import (
+        verify_corpus_snapshot,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, rows_per_shard=37)
+    back = spark.read.parquet(path)
+    n = docs.count()
+
+    exp = {
+        (r[0], r[1], r[2])
+        for r in duck.execute(
+            """
+            WITH h AS (
+              SELECT doc_id,
+                CAST(concat('0x', substring(md5(concat('shards:',
+                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS hh
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY hh, doc_id) - 1 AS rk
+              FROM h
+            )
+            SELECT doc_id, rk // 37 AS shard_id, rk % 37 AS row_in_shard FROM r
+            """
+        ).fetchall()
+    }
+    got = {
+        (r["doc_id"], r["shard_id"], r["row_in_shard"])
+        for r in back.select("doc_id", "shard_id", "row_in_shard").collect()
+    }
+    assert got == exp
+    # size contract: every shard full except the last
+    sizes = {
+        r["shard_id"]: r["c"]
+        for r in back.groupBy("shard_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert manifest["n_shards"] == len(sizes) == -(-n // 37)
+    last = max(sizes)
+    assert all(c == 37 for s, c in sizes.items() if s != last)
+    assert sizes[last] == n - 37 * last
+    # the published manifest verifies against the files on disk
+    assert verify_corpus_snapshot(spark, path)["n_rows"] == n
+
+
+def test_write_training_shards_validation(spark, tmp_path):
+    from fuserank_spark.partitioning import write_training_shards
+
+    with pytest.raises(ValueError, match="rows_per_shard"):
+        write_training_shards(None, str(tmp_path / "x"), rows_per_shard=0)
