@@ -724,10 +724,12 @@ def write_training_shards(
     )
     if snapshot:
         manifest = write_corpus_snapshot(out, path, partition_by=["shard_id"])
+        n_rows = manifest["n_rows"]
     else:
         out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
-        manifest = {"n_rows": None}
-    back = df.sparkSession.read.parquet(path)
-    n_shards = back.agg(F.countDistinct("shard_id")).collect()[0][0]
-    manifest["n_shards"] = int(n_shards)
+        n_rows = df.sparkSession.read.parquet(path).count()
+        manifest = {"n_rows": n_rows}
+    # ranks are contiguous 0..n-1, so the shard count is arithmetic —
+    # no extra countDistinct scan (the layout_corpus eager-count lesson)
+    manifest["n_shards"] = -(-n_rows // rows_per_shard) if n_rows else 0
     return manifest
