@@ -732,4 +732,18 @@ def write_training_shards(
     # ranks are contiguous 0..n-1, so the shard count is arithmetic —
     # no extra countDistinct scan (the layout_corpus eager-count lesson)
     manifest["n_shards"] = -(-n_rows // rows_per_shard) if n_rows else 0
+    manifest["rows_per_shard"] = rows_per_shard
+    if snapshot:
+        # re-publish so the ON-DISK manifest carries the shard plan —
+        # a training reader opens _snapshot.json to size its workers
+        # and must not have to re-list partition directories (review
+        # catch); same atomic tmp+rename publish as the first write
+        import json as _json
+        import os as _os
+
+        mpath = _os.path.join(path, "_snapshot.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, mpath)
     return manifest

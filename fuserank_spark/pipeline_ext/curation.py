@@ -557,6 +557,17 @@ def keep_best(
 # -------------------------------------------------------- full pipeline
 
 
+def content_hash_expr(text: Column) -> Column:
+    """The exact-dedup content identity: md5 of whitespace-normalized
+    lowercased text. ONE definition shared by curate_corpus's dedup
+    stage and profile.dataset_card's duplicate_frac — the report must
+    measure the duplication the pipeline actually removes (review
+    catch: a drifted inline copy would silently decouple them). The
+    q_curate oracle pins this exact expression; do not change one
+    consumer without the other."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
 def _mg_merge(counters: pd.Series, vc: pd.Series, k: int) -> pd.Series:
     """One Misra–Gries bulk merge: fold a batch's value counts into a
     ``k``-counter summary. Eviction subtracts the (L−k)-th smallest
@@ -1020,8 +1031,7 @@ def curate_corpus(
         q = ngram_lm_perplexity(
             q, perplexity_lm, key_col=key_col, text_col=text_col
         ).filter(F.col("perplexity") <= max_perplexity)
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    hashed = q.withColumn("__ch", F.md5(norm))
+    hashed = q.withColumn("__ch", content_hash_expr(F.col(text_col)))
     w = Window.partitionBy("__ch").orderBy(F.col(key_col).asc())
     deduped = hashed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     if semantic_centroids is not None:

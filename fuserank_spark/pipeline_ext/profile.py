@@ -123,17 +123,23 @@ def dataset_card(
     switches to exact count-distinct, which Catalyst runs as an
     Expand — fine at audit scale, measured 3× at corpus scale (see
     :func:`profile`)."""
+    from .curation import content_hash_expr
     from .textstats import lang_scores, quality_features, tokens_expr
 
-    base = quality_features(
-        lang_scores(docs, text_col=text_col), text_col=text_col
-    ).withColumns(
-        {
-            "__nt": F.size(tokens_expr(F.col(text_col))).cast("bigint"),
-            "__ch": F.md5(
-                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-            ),
-        }
+    base = (
+        quality_features(lang_scores(docs, text_col=text_col), text_col=text_col)
+        .withColumns(
+            {
+                "__nt": F.size(tokens_expr(F.col(text_col))).cast("bigint"),
+                # the SAME identity curate_corpus dedups on — the
+                # report must predict the dedup the pipeline performs
+                "__ch": content_hash_expr(F.col(text_col)),
+            }
+        )
+        # consumed by TWO actions (fused agg + lang groupBy): CLAUDE.md
+        # r6-3 — a lazy frame re-runs the caller's whole upstream
+        # (possibly an entire curation chain) once per job
+        .localCheckpoint(eager=True)
     )
     distinct_agg = (
         F.count_distinct(F.col("__ch")) if exact
@@ -141,6 +147,7 @@ def dataset_card(
     )
     row = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.col("__ch")).alias("n_content"),
         F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0)).alias("n_null"),
         F.sum("__nt").alias("total_tokens"),
         F.round(F.avg("__nt"), 2).alias("mean_tokens"),
@@ -165,8 +172,14 @@ def dataset_card(
         "median_tokens": row["median_tokens"],
         "max_tokens": row["max_tokens"],
         "mean_quality": row["mean_quality"],
+        # over documents that HAVE content — md5(NULL) is NULL and a
+        # null text is already reported by null_text_frac, not a dup
         "duplicate_frac": (
-            round(1.0 - min(row["n_distinct_content"], n) / n, 6) if n else 0.0
+            round(
+                1.0 - min(row["n_distinct_content"], row["n_content"]) / row["n_content"], 6
+            )
+            if row["n_content"]
+            else 0.0
         ),
         "distinct_exact": bool(exact),
         "lang_mix": {r["pred_lang"]: r["c"] for r in langs},

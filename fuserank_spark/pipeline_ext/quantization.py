@@ -1306,7 +1306,12 @@ def pca_project(
         )
         d = dot - F.lit(float(offs[j]))
         if score_round is not None:
-            d = F.round(d, score_round)
+            # the explicit portable formula (CLAUDE.md rounding
+            # invariant), NOT F.round: engine round() is
+            # half-away-from-zero and would diverge from the arrow
+            # twin / a SQL twin on negative midpoints
+            s = 10.0**score_round
+            d = F.floor(d * F.lit(s) + F.lit(0.5)) / F.lit(s)
         dims.append(d)
     return out.withColumn(out_col, F.array(*dims)).drop(tmp)
 
@@ -1321,11 +1326,13 @@ def pca_project_arrow(
     score_round: int | None = None,
 ) -> DataFrame:
     """Arrow-batched numpy twin of :func:`pca_project` — the
-    wide-vector path (one einsum per batch instead of dim_out
-    interpreted HOF aggregates; the ivf_assign_arrow rationale).
-    Sequential-fold dot order matches the expression path only up to
-    float fold order — pass ``score_round`` on BOTH paths before
-    comparing them."""
+    wide-vector path (numpy dots instead of dim_out interpreted HOF
+    aggregates; the ivf_assign_arrow rationale). Both paths quantize
+    with the SAME portable floor(x·10^r + 0.5)/10^r formula (the
+    CLAUDE.md rounding invariant), so with ``score_round`` set they
+    are value-identical; unrounded they match only up to float fold
+    order. NULL/ragged rows yield all-NULL coordinates on both
+    paths."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1337,14 +1344,24 @@ def pca_project_arrow(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
 
+    dim = comps.shape[1]
+
     def _proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-            y = x @ comps.T - offs if len(x) else np.zeros((0, comps.shape[0]))
-            if score_round is not None:
-                y = np.floor(y * (10.0**score_round) + 0.5) / (10.0**score_round)
+            outs = []
+            for v in pdf[vec_col]:
+                # NULL / ragged rows project to all-NULL coords, the
+                # expression path's zip_with-padding semantics —
+                # np.asarray(None) would crash the whole batch
+                if v is None or len(v) != dim:
+                    outs.append([None] * comps.shape[0])
+                    continue
+                y = np.asarray(v, dtype="float64") @ comps.T - offs
+                if score_round is not None:
+                    y = np.floor(y * (10.0**score_round) + 0.5) / (10.0**score_round)
+                outs.append(list(y))
             pdf = pdf.copy()
-            pdf[out_col] = [list(r) for r in y]
+            pdf[out_col] = outs
             yield pdf
 
     return df.mapInPandas(_proj, schema=out_schema)

@@ -121,10 +121,10 @@ def test_dataset_card_hand_computed(spark):
     assert card["null_text_frac"] == 0.25
     assert card["total_tokens"] == 9 + 9 + 10  # NULL -> 0 tokens
     assert card["max_tokens"] == 10
-    # 4 docs, 3 distinct normalized contents (two dups + NULL-hash-null)
-    # md5(NULL) is NULL -> not counted distinct; duplicate_frac uses n
+    # duplicate_frac over docs WITH content: 3 non-null, 2 distinct
+    # (NULL text is null_text_frac's business, never a duplicate)
     assert card["distinct_exact"] is True
-    assert 0 < card["duplicate_frac"] <= 0.5
+    assert card["duplicate_frac"] == round(1 - 2 / 3, 6)
     assert card["lang_mix"]  # at least one predicted language bucket
 
 

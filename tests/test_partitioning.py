@@ -323,7 +323,13 @@ def test_write_training_shards_duckdb_twin_and_contract(spark, duck, tmp_path):
     last = max(sizes)
     assert all(c == 37 for s, c in sizes.items() if s != last)
     assert sizes[last] == n - 37 * last
-    # the published manifest verifies against the files on disk
+    # the published manifest verifies against the files on disk AND
+    # carries the shard plan (a reader sizes workers from the file)
+    import json
+
+    ondisk = json.load(open(f"{path}/_snapshot.json"))
+    assert ondisk["n_shards"] == manifest["n_shards"]
+    assert ondisk["rows_per_shard"] == 37
     assert verify_corpus_snapshot(spark, path)["n_rows"] == n
 
 

@@ -59,10 +59,12 @@ def test_pca_projection_matches_duckdb_twin(spark, duck, fitted):
     outs = []
     for j in range(DOUT):
         lits = ", ".join(f"{c!r}" for c in comps[j])
-        outs.append(
-            f"round(list_sum(list_transform(range(1, {DIM + 1}),"
-            f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])) - {offs[j]!r}, 6)"
+        dot = (
+            f"(list_sum(list_transform(range(1, {DIM + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])) - {offs[j]!r})"
         )
+        # the portable floor-formula, same three ops as the engine side
+        outs.append(f"floor({dot} * 1e6 + 0.5) / 1e6")
     exp = {
         r[0]: list(r[1:])
         for r in duck.execute(
@@ -112,3 +114,24 @@ def test_pca_validation(spark):
         train_pca(e, dim=DIM, dim_out=0)
     with pytest.raises(ValueError, match="dim_out"):
         train_pca(e, dim=DIM, dim_out=DIM + 1)
+
+
+def test_pca_null_and_ragged_rows_both_paths(spark, fitted):
+    import pandas as pd
+
+    _, mean, comps = fitted
+    rows = [(0, [0.5] * DIM), (1, None), (2, [1.0] * 3)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    a = {
+        r["vec_id"]: r["pca_vec"]
+        for r in pca_project(sdf, mean, comps, score_round=9).collect()
+    }
+    b = {
+        r["vec_id"]: r["pca_vec"]
+        for r in pca_project_arrow(sdf, mean, comps, score_round=9).collect()
+    }
+    assert a == b
+    assert a[1] == [None] * DOUT and a[2] == [None] * DOUT
+    assert all(v is not None for v in a[0])

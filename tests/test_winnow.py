@@ -21,6 +21,8 @@ from fuserank_spark.pipeline_ext.dedup import (
 
 K, W = 5, 4
 
+# verbatim _TOKS_SQL: the legacy tokens_expr twin pair (driver-oracle-
+# frozen; carries the known \s/\x0B caveat — see CLAUDE.md dialect note)
 _TOKS = (
     "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE regexp_split_to_array(trim(text), '\\s+') END"
