@@ -627,3 +627,52 @@ def test_extract_markdown_text_semantics(spark):
     assert t.startswith("Title")
     assert out[1] == "plain text without any markdown at all"
     assert out[2] == "real text"
+
+
+def _np_hits(edges, iters):
+    import numpy as np
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    h = np.ones(len(nodes))
+    a = np.ones(len(nodes))
+    for _ in range(iters):
+        a_raw = np.zeros(len(nodes))
+        for s, d in edges:
+            a_raw[idx[d]] += h[idx[s]]
+        a = a_raw / (np.linalg.norm(a_raw) or 1.0)
+        h_raw = np.zeros(len(nodes))
+        for s, d in edges:
+            h_raw[idx[s]] += a[idx[d]]
+        h = h_raw / (np.linalg.norm(h_raw) or 1.0)
+    return {n: (h[idx[n]], a[idx[n]]) for n in nodes}
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import random
+
+    from fuserank_spark.pipeline_ext.web import hits
+
+    rng = random.Random(23)
+    edges = sorted({(f"d{rng.randrange(40)}", f"d{rng.randrange(50)}") for _ in range(250)})
+    edges = [(s, d) for s, d in edges if s != d]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src_domain", "dst_domain"]))
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(sdf, iterations=10).collect()}
+    exp = _np_hits(edges, 10)
+    assert set(got) == set(exp)
+    for n, (eh, ea) in exp.items():
+        assert abs(got[n][0] - eh) < 1e-9 and abs(got[n][1] - ea) < 1e-9, n
+
+
+def test_hits_separates_hub_from_authority(spark):
+    from fuserank_spark.pipeline_ext.web import hits
+
+    # a pure directory: links to everything, nothing links to it
+    edges = [("directory.com", f"content{i}.org") for i in range(5)]
+    edges += [(f"content{i}.org", "canonical.org") for i in range(5)]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src_domain", "dst_domain"]))
+    s = {r["node"]: r for r in hits(sdf, iterations=12).collect()}
+    assert s["directory.com"]["hub"] > s["directory.com"]["authority"]
+    assert s["canonical.org"]["authority"] > s["canonical.org"]["hub"]
+    with pytest.raises(ValueError, match="iterations"):
+        hits(None, iterations=0)
