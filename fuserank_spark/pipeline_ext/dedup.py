@@ -197,6 +197,15 @@ def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash", bit
 def _validate_bands(bits: int, bands: int, max_hamming: int) -> None:
     if bits % bands != 0:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if bits // bands > 62:
+        # band extraction computes F.lit(1 << width): width > 62
+        # overflows LongType and dies at plan build with an opaque
+        # error (e.g. bits=64, bands=1 — legal above when
+        # max_hamming=0). Raise clearly instead (ADVICE r6).
+        raise ValueError(
+            f"band width bits//bands={bits // bands} > 62 overflows the "
+            "64-bit band-value extraction; use bands >= 2 (or smaller codes)"
+        )
     if max_hamming > bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} > bands-1={bands - 1}: the band "

@@ -215,10 +215,12 @@ def stub_gray_pixels_expr(payload_col: str, n_pixels: int) -> "F.Column":
     byte ``p`` of the md5 keystream ``md5(payload‖'0') ‖
     md5(payload‖'1') ‖ …`` (chunk suffixes are the DECIMAL STRING of
     the chunk index, so any engine with md5-of-string can re-derive
-    the stream). Returns an ``array<int>`` of length ``n_pixels``,
-    values 0–255. Pure expressions — the hex string is materialized
-    by the caller once (Catalyst does not CSE across HOF projections,
-    the CLAUDE.md trap), so call via :func:`phash`."""
+    the stream). Returns the concatenated md5 HEX STRING of length
+    ``>= 2 * n_pixels`` — the caller slices consecutive hex byte-pairs
+    into 0–255 pixel values (see :func:`phash`). Pure expressions —
+    the hex string is materialized by the caller once (Catalyst does
+    not CSE across HOF projections, the CLAUDE.md trap), so call via
+    :func:`phash`."""
     n_chunks = -(-n_pixels // 16)  # each md5 = 16 bytes = 32 hex chars
     chunks = [
         F.md5(F.concat(F.col(payload_col), F.encode(F.lit(str(c)), "utf-8")))

@@ -222,13 +222,21 @@ def read_warc(spark: SparkSession, path: str, record_types=("response",)) -> Dat
         m = version_re.search(data)
         while m is not None:
             hdr_start = m.end()
-            for sep in (b"\r\n\r\n", b"\n\n"):
-                hdr_end = data.find(sep, hdr_start)
-                if hdr_end != -1:
-                    body_start = hdr_end + len(sep)
-                    break
-            else:
+            # earliest non-negative separator wins: a lenient
+            # LF-terminated header block must not be overrun by a
+            # CRLFCRLF that happens to occur later (in the body or a
+            # subsequent record) — preferring \r\n\r\n unconditionally
+            # would swallow part of the body and read Content-Length
+            # from garbage (ADVICE r6)
+            cands = [
+                (pos, sep)
+                for sep in (b"\r\n\r\n", b"\n\n")
+                if (pos := data.find(sep, hdr_start)) != -1
+            ]
+            if not cands:
                 return
+            hdr_end, sep = min(cands)
+            body_start = hdr_end + len(sep)
             headers = {}
             for line in data[hdr_start:hdr_end].replace(b"\r\n", b"\n").split(b"\n"):
                 k, colon, v = line.partition(b":")
@@ -238,13 +246,27 @@ def read_warc(spark: SparkSession, path: str, record_types=("response",)) -> Dat
                 clen = int(headers[b"content-length"])
                 if clen < 0 or body_start + clen > len(data):
                     raise ValueError
+                # exactly clen bytes: ISO 28500 §5.4 puts the two
+                # separator CRLFs AFTER the block, so nothing to strip —
+                # payloads genuinely ending in newlines keep them
                 body = data[body_start : body_start + clen]
                 nxt = version_re.search(data, body_start + clen)
             except (KeyError, ValueError):
-                # absent/bad length: body runs to the next version line
+                # absent/bad length: body runs to the next version
+                # line and so includes the record separator — strip AT
+                # MOST the two trailing (CR)LF sequences, not every
+                # trailing newline byte (ADVICE r6: an unbounded rstrip
+                # perturbs content hashes of newline-terminated payloads)
                 nxt = version_re.search(data, body_start)
                 body = data[body_start : nxt.start() if nxt else len(data)]
-            yield headers, body.rstrip(b"\r\n")
+                for _ in range(2):
+                    if body.endswith(b"\r\n"):
+                        body = body[:-2]
+                    elif body.endswith(b"\n"):
+                        body = body[:-1]
+                    else:
+                        break
+            yield headers, body
             m = nxt
 
     def _parse(batches: "_Iter[_pd.DataFrame]") -> "_Iter[_pd.DataFrame]":

@@ -102,6 +102,11 @@ def test_simhash_hamming_recall_guard():
         simhash_hamming_pairs(None, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divisible"):
         simhash_hamming_pairs(None, bits=32, bands=5)
+    # ADVICE r6: bits=64, bands=1 is band-legal when max_hamming=0 but
+    # the band extraction would compute F.lit(1 << 64) → LongType
+    # overflow at plan build; must raise a CLEAR error instead
+    with pytest.raises(ValueError, match="overflows"):
+        simhash_hamming_pairs(None, bits=64, bands=1, max_hamming=0)
 
 
 def test_simhash_hamming_no_false_pairs_above_threshold(corpus):

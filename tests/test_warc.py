@@ -113,6 +113,47 @@ def test_read_warc_payload_containing_version_line(spark, warcdir):
     assert out["https://a.com/after"] == "<p>next record ok</p>"
 
 
+def test_read_warc_lenient_lf_header_with_crlfcrlf_in_body(spark, warcdir):
+    """ADVICE r6: a lenient LF-terminated header block must end at the
+    FIRST separator — a CRLFCRLF occurring later (inside the body)
+    must not swallow part of the body. Earliest-position rule."""
+    body = b"before\r\n\r\nafter"  # CRLFCRLF lives IN the payload
+    head = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: https://lf.example/x\n"
+        b"Content-Type: text/plain\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\n"
+        b"\n"
+    )
+    data = head + body + b"\r\n\r\n" + _record(
+        "response", "https://b.org/y", b"<p>two</p>"
+    )
+    with open(f"{warcdir}/lf.warc", "wb") as f:
+        f.write(data)
+    out = {r["target_uri"]: r["content"] for r in read_warc(spark, warcdir).collect()}
+    assert out["https://lf.example/x"] == "before\r\n\r\nafter"
+    assert out["https://b.org/y"] == "<p>two</p>"
+
+
+def test_read_warc_newline_terminated_payload_kept(spark, warcdir):
+    """ADVICE r6: payloads genuinely ending in newlines keep them.
+    Content-Length path: exactly clen bytes, zero stripping. Fallback
+    path (no Content-Length): at most the separator CRLFs stripped."""
+    body = b"line one\nline two\n\n"  # trailing newlines ARE payload
+    data = _record("response", "https://a.com/nl", body, http=False)
+    # fallback record: drop the Content-Length header entirely
+    rec2 = _record("response", "https://b.org/nl2", b"tail\n", http=False)
+    rec2 = rec2.replace(b"Content-Length: 5\r\n", b"")
+    with open(f"{warcdir}/nl.warc", "wb") as f:
+        f.write(data + rec2)
+    out = {r["target_uri"]: r["content"] for r in read_warc(spark, warcdir).collect()}
+    assert out["https://a.com/nl"] == "line one\nline two\n\n"
+    # fallback body ran to EOF: only the two separator CRLFs stripped,
+    # the payload's own trailing \n survives
+    assert out["https://b.org/nl2"] == "tail\n"
+
+
 def test_read_warc_bad_content_length_falls_back(spark, warcdir):
     """A record with a LYING Content-Length still parses (scan-to-next-
     version-line fallback), and following records survive."""
