@@ -28,6 +28,39 @@ def _token_index(token: str, dim: int) -> int:
     return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big") % dim
 
 
+def limit_blas_threads(n: int = 1) -> bool:
+    """Best-effort cap on OpenBLAS threads in THIS process. Needed when
+    BLAS-heavy work (ProxyTransformerEmbedder) runs inside mapInPandas:
+    each of the N parallel python workers would otherwise spawn
+    ncpu BLAS threads — N·ncpu-way oversubscription that thrashes
+    instead of computing. Called executor-side (the env-var route is
+    too late once numpy has loaded). Returns False when no controllable
+    OpenBLAS is mapped (e.g. MKL builds) — then set the usual
+    *_NUM_THREADS env vars before process start instead."""
+    import ctypes
+
+    try:
+        with open("/proc/self/maps") as f:
+            libs = sorted(
+                {
+                    ln.rsplit(" ", 1)[-1].strip()
+                    for ln in f
+                    if "openblas" in ln.lower()
+                }
+            )
+        for path in libs:
+            if not path.startswith("/"):
+                continue
+            lib = ctypes.CDLL(path)
+            for fn in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                if hasattr(lib, fn):
+                    getattr(lib, fn)(int(n))
+                    return True
+    except Exception:
+        pass
+    return False
+
+
 class DeterministicStubEmbedder:
     """Hashed bag-of-words stand-in for the HF embedder (same
     interface as `src/embed.py` TextEmbedder.embed)."""
@@ -50,6 +83,144 @@ class DeterministicStubEmbedder:
         norms[norms == 0] = 1.0
         out /= norms
         return out[0] if single else out
+
+
+class ProxyTransformerEmbedder:
+    """Pinned-weight pure-numpy transformer forward pass (VERDICT r6
+    missing #1): MiniLM-shaped by default — 6 post-LN encoder layers,
+    hidden 384, 12 heads, FFN 1536, BERT-sized vocab — with FROZEN
+    seeded weights, so a bench through the same mapInPandas path as
+    :class:`HFEmbedder` measures the real matmul-bound compute shape
+    of X1 (tokenize → embed+position → L× [attention, FFN] → masked
+    mean-pool) without any model download. Reference analog:
+    `src/embed.py:25-41` (tokenizer → model → mean over tokens).
+
+    NOT a trained model — outputs are semantically meaningless (use
+    DeterministicStubEmbedder for recall harnesses, HFEmbedder when
+    torch/transformers exist). What it shares with the real thing is
+    the ARITHMETIC: per row, ~6·L_seq·(4d² + 2·L_seq·d + 2·d·d_ffn)
+    fused-multiply-adds, ≈2.9 GFLOP at L_seq=128 — vs ~3 KB of text
+    I/O, i.e. arithmetic intensity ~10⁶ FLOPs/byte, so throughput is
+    BLAS-bound and scales with cores, never with Arrow transfer.
+
+    Mask-correct batching: pad keys are masked out of the attention
+    softmax and the mean-pool divides by true lengths, so results are
+    batch-composition-invariant (pinned by tests/test_embed_proxy.py)
+    — unlike naive padding, which would silently change pooled values
+    (the HFEmbedder per-text-loop parity note).
+
+    Weights are generated once per instance from ``seed`` via PCG64 —
+    identical on every executor, nothing shipped."""
+
+    def __init__(
+        self,
+        dim: int = 384,
+        layers: int = 6,
+        heads: int = 12,
+        ffn: int = 1536,
+        vocab: int = 30522,
+        max_len: int = 128,
+        seed: int = 42,
+        model_name: str = "proxy-numpy-minilm",
+        blas_threads: int | None = None,
+    ):
+        if dim % heads != 0:
+            raise ValueError(f"dim={dim} not divisible by heads={heads}")
+        self.dim, self.layers, self.heads = dim, layers, heads
+        self.ffn, self.vocab, self.max_len = ffn, vocab, max_len
+        self.seed = seed
+        self.model_name = model_name
+        if blas_threads:
+            # executor-side posture: one BLAS thread per python worker —
+            # parallelism comes from Spark tasks, not nested threadpools
+            limit_blas_threads(blas_threads)
+        rng = np.random.Generator(np.random.PCG64(seed))
+        s = np.float32(0.02)  # BERT-style init scale keeps activations sane
+        def W(*shape):
+            # float32 generation directly — ~5× cheaper than f64+astype,
+            # and init runs once per TASK in the mapInPandas path
+            return rng.standard_normal(shape, dtype=np.float32) * s
+        self.tok_emb = W(vocab, dim)
+        self.pos_emb = W(max_len, dim)
+        self.blocks = [
+            {
+                "wq": W(dim, dim), "wk": W(dim, dim), "wv": W(dim, dim),
+                "wo": W(dim, dim),
+                "w1": W(dim, ffn), "b1": W(ffn),
+                "w2": W(ffn, dim), "b2": W(dim),
+                "ln1_g": np.ones(dim, dtype="float32"), "ln1_b": W(dim),
+                "ln2_g": np.ones(dim, dtype="float32"), "ln2_b": W(dim),
+            }
+            for _ in range(layers)
+        ]
+
+    def _token_ids(self, text: str | None) -> np.ndarray:
+        toks = str(text or "").lower().split()[: self.max_len]
+        if not toks:
+            toks = [""]
+        return np.array([_token_index(t, self.vocab) for t in toks], dtype="int64")
+
+    @staticmethod
+    def _ln(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-12) * g + b
+
+    def embed(self, texts: str | list[str]) -> np.ndarray:
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        ids = [self._token_ids(t) for t in texts]
+        # length-sorted micro-batches: (a) the (n·h·L·L) attention
+        # intermediates of a whole Arrow batch blow the cache and turn
+        # 32 concurrent workers memory-bandwidth-bound (measured 5×
+        # per-task slowdown at batch=62); (b) sorting by length keeps
+        # pad waste near zero per chunk. Mask-correct batching makes
+        # the outputs invariant to this grouping (pinned in tests).
+        CHUNK = 8
+        if len(ids) > CHUNK:
+            order = sorted(range(len(ids)), key=lambda i: len(ids[i]))
+            out = np.empty((len(ids), self.dim), dtype="float64")
+            for s0 in range(0, len(order), CHUNK):
+                sel = order[s0 : s0 + CHUNK]
+                out[sel] = self._forward([ids[i] for i in sel])
+            return out[0] if single else out
+        out = self._forward(ids)
+        return out[0] if single else out
+
+    def _forward(self, ids: list[np.ndarray]) -> np.ndarray:
+        n = len(ids)
+        L = max(len(i) for i in ids)
+        d, h = self.dim, self.heads
+        hd = d // h
+        x = np.zeros((n, L, d), dtype="float32")
+        mask = np.zeros((n, L), dtype="float32")  # 1 = real token
+        for i, tid in enumerate(ids):
+            x[i, : len(tid)] = self.tok_emb[tid] + self.pos_emb[: len(tid)]
+            mask[i, : len(tid)] = 1.0
+        # additive key mask: pad keys get -inf-ish before softmax
+        kmask = (1.0 - mask)[:, None, None, :] * np.float32(-1e9)
+        for blk in self.blocks:
+            # self-attention (post-LN residual block)
+            q = (x @ blk["wq"]).reshape(n, L, h, hd).transpose(0, 2, 1, 3)
+            k = (x @ blk["wk"]).reshape(n, L, h, hd).transpose(0, 2, 1, 3)
+            v = (x @ blk["wv"]).reshape(n, L, h, hd).transpose(0, 2, 1, 3)
+            scores = q @ k.transpose(0, 1, 3, 2) / np.float32(np.sqrt(hd))
+            scores = scores + kmask
+            scores -= scores.max(-1, keepdims=True)
+            att = np.exp(scores)
+            att /= att.sum(-1, keepdims=True)
+            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(n, L, d)
+            x = self._ln(x + ctx @ blk["wo"], blk["ln1_g"], blk["ln1_b"])
+            # FFN with GELU (tanh approximation — the BERT one)
+            hdn = x @ blk["w1"] + blk["b1"]
+            hdn = 0.5 * hdn * (
+                1.0 + np.tanh(np.float32(0.7978845608) * (hdn + 0.044715 * hdn**3))
+            )
+            x = self._ln(x + hdn @ blk["w2"] + blk["b2"], blk["ln2_g"], blk["ln2_b"])
+        # masked mean-pool over REAL tokens only (batch-invariant)
+        pooled = (x * mask[:, :, None]).sum(1) / mask.sum(1)[:, None]
+        return pooled.astype("float64")
 
 
 class HFEmbedder:
