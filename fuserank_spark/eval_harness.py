@@ -295,16 +295,27 @@ def evaluate_geo_rank_agreement(
             "", aux, EVAL_AUX_SCHEMA, corpus.stats, corpus.layout,
             text_embedder=embedder, num_harmonics=num_harmonics,
         )
+        # round-before-rank on BOTH arms (the CLAUDE.md doctrine, and
+        # the r6 0.9833 residual's fix): the integer-grid corpus
+        # produces MIRROR-POINT pairs (same |Δlon|, same lat) that are
+        # exactly equidistant in real arithmetic — raw haversine
+        # orders them by fold-order ulps while the fused dot ties, so
+        # a pair straddling the k boundary was a coin flip. Rounding
+        # (score@9, km@6 ≈ 1 mm) makes both arms tie and fall to the
+        # same row_id tie-break. Mechanism pinned by
+        # tests/test_eval_harness.py::test_geo_boundary_mirror_tie.
         fused = [
             r["row_id"]
-            for r in topk(corpus.encoded, cq.vector, k=k).select("row_id").collect()
+            for r in topk(corpus.encoded, cq.vector, k=k, score_round=9)
+            .select("row_id")
+            .collect()
         ]
         exact = [
             r["row_id"]
             for r in with_loc.withColumn(
                 "hav_km", haversine_km_expr(F.col("location"), lon, lat)
             )
-            .orderBy(F.asc("hav_km"), F.asc("row_id"))
+            .orderBy(F.asc(F.round(F.col("hav_km"), 6)), F.asc("row_id"))
             .limit(k)
             .select("row_id")
             .collect()

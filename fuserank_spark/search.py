@@ -61,6 +61,7 @@ def topk(
     predicate: Column | None = None,
     tiebreak_col: str | None = None,
     use_arrow: bool | None = None,
+    score_round: int | None = None,
 ) -> DataFrame:
     """T1 single-query exact top-k (replaces
     faiss.IndexFlatIP.search, src/app.py:78). Optional hard predicate
@@ -79,7 +80,17 @@ def topk(
     present) so results are stable across partition scan orders.
     The Arrow path joins hits back by that key — it must be UNIQUE
     (the engine's row_id contract, §1.4); a non-unique tiebreak
-    column falls back to the expression path."""
+    column falls back to the expression path.
+
+    ``score_round`` rounds the score at the FINAL ordering (the
+    round-before-rank doctrine: scores that are equal in real
+    arithmetic but differ by fold-order ulps must tie before the
+    row_id tie-break, or the k boundary is a coin flip — the geo
+    mirror-point case, tests/test_eval_harness.py). The Arrow path's
+    per-partition heaps still pre-select on raw scores; an ulp-tied
+    pair is only at risk if both land in one partition AND straddle
+    its k-deep heap — acceptable for quality metrics, use the
+    expression path if that matters."""
     if predicate is not None:
         df = df.filter(predicate)
     if use_arrow is None:
@@ -87,14 +98,18 @@ def topk(
     if tiebreak_col is not None and tiebreak_col != "row_id":
         use_arrow = False  # uniqueness unknown → safe path
     tb = tiebreak_col or ("row_id" if "row_id" in df.columns else None)
+
+    def _ord(score: Column) -> Column:
+        return F.desc(F.round(score, score_round)) if score_round is not None else F.desc(score)
+
     if use_arrow and tb is not None:
         hits = _arrow_partial_topk(
             df, np.asarray([query_vector], dtype="float64"), [0], k, vector_col, tb, score_col
         ).drop("query_id")
         out = df.join(hits, tb)
-        return out.orderBy(F.desc(score_col), F.col(tb)).limit(k)
+        return out.orderBy(_ord(F.col(score_col)), F.col(tb)).limit(k)
     scored = df.withColumn(score_col, dot_expr(vector_col, lit_vector(query_vector)))
-    order = [F.desc(score_col)]
+    order = [_ord(F.col(score_col))]
     if tb is not None:
         order.append(F.col(tb))
     return scored.orderBy(*order).limit(k)

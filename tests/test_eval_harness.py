@@ -5,6 +5,7 @@ end-to-end)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fuserank_spark.eval_harness import evaluate_fused_vs_exact, report
 
@@ -57,6 +58,46 @@ def test_geo_rank_agreement(spark):
     mean = sum(r["recall"] for r in res) / len(res)
     assert mean >= 0.9, res
     assert all(0.0 <= r["r_precision"] <= 1.0 for r in res)
+
+
+def test_geo_boundary_mirror_tie(spark):
+    """VERDICT r6 #7: the sf0.1 geo 0.9833 residual, pinned. The
+    integer-grid eval corpus produces MIRROR-POINT pairs — same
+    latitude, longitudes mirrored across the query meridian (the r6
+    culprit: query (-60,33), docs (-55,38) vs (-65,38)) — that are
+    exactly equidistant in real arithmetic. The raw haversine COLUMN
+    values differ by fold-order ulps (sin((Δlon)/2)² is even, float
+    evaluation of ±Δ is not), so the exact arm ordered the pair by
+    noise while the fused dot tied and fell to row_id: a k-boundary
+    coin flip. Fix = round-before-rank on both arms (score@9, km@6),
+    making the tie true and the row_id tie-break shared."""
+    from pyspark.sql import Row
+
+    from fuserank_spark.eval_harness import haversine_km_expr
+
+    qlon, qlat = -60.0, 33.0
+    df = spark.createDataFrame(
+        [
+            Row(row_id=4002, location=Row(lon=-55.0, lat=38.0)),
+            Row(row_id=1112, location=Row(lon=-65.0, lat=38.0)),
+        ]
+    )
+    got = {
+        r["row_id"]: r["km"]
+        for r in df.select(
+            "row_id", haversine_km_expr(F.col("location"), qlon, qlat).alias("km")
+        ).collect()
+    }
+    # the mechanism: raw values differ (ulp noise on an exact mirror)…
+    assert got[4002] != got[1112], "grid changed — pick another mirror pair"
+    # …by strictly less than the rounding grain, so round-before-rank
+    # turns the pair into a true tie that row_id breaks identically
+    # on both arms
+    assert abs(got[4002] - got[1112]) < 1e-6
+    assert round(got[4002], 6) == round(got[1112], 6)
+    # and the raw ordering is the WRONG-way coin flip the fix removes:
+    # 4002 sorted ahead of 1112 despite the larger row_id
+    assert got[4002] < got[1112]
 
 
 def test_geo_rank_agreement_collect_is_bounded(spark):
