@@ -135,6 +135,16 @@ FUSED_IVF_CELLS = 8
 # as `fused_ivf_recall_at_10_fast`, each labelled with its nprobe.
 FUSED_IVF_NPROBE_FAST = 3
 FUSED_IVF_NPROBE_TARGET = FUSED_IVF_CELLS
+# Corpus-scale doctrine (r7, tools/fused_ivf_scale_probe.py at 100k
+# rows / 64 cells / 8 queries): the 0.70 fast point IS corpus-bound —
+# at the same 0.375 scan fraction a 100k-row corpus with TRAINED
+# k-means cells reaches recall 1.00 (head-of-corpus cells: 0.85;
+# plain-L2 and spherical k-means tie). Head cells remain the
+# SQL-derivable demo quantizer for the frozen oracle entry; a
+# production corpus should train cells (simsearch.ivf_build on the
+# fused vectors) and serve them through fused_ivf_serve_persisted's
+# meta["centroids"] — the serve path is centroid-agnostic. Full table
+# in BASELINE.md round 7.
 
 
 def probe_cells(cents, qvec, nprobe: int) -> list[int]:

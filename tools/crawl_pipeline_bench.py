@@ -1,0 +1,264 @@
+"""One-command crawl→shards composition bench (VERDICT r6 next-round
+#6): WARC fixtures → read_warc → extract_html_text → blocklist →
+domain link graph + PageRank → curate_corpus (line dedup, span dedup,
+quality, LM perplexity, compression-ratio gates, domain-rank gate) →
+mixture_sample → pack_split → write_training_shards → dataset_card,
+at 500k records, with a per-stage wall + SHUFFLE-BYTES table. Every
+stage is individually oracle-checked elsewhere; this prices the
+COMPOSITION.
+
+Attribution mechanics: each stage is materialized (persist+count) at
+its boundary so wall and shuffle deltas belong to that stage — the
+composed total therefore slightly OVERSTATES a fused single-action
+run (Catalyst would pipeline narrow neighbours). Shuffle bytes come
+from the Spark UI REST API (this tool's own session enables the UI;
+the engine default keeps it off).
+
+Usage: python tools/crawl_pipeline_bench.py [factor] [sf_dir]
+       (defaults: 100 → 500k records, sf0.1)
+Prints one JSON line per stage and a final summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+class StageMeter:
+    """Wall + shuffle-byte deltas per named stage, via the UI REST API."""
+
+    def __init__(self, spark):
+        self.ui = spark.sparkContext.uiWebUrl
+        self.app = spark.sparkContext.applicationId
+        self.rows = []
+        self._last = self._snap()
+
+    def _snap(self):
+        data = json.load(
+            urllib.request.urlopen(f"{self.ui}/api/v1/applications/{self.app}/stages")
+        )
+        return {
+            "w": sum(s.get("shuffleWriteBytes", 0) for s in data),
+            "r": sum(s.get("shuffleReadBytes", 0) for s in data),
+        }
+
+    def run(self, name, fn):
+        t0 = time.time()
+        out = fn()
+        row = {"stage": name, "wall_sec": round(time.time() - t0, 1)}
+        cur = self._snap()
+        row["shuffle_write_mb"] = round((cur["w"] - self._last["w"]) / 1e6, 1)
+        row["shuffle_read_mb"] = round((cur["r"] - self._last["r"]) / 1e6, 1)
+        self._last = cur
+        self.rows.append(row)
+        print(json.dumps(row))
+        return out
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("crawl-pipeline-bench")
+        .config("spark.driver.memory", os.environ.get("FUSERANK_DRIVER_MEM", "24g"))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4055")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fuserank_spark.sources import read_warc
+    from fuserank_spark.pipeline_ext.web import (
+        domain_link_graph,
+        extract_html_text,
+        filter_blocked_domains,
+        pagerank,
+        parse_urls,
+    )
+    from fuserank_spark.pipeline_ext.curation import curate_corpus, mixture_sample
+    from fuserank_spark.pipeline_ext.lm import ngram_lm_train
+    from fuserank_spark.pipeline_ext.packing import pack_split
+    from fuserank_spark.pipeline_ext.profile import dataset_card
+    from fuserank_spark.partitioning import write_training_shards
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+    warc_dir = os.path.join(cache, "crawl_bench_warc")
+    shard_dir = os.path.join(cache, "crawl_bench_shards")
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(warc_dir, exist_ok=True)
+
+    # fixture: 500k WARC response records across 32 real .warc files —
+    # synthetic hosts over 20k domains, 3 cross-domain links per page
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    big = (
+        docs.crossJoin(spark.range(factor).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+        )
+        .withColumn("dom", F.pmod(F.xxhash64("doc_id"), F.lit(20_000)))
+        .repartition(32)
+    )
+
+    def _write_warc_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(warc_dir, f"f{pid:04d}.warc")
+        with open(path, "wb") as f:
+            for r in rows:
+                links = "".join(
+                    f'<a href="http://site{(r["dom"] * 7 + j * 911) % 20_000}.example/p">x</a>'
+                    for j in range(3)
+                )
+                html = f"<html><body><p>{r['text']}</p>{links}</body></html>"
+                payload = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode()
+                )
+                uri = f"http://site{r['dom']}.example/doc/{r['doc_id']}"
+                head = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: response\r\n"
+                    b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+                    b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                    b"Content-Type: application/http; msgtype=response\r\n"
+                    b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+                )
+                f.write(head + payload + b"\r\n\r\n")
+
+    meter = StageMeter(spark)
+    t_all = time.time()
+
+    meter.run("fixture_build", lambda: big.foreachPartition(_write_warc_partition))
+
+    def _parse():
+        recs = read_warc(spark, warc_dir).persist()
+        recs.count()
+        return recs
+
+    recs = meter.run("warc_parse", _parse)
+
+    def _extract():
+        ext = extract_html_text(
+            recs.select(
+                F.monotonically_increasing_id().alias("__x"),
+                F.col("target_uri").alias("url"),
+                F.col("content").alias("html"),
+            )
+        )
+        ext = parse_urls(ext, url_col="url")
+        out = ext.select(
+            # 40-bit ids: headroom for the downstream item_id = 8·id
+            # derivation under ANSI overflow checking
+            F.pmod(F.xxhash64("url"), F.lit(1 << 40)).alias("doc_id"),
+            "url", "html", "text", "host", "domain",
+        ).persist()
+        out.count()
+        return out
+
+    pages = meter.run("extract_html", _extract)
+
+    def _block():
+        blocked = [f"site{i * 13}.example" for i in range(100)]
+        out = filter_blocked_domains(pages, blocked, host_col="host", key_col="doc_id").persist()
+        out.count()
+        return out
+
+    kept = meter.run("blocklist", _block)
+
+    def _rank():
+        # curate_corpus expects the pagerank contract: (node, rank)
+        edges = domain_link_graph(kept.select("url", "html"))
+        ranks = pagerank(edges, iterations=5, out_col="rank").persist()
+        ranks.count()
+        return ranks
+
+    ranks = meter.run("domain_pagerank", _rank)
+
+    lm = meter.run(
+        "lm_train_2pct",
+        lambda: ngram_lm_train(kept.filter(F.col("doc_id") % 50 == 0), n=2),
+    )
+
+    def _curate():
+        out = curate_corpus(
+            kept.select("doc_id", "text", "domain"),
+            line_dedup=True,
+            span_dedup_tokens=8,
+            perplexity_lm=lm,
+            max_perplexity=1e6,
+            min_compression_ratio=0.05,
+            domain_ranks=ranks,
+            min_domain_rank=0.0,
+            keep_unranked=True,
+        ).persist()
+        out.count()
+        return out
+
+    curated = meter.run("curate_corpus", _curate)
+
+    def _mix():
+        src = curated.withColumn("source", F.concat(F.lit("s"), F.col("doc_id") % 4))
+        out = mixture_sample(
+            src, {"s0": 0.25, "s1": 1.0, "s2": 1.5, "s3": 2.0}
+        ).persist()
+        out.count()
+        return out
+
+    mixed = meter.run("mixture_sample", _mix)
+
+    def _pack():
+        items = mixed.select(
+            (F.col("doc_id") * 8 + F.col("copy_idx")).alias("item_id"), "n_tokens"
+        )
+        out = pack_split(items, budget=2048, key_col="item_id").persist()
+        out.count()
+        return out
+
+    packed = meter.run("pack_split", _pack)
+
+    meter.run(
+        "write_shards",
+        lambda: write_training_shards(
+            packed, shard_dir, rows_per_shard=50_000, key_col="item_id"
+        ),
+    )
+
+    card = meter.run(
+        "dataset_card",
+        lambda: dataset_card(curated.select("doc_id", "text")),
+    )
+
+    total = round(time.time() - t_all, 1)
+    print(json.dumps({
+        "summary": "crawl_pipeline_bench",
+        "n_records": factor * 5000,
+        "rows_after_curate": curated.count(),
+        "rows_after_mixture": mixed.count(),
+        "total_wall_sec": total,
+        "total_shuffle_write_mb": round(sum(r["shuffle_write_mb"] for r in meter.rows), 1),
+        "card_n_docs": card.get("n_docs"),
+    }))
+    shutil.rmtree(warc_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,12 +66,21 @@ def build_corpus(spark, sf_dir: str, factor: int):
         ),
         " ",
     )
+    # every 5th doc carries a fixed UNSUFFIXED boilerplate sentence —
+    # shared across reps, so its gram/fingerprint counts scale with the
+    # corpus: gives frequent_ngrams a stable nonzero mining target and
+    # dedup_spans/winnowing a realistic hot-gram (license-blurb) shape
+    boiler = (
+        " this document is provided as is without warranty of any kind"
+        " express or implied"
+    )
+    body = F.when(F.col("rep") % 50 == 1, F.col("text")).otherwise(suffixed)
     big = (
         docs.crossJoin(reps)
         .select(
             (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
-            F.when(F.col("rep") % 50 == 1, F.col("text"))
-            .otherwise(suffixed)
+            F.when(F.col("doc_id") % 5 == 0, F.concat(body, F.lit(boiler)))
+            .otherwise(body)
             .alias("text"),
         )
         .repartition(max(64, factor // 4), "doc_id")
@@ -153,8 +162,9 @@ def main():
             lambda: noop(contamination_fraction(big, test_slice)))
 
         # min_doc_count scales with the tier so the heaviness threshold
-        # is the same FRACTION of docs at both points (0.4%)
-        mdc = max(50, (n * 4) // 1000)
+        # is the same FRACTION of docs at both points (10% — the planted
+        # boilerplate covers 20% of docs, natural grams stay below)
+        mdc = max(50, n // 10)
         run("frequent_ngrams_exact",
             lambda: frequent_ngrams(big, n=3, min_doc_count=mdc).count())
         run("frequent_ngrams_sketch",
@@ -187,7 +197,13 @@ def main():
         from fuserank_spark.embed import ProxyTransformerEmbedder, embed_corpus
 
         prows = n // 10
-        psample = big.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        # 32 tasks exactly: the per-task weight init (~2.5 s) must not
+        # multiply with the tier's partition count
+        psample = (
+            big.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .repartition(32)
+        )
         run("proxy_embed",
             lambda: noop(embed_corpus(
                 psample, {"text": 1.0},
