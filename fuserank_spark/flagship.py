@@ -295,6 +295,68 @@ def fused_ivf_serve_persisted(
     )
 
 
+def build_fused_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    meta_path: str,
+    *,
+    n_cells: int = FUSED_IVF_CELLS,
+    trained: bool = True,
+    sample_rows: int = 50_000,
+    max_iter: int = 10,
+) -> int:
+    """One-call build of the persisted fused-IVF index
+    :func:`fused_ivf_serve_persisted` serves from: encode the corpus,
+    pick the coarse quantizer, IVF-assign, write the index parquet
+    partitioned by ``centroid_id``, and freeze the encoder meta (with
+    the centroids) next to it. Returns the number of cells written.
+
+    ``trained=True`` (default) trains k-means cells on a bounded
+    sample of the fused vectors — the corpus-scale doctrine measured
+    in tools/fused_ivf_scale_probe.py (at 100k rows / 0.375 scan
+    fraction: trained 1.00 vs head 0.85 recall@10; BASELINE.md r7).
+    ``trained=False`` uses the first-``n_cells`` corpus rows — the
+    SQL-derivable demo quantizer the frozen oracle entry q_fused_ivf
+    re-derives; keep it only where the oracle parity matters more
+    than recall. Training cost is O(sample_rows), not O(corpus)."""
+    import numpy as np
+
+    from .encode import save_encoder_meta
+    from .pipeline_ext.simsearch import ivf_assign, ivf_build, ivf_persist
+
+    corpus = build_corpus_cached(spark, sf_dir)
+    if trained:
+        n = corpus.encoded.count()
+        frac = min(1.0, sample_rows / max(n, 1))
+        _assigned_ml, cents = ivf_build(
+            corpus.encoded, dim=corpus.layout.dim, n_centroids=n_cells,
+            vec_col="vector", sample_fraction=frac, max_iter=max_iter,
+        )
+    else:
+        rows = (
+            corpus.encoded.filter(F.col("row_id") < n_cells)
+            .orderBy("row_id").select("vector").collect()
+        )
+        if len(rows) < n_cells:
+            raise ValueError(f"corpus has fewer than {n_cells} rows")
+        cents = np.array([r["vector"] for r in rows], dtype="float64")
+    assigned = ivf_assign(
+        corpus.encoded, cents, vec_col="vector", metric="ip", score_round=6
+    )
+    ivf_persist(assigned, index_path)
+    save_encoder_meta(
+        meta_path, corpus.stats, corpus.layout,
+        num_harmonics=NUM_HARMONICS,
+        extra={
+            "emb_dim": EMB_DIM,
+            "centroids": [[float(x) for x in c] for c in np.asarray(cents)],
+            "quantizer": "kmeans" if trained else "head",
+        },
+    )
+    return len(cents)
+
+
 def fused_ivf_recall_at_k(
     spark: SparkSession,
     sf_dir: str,

@@ -223,6 +223,47 @@ def test_fused_ivf_narrow_probe_subsets_and_recall(corpus):
     assert 0.0 <= len(exact & got) / 10 <= 1.0
 
 
+def test_build_fused_ivf_index_trained_roundtrip(spark, tmp_path):
+    """r7: the one-call trained-index build (the corpus-scale default
+    measured in tools/fused_ivf_scale_probe.py). Builds with k-means
+    cells, serves from FILES ONLY, and at nprobe == n_cells the
+    pruned serve must return the exact fused top-k (pruning is the
+    only approximation — trained or not)."""
+    from fuserank_spark.flagship import (
+        build_corpus_cached,
+        build_fused_ivf_index,
+        flagship_compiled,
+        fused_ivf_serve_persisted,
+    )
+    from fuserank_spark.encode import load_encoder_meta
+
+    idx = str(tmp_path / "fidx")
+    meta = str(tmp_path / "fidx_meta.json")
+    n_cells = build_fused_ivf_index(
+        spark, SF_SMOKE, idx, meta, n_cells=4, trained=True, max_iter=5
+    )
+    assert n_cells == 4
+    _s, _l, knobs = load_encoder_meta(meta)
+    assert knobs["quantizer"] == "kmeans"
+    assert len(knobs["centroids"]) == 4
+
+    corpus = build_corpus_cached(spark, SF_SMOKE)
+    cq = flagship_compiled(corpus)
+    exact = [r["row_id"] for r in topk(corpus.encoded, cq.vector, k=10).collect()]
+    served = [
+        r["row_id"]
+        for r in fused_ivf_serve_persisted(
+            spark, idx, meta, k=10, nprobe=4,
+            aux_data={
+                "lang": ((["en", "de"], False), 2.0),
+                "source": (None, 1.0),
+                "n_chars": ((120.0, 360.0, False), 1.5),
+            },
+        ).select("row_id").collect()
+    ]
+    assert served == exact
+
+
 def test_build_corpus_cached_self_heals_plan_keyed_eviction(spark):
     """Spark's CacheManager keys cached blocks by ANALYZED PLAN: an
     unpersist() on a plan-identical frame built elsewhere silently
