@@ -127,9 +127,10 @@ def main() -> None:
     # The op is a stateless per-row map with zero shuffle, so rows/sec
     # here IS the scale unit — see SCALING.md for the two-point
     # flatness evidence.
-    PROXY_BENCH_ROWS = 2000
+    PROXY_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_PROXY_ROWS", "2000"))
     proxy_embed_rows_per_sec = None
-    try:
+
+    def _proxy_bench():
         from fuserank_spark.embed import ProxyTransformerEmbedder, embed_corpus
 
         psample = (
@@ -149,11 +150,13 @@ def main() -> None:
         )
         proxy_sec = time.time() - t0
         times["proxy_embed_sample"] = round(proxy_sec, 3)
-        proxy_embed_rows_per_sec = (
-            round(proxy_rows / proxy_sec, 1) if proxy_sec > 0 else None
-        )
-    except Exception as e:
-        print(f"bench: proxy_embed_sample failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return round(proxy_rows / proxy_sec, 1) if proxy_sec > 0 else None
+
+    if PROXY_BENCH_ROWS > 0:
+        try:
+            proxy_embed_rows_per_sec = _proxy_bench()
+        except Exception as e:
+            print(f"bench: proxy_embed_sample failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # batch top-k throughput (32 fused queries, k=10) over the
     # session-cached encoded corpus — no private persist/unpersist here

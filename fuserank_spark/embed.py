@@ -28,17 +28,17 @@ def _token_index(token: str, dim: int) -> int:
     return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big") % dim
 
 
-def limit_blas_threads(n: int = 1) -> bool:
-    """Best-effort cap on OpenBLAS threads in THIS process. Needed when
-    BLAS-heavy work (ProxyTransformerEmbedder) runs inside mapInPandas:
-    each of the N parallel python workers would otherwise spawn
-    ncpu BLAS threads — N·ncpu-way oversubscription that thrashes
-    instead of computing. Called executor-side (the env-var route is
-    too late once numpy has loaded). Returns False when no controllable
-    OpenBLAS is mapped (e.g. MKL builds) — then set the usual
-    *_NUM_THREADS env vars before process start instead."""
+def _openblas_handle():
+    """(set_threads, get_threads) callables for the OpenBLAS mapped
+    into this process, or (None, None) when absent (e.g. MKL builds —
+    set the usual *_NUM_THREADS env vars before process start there).
+    Cached: CDLL on an already-mapped .so is cheap but not free."""
+    global _BLAS_FNS
+    if _BLAS_FNS is not None:
+        return _BLAS_FNS
     import ctypes
 
+    _BLAS_FNS = (None, None)
     try:
         with open("/proc/self/maps") as f:
             libs = sorted(
@@ -52,13 +52,40 @@ def limit_blas_threads(n: int = 1) -> bool:
             if not path.startswith("/"):
                 continue
             lib = ctypes.CDLL(path)
-            for fn in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
-                if hasattr(lib, fn):
-                    getattr(lib, fn)(int(n))
-                    return True
+            for suffix in ("64_", ""):
+                s = getattr(lib, f"openblas_set_num_threads{suffix}", None)
+                g = getattr(lib, f"openblas_get_num_threads{suffix}", None)
+                if s is not None:
+                    _BLAS_FNS = (s, g)
+                    return _BLAS_FNS
     except Exception:
         pass
-    return False
+    return _BLAS_FNS
+
+
+_BLAS_FNS = None
+
+
+def limit_blas_threads(n: int = 1) -> int | None:
+    """Best-effort cap on OpenBLAS threads in THIS process. Needed when
+    BLAS-heavy work (ProxyTransformerEmbedder) runs inside mapInPandas:
+    each of the N parallel python workers would otherwise spawn
+    ncpu BLAS threads — N·ncpu-way oversubscription that thrashes
+    instead of computing. Called executor-side (the env-var route is
+    too late once numpy has loaded).
+
+    Returns the PREVIOUS thread count when control succeeded (pass it
+    back to restore), else None. RESTORING MATTERS: pyspark daemon
+    workers are REUSED across jobs, so a permanent pin leaks into
+    every later numpy/Arrow stage in the session — measured as a
+    broad ~1.4× bench-wide slowdown when the proxy bench ran first
+    and left all 32 workers single-threaded (BASELINE.md r7)."""
+    set_n, get_n = _openblas_handle()
+    if set_n is None:
+        return None
+    prev = int(get_n()) if get_n is not None else None
+    set_n(int(n))
+    return prev
 
 
 class DeterministicStubEmbedder:
@@ -130,10 +157,12 @@ class ProxyTransformerEmbedder:
         self.ffn, self.vocab, self.max_len = ffn, vocab, max_len
         self.seed = seed
         self.model_name = model_name
-        if blas_threads:
-            # executor-side posture: one BLAS thread per python worker —
-            # parallelism comes from Spark tasks, not nested threadpools
-            limit_blas_threads(blas_threads)
+        # executor-side posture: one BLAS thread per python worker —
+        # parallelism comes from Spark tasks, not nested threadpools.
+        # The pin is applied SCOPED inside embed() and restored after,
+        # never at init: daemon workers are reused, and a permanent
+        # pin would leak into every later numpy stage of the session
+        self._blas_threads = blas_threads
         rng = np.random.Generator(np.random.PCG64(seed))
         s = np.float32(0.02)  # BERT-style init scale keeps activations sane
         def W(*shape):
@@ -167,6 +196,16 @@ class ProxyTransformerEmbedder:
         return (x - mu) / np.sqrt(var + 1e-12) * g + b
 
     def embed(self, texts: str | list[str]) -> np.ndarray:
+        prev = (
+            limit_blas_threads(self._blas_threads) if self._blas_threads else None
+        )
+        try:
+            return self._embed(texts)
+        finally:
+            if prev is not None:
+                limit_blas_threads(prev)
+
+    def _embed(self, texts: str | list[str]) -> np.ndarray:
         single = isinstance(texts, str)
         if single:
             texts = [texts]

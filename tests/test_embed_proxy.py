@@ -57,6 +57,27 @@ def test_proxy_shape_guard():
         ProxyTransformerEmbedder(dim=50, heads=4)
 
 
+def test_blas_pin_is_scoped_and_restored():
+    """BASELINE.md r7 regression: pyspark daemon workers are REUSED,
+    so the one-BLAS-thread pin must be scoped to the forward pass and
+    restored after — a permanent pin leaked into every later numpy
+    stage of the session (measured ~1.4× bench-wide)."""
+    from fuserank_spark.embed import _openblas_handle, limit_blas_threads
+
+    set_n, get_n = _openblas_handle()
+    if set_n is None or get_n is None:
+        pytest.skip("no controllable OpenBLAS in this build")
+    before = int(get_n())
+    emb = ProxyTransformerEmbedder(**SMALL, blas_threads=1)
+    emb.embed(["scoped pin check", "two docs"])
+    assert int(get_n()) == before, "embed() must restore the BLAS thread count"
+    # the helper itself round-trips
+    prev = limit_blas_threads(1)
+    assert int(get_n()) == 1
+    limit_blas_threads(prev)
+    assert int(get_n()) == before
+
+
 def test_proxy_through_embed_corpus(spark):
     """The same mapInPandas path HFEmbedder rides: weights generated
     executor-side from the seed (nothing shipped), output dim = the
