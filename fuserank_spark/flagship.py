@@ -135,16 +135,20 @@ FUSED_IVF_CELLS = 8
 # as `fused_ivf_recall_at_10_fast`, each labelled with its nprobe.
 FUSED_IVF_NPROBE_FAST = 3
 FUSED_IVF_NPROBE_TARGET = FUSED_IVF_CELLS
-# Corpus-scale doctrine (r7, tools/fused_ivf_scale_probe.py at 100k
-# rows / 64 cells / 8 queries): the 0.70 fast point IS corpus-bound —
-# at the same 0.375 scan fraction a 100k-row corpus with TRAINED
-# k-means cells reaches recall 1.00 (head-of-corpus cells: 0.85;
-# plain-L2 and spherical k-means tie). Head cells remain the
-# SQL-derivable demo quantizer for the frozen oracle entry; a
-# production corpus should train cells (simsearch.ivf_build on the
-# fused vectors) and serve them through fused_ivf_serve_persisted's
-# meta["centroids"] — the serve path is centroid-agnostic. Full table
-# in BASELINE.md round 7.
+# Corpus-scale doctrine (r7, tools/fused_ivf_scale_probe.py — TWO
+# experiments, full tables in BASELINE.md r7): the 0.70 fast point IS
+# corpus-bound. At 100k rows / 64 cells, trained k-means cells serve
+# recall 1.00 at the same 0.375 scan fraction (head cells 0.85); at
+# 500k rows / 256 cells the ranking REVERSES — head cells reach 0.86
+# at 9.4% scan while k-means cells trail badly below full scan.
+# Consistent sub-pattern across both: real-vector (head) cells degrade
+# gracefully at TINY scan fractions (they behave like max-inner-
+# product anchors under the IP probe rule), L2-k-means cells win at
+# moderate fractions on the smaller corpus. The quantizer choice is
+# therefore CORPUS-MEASURED, not doctrinal — run the probe tool on
+# the target corpus; the serve path (meta["centroids"]) is
+# centroid-agnostic either way. Head cells additionally remain the
+# SQL-derivable demo quantizer for the frozen oracle entry.
 
 
 def probe_cells(cents, qvec, nprobe: int) -> list[int]:
@@ -313,13 +317,15 @@ def build_fused_ivf_index(
     the centroids) next to it. Returns the number of cells written.
 
     ``trained=True`` (default) trains k-means cells on a bounded
-    sample of the fused vectors — the corpus-scale doctrine measured
-    in tools/fused_ivf_scale_probe.py (at 100k rows / 0.375 scan
-    fraction: trained 1.00 vs head 0.85 recall@10; BASELINE.md r7).
-    ``trained=False`` uses the first-``n_cells`` corpus rows — the
-    SQL-derivable demo quantizer the frozen oracle entry q_fused_ivf
-    re-derives; keep it only where the oracle parity matters more
-    than recall. Training cost is O(sample_rows), not O(corpus)."""
+    sample of the fused vectors; ``trained=False`` uses the
+    first-``n_cells`` corpus rows (also the SQL-derivable demo
+    quantizer the frozen oracle entry q_fused_ivf re-derives).
+    WHICH wins is corpus-dependent — measured both ways in
+    tools/fused_ivf_scale_probe.py (100k/64: trained 1.00 vs head
+    0.85 at 0.375 scan; 500k/256: head 0.86 at 0.094 scan, trained
+    trailing — BASELINE.md r7 tables + the doctrine comment above):
+    run the probe on the target corpus before freezing an index.
+    Training cost is O(sample_rows), not O(corpus)."""
     import numpy as np
 
     from .encode import save_encoder_meta
