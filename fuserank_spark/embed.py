@@ -209,6 +209,9 @@ class ProxyTransformerEmbedder:
         single = isinstance(texts, str)
         if single:
             texts = [texts]
+        if not texts:
+            # an Arrow batch can be empty — mirror the stub's contract
+            return np.zeros((0, self.dim), dtype="float64")
         ids = [self._token_ids(t) for t in texts]
         # length-sorted micro-batches: (a) the (n·h·L·L) attention
         # intermediates of a whole Arrow batch blow the cache and turn

@@ -50,6 +50,8 @@ def test_proxy_truncation_and_empty():
     # None/empty embed to a finite vector (the empty-token fallback)
     e = emb.embed([None, ""])
     assert np.isfinite(e).all()
+    # an empty Arrow batch embeds to a (0, dim) array, not a crash
+    assert emb.embed([]).shape == (0, SMALL["dim"])
 
 
 def test_proxy_shape_guard():
