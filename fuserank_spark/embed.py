@@ -81,9 +81,13 @@ def limit_blas_threads(n: int = 1) -> int | None:
     broad ~1.4× bench-wide slowdown when the proxy bench ran first
     and left all 32 workers single-threaded (BASELINE.md r7)."""
     set_n, get_n = _openblas_handle()
-    if set_n is None:
+    if set_n is None or get_n is None:
+        # No get_ twin (pre-0.3.4 OpenBLAS exports set_ only): pinning
+        # would be unrestorable — the exact reused-daemon-worker state
+        # leak this function's contract forbids (ADVICE r7) — so treat
+        # the library as uncontrollable and leave it alone.
         return None
-    prev = int(get_n()) if get_n is not None else None
+    prev = int(get_n())
     set_n(int(n))
     return prev
 

@@ -340,9 +340,12 @@ def build_fused_ivf_index(
             vec_col="vector", sample_fraction=frac, max_iter=max_iter,
         )
     else:
+        # orderBy/limit, NOT filter(row_id < n_cells): sparse row_ids
+        # would silently under-fill the filter form (ADVICE r7); this
+        # matches tools/fused_ivf_scale_probe.py's head-cell definition.
         rows = (
-            corpus.encoded.filter(F.col("row_id") < n_cells)
-            .orderBy("row_id").select("vector").collect()
+            corpus.encoded.orderBy("row_id").limit(n_cells)
+            .select("vector").collect()
         )
         if len(rows) < n_cells:
             raise ValueError(f"corpus has fewer than {n_cells} rows")

@@ -516,15 +516,22 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anti",
     """
     SELECT p_partkey FROM part p
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49
+    )
     ORDER BY p_partkey
     """,
 )
 def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join complement of the top-k gather — rows with no match
-    (the dedup 'keep only unseen' shape)."""
+    (the dedup 'keep only unseen' shape). The right side is SELECTIVE
+    (l_quantity > 49) so the anti-set is NON-EMPTY at every driver
+    scale factor — VERDICT r7 wrong #1: the unfiltered form returned
+    zero rows at sf0.001/0.01/0.1 (every partkey appears in lineitem),
+    making the oracle hash-match vacuous."""
     t = load_tables(spark, sf_dir, "part", "lineitem")
-    hits = t["lineitem"].select("l_partkey")
+    hits = t["lineitem"].filter(F.col("l_quantity") > 49).select("l_partkey")
     return (
         t["part"]
         .join(hits, t["part"]["p_partkey"] == hits["l_partkey"], "left_anti")

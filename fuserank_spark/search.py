@@ -86,11 +86,11 @@ def topk(
     round-before-rank doctrine: scores that are equal in real
     arithmetic but differ by fold-order ulps must tie before the
     row_id tie-break, or the k boundary is a coin flip — the geo
-    mirror-point case, tests/test_eval_harness.py). The Arrow path's
-    per-partition heaps still pre-select on raw scores; an ulp-tied
-    pair is only at risk if both land in one partition AND straddle
-    its k-deep heap — acceptable for quality metrics, use the
-    expression path if that matters."""
+    mirror-point case, tests/test_eval_harness.py). It applies on
+    BOTH paths: the Arrow path's per-partition heaps pre-select on
+    the rounded score too (ADVICE r7 — otherwise an ulp-tied pair
+    co-located in one partition and straddling its k-deep heap was
+    still ordered by fold-order noise)."""
     if predicate is not None:
         df = df.filter(predicate)
     if use_arrow is None:
@@ -104,7 +104,8 @@ def topk(
 
     if use_arrow and tb is not None:
         hits = _arrow_partial_topk(
-            df, np.asarray([query_vector], dtype="float64"), [0], k, vector_col, tb, score_col
+            df, np.asarray([query_vector], dtype="float64"), [0], k, vector_col, tb, score_col,
+            score_round=score_round,
         ).drop("query_id")
         out = df.join(hits, tb)
         return out.orderBy(_ord(F.col(score_col)), F.col(tb)).limit(k)
@@ -123,10 +124,17 @@ def _arrow_partial_topk(
     vector_col: str,
     key_col: str,
     score_col: str,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Per-partition numpy scoring: each task stacks its Arrow batch
     into a matrix, multiplies against ALL queries at once, and emits
-    only its local top-k per query — k·P·Q tiny rows leave the scan."""
+    only its local top-k per query — k·P·Q tiny rows leave the scan.
+
+    ``score_round`` makes the partition-local heap SELECT on the
+    rounded score (round-before-rank inside the heap, ADVICE r7):
+    ulp-tied rows tie and fall to the key tie-break before the k cut,
+    matching the caller's final `F.round` ordering. Emitted scores
+    stay raw — the caller rounds at the final orderBy."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -139,6 +147,14 @@ def _arrow_partial_topk(
         ]
     )
     qm = np.ascontiguousarray(qmat, dtype="float64")
+    scale = None if score_round is None else 10.0 ** int(score_round)
+
+    def _rank_key(scores: np.ndarray) -> np.ndarray:
+        # portable half-up round (CLAUDE.md `_round9` formula) so the
+        # heap's tie domain equals the caller's final F.round ordering
+        if scale is None:
+            return scores
+        return np.floor(scores * scale + 0.5) / scale
 
     def _score(batches):
         # accumulate per-query heaps across the partition's batches
@@ -153,7 +169,7 @@ def _arrow_partial_topk(
                 col = S[:, j]
                 # deterministic tie-break: (score desc, key asc) — keeps
                 # parity with the expression path's orderBy semantics
-                idx = np.lexsort((keys, -col))[:k]
+                idx = np.lexsort((keys, -_rank_key(col)))[:k]
                 best[j].append((keys[idx], col[idx]))
         rows = {"query_id": [], key_col: [], score_col: []}
         for j, chunks in best.items():
@@ -162,7 +178,7 @@ def _arrow_partial_topk(
             ks = np.concatenate([c[0] for c in chunks])
             ss = np.concatenate([c[1] for c in chunks])
             if len(ss) > k:
-                idx = np.lexsort((ks, -ss))[:k]
+                idx = np.lexsort((ks, -_rank_key(ss)))[:k]
                 ks, ss = ks[idx], ss[idx]
             rows["query_id"].extend([qids[j]] * len(ks))
             rows[key_col].extend(ks.tolist())

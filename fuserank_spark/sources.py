@@ -259,13 +259,19 @@ def read_warc(spark: SparkSession, path: str, record_types=("response",)) -> Dat
                 # perturbs content hashes of newline-terminated payloads)
                 nxt = version_re.search(data, body_start)
                 body = data[body_start : nxt.start() if nxt else len(data)]
-                for _ in range(2):
-                    if body.endswith(b"\r\n"):
-                        body = body[:-2]
-                    elif body.endswith(b"\n"):
-                        body = body[:-1]
-                    else:
-                        break
+                # Strip only when a record separator was actually
+                # observed — another record follows, or the data ends
+                # with the two-blank-line separator. The final record
+                # of a TRUNCATED file has no separator, so its (CR)LFs
+                # are genuine payload and must survive (ADVICE r7).
+                if nxt is not None or body.endswith((b"\r\n\r\n", b"\n\n")):
+                    for _ in range(2):
+                        if body.endswith(b"\r\n"):
+                            body = body[:-2]
+                        elif body.endswith(b"\n"):
+                            body = body[:-1]
+                        else:
+                            break
             yield headers, body
             m = nxt
 

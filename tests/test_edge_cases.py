@@ -186,3 +186,31 @@ def test_transform_expr_null_passthrough(spark):
     by_id = {r["id"]: (r["s"], r["y"]) for r in out}
     assert by_id[1] == (None, None)
     assert by_id[2][0] == 2.0
+
+
+def test_arrow_topk_heap_rounds_before_rank(spark):
+    """ADVICE r7: the Arrow path's per-partition heap must pre-select
+    on the ROUNDED score. Two rows in ONE partition, scores differing
+    by an ulp-scale 1e-12 but round@9-equal, the raw-higher score on
+    the LARGER row_id, k=1: the heap cut is the k boundary. Without
+    rounding in the heap the raw-higher (larger id) row is the sole
+    survivor; with round-before-rank inside the heap the tie falls to
+    row_id and the smaller id wins — matching the expression path."""
+    from fuserank_spark.search import topk
+
+    dim = 128  # ≥100 so the auto heuristic also picks Arrow
+    q = [1.0] + [0.0] * (dim - 1)
+    a = [0.5] + [0.0] * (dim - 1)
+    b = [0.5 + 1e-12] + [0.0] * (dim - 1)
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "row_id bigint, vector array<double>"
+    ).coalesce(1)
+    import numpy as np
+
+    qv = np.asarray(q)
+    got_arrow = topk(df, qv, k=1, use_arrow=True, score_round=9).collect()
+    got_expr = topk(df, qv, k=1, use_arrow=False, score_round=9).collect()
+    assert [r["row_id"] for r in got_arrow] == [1]
+    assert [r["row_id"] for r in got_expr] == [1]
+    # and WITHOUT rounding both paths agree on the raw winner
+    assert [r["row_id"] for r in topk(df, qv, k=1, use_arrow=True).collect()] == [2]

@@ -154,6 +154,21 @@ def test_read_warc_newline_terminated_payload_kept(spark, warcdir):
     assert out["https://b.org/nl2"] == "tail\n"
 
 
+def test_read_warc_truncated_final_record_keeps_payload_newlines(spark, warcdir):
+    """ADVICE r7: in the no-Content-Length fallback, the FINAL record
+    of a TRUNCATED file (no trailing record separator) must keep its
+    genuine payload (CR)LFs — the bounded strip only applies when a
+    separator was actually observed."""
+    rec = _record("response", "https://b.org/trunc1", b"tail\n", http=False)
+    rec = rec.replace(b"Content-Length: 5\r\n", b"")
+    rec = rec[: -len(b"\r\n\r\n")]  # truncate: drop the record separator
+    with open(f"{warcdir}/tr.warc", "wb") as f:
+        f.write(rec)
+    out = {r["target_uri"]: r["content"] for r in read_warc(spark, warcdir).collect()}
+    # before the fix the bounded strip ate the payload's own \n
+    assert out["https://b.org/trunc1"] == "tail\n"
+
+
 def test_read_warc_bad_content_length_falls_back(spark, warcdir):
     """A record with a LYING Content-Length still parses (scan-to-next-
     version-line fallback), and following records survive."""
