@@ -375,6 +375,66 @@ def domain_link_graph(
     )
 
 
+class _LoopCheckpointer:
+    """Materialization policy for the iterative graph loops
+    (CLAUDE.md r6-3 + VERDICT r7 missing #4).
+
+    Default (no ``checkpoint_dir``): every iteration
+    ``localCheckpoint(eager=True)`` — fastest, but blocks live on
+    executors and lineage is TRUNCATED, so one lost node at iteration
+    9 of 10 kills a web-scale job.
+
+    With a ``checkpoint_dir``: loop-invariant inputs and every
+    ``every``-th iteration write a RELIABLE ``checkpoint()`` (DFS
+    files); intermediate iterations ``persist(MEMORY_AND_DISK)``
+    WITHOUT truncating lineage, so a lost executor's blocks recompute
+    from the last checkpoint files — at most ``every − 1`` iterations
+    of bounded re-work instead of a dead job. The immediately
+    preceding iteration unpersists once the current one is
+    materialized (its cached blocks fed the current computation; the
+    recovery path re-derives it from the checkpoint, not the cache).
+    Cost: one extra write job per checkpointed frame — the price of
+    restartability; size it with ``every``."""
+
+    def __init__(self, spark, checkpoint_dir: str | None, every: int):
+        self.dir = checkpoint_dir
+        self.every = max(1, int(every))
+        self._prev = None
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def setup(self, df: DataFrame) -> DataFrame:
+        """Loop-invariant input (edges / nodes / degrees).
+        persist-before-checkpoint: the checkpoint WRITE job reads the
+        just-populated cache instead of recomputing the plan."""
+        if self.dir is None:
+            return df.localCheckpoint(eager=True)
+        cached = df.persist()
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()  # `out` is backed by the checkpoint files
+        return out
+
+    def step(self, df: DataFrame, i: int) -> DataFrame:
+        """Per-iteration state frame."""
+        if self.dir is None:
+            return df.localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if (i + 1) % self.every == 0:
+            out = cached.checkpoint(eager=True)
+            cached.unpersist()
+            if self._prev is not None:
+                self._prev.unpersist()
+            self._prev = None
+            return out
+        cached.count()
+        if self._prev is not None:
+            self._prev.unpersist()
+        self._prev = cached
+        return cached
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -383,6 +443,8 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     out_col: str = "rank",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over a (src, dst) edge list — the Common-Crawl-style
     domain-authority prior corpus curations blend into keep/drop
@@ -406,34 +468,43 @@ def pagerank(
     cross-engine bit-identical form — the differential test in
     tests/test_web.py compares against an independent numpy power
     iteration at 1e-9, the eval-harness tolerance doctrine, not the
-    oracle-hash one)."""
+    oracle-hash one).
+
+    ``checkpoint_dir`` (VERDICT r7 missing #4) swaps the per-iteration
+    localCheckpoint for the node-loss-safe policy of
+    :class:`_LoopCheckpointer`: reliable ``checkpoint()`` files every
+    ``checkpoint_every`` iterations, lineage-preserving persist in
+    between — a lost executor costs at most ``checkpoint_every − 1``
+    iterations of recompute instead of the whole job. Required for
+    web-scale graphs on a real cluster; the default stays
+    executor-local for single-node speed."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    ck = _LoopCheckpointer(edges.sparkSession, checkpoint_dir, checkpoint_every)
     # edges are consumed EVERY iteration (r6-3 materialize-loop-inputs:
     # a lazy frame would re-run the caller's whole edge derivation —
     # WARC parse, href regexes, parse_urls — once per iteration)
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
-    nodes = (
+    e = ck.setup(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = ck.setup(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn(out_col, F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # node → out-degree (NULL = dangling), reused every iteration
-    base = nodes.join(deg, nodes["node"] == deg["src"], "left").select(
-        "node", "deg"
-    ).localCheckpoint(eager=True)
+    base = ck.setup(
+        nodes.join(deg, nodes["node"] == deg["src"], "left").select("node", "deg")
+    )
     ranks = base.select("node", F.lit(1.0 / n_nodes).alias("r"))
     teleport = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
+    for _i in range(iterations):
         cur = base.join(ranks, "node")
         # dangling mass rides as a BROADCAST 1-row aggregate inside the
         # same job the checkpoint materializes — not a separate collect:
@@ -452,7 +523,7 @@ def pagerank(
         )
         # same fold order as the former driver-side formula:
         # teleport + (damping*dang)/n + damping*contrib
-        ranks = (
+        ranks = ck.step(
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
@@ -462,8 +533,8 @@ def pagerank(
                     + F.lit(damping) * F.col("dang") / F.lit(float(n_nodes))
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            _i,
         )
     return ranks.select("node", F.col("r").alias(out_col))
 
@@ -523,6 +594,8 @@ def hits(
     iterations: int = 10,
     out_hub: str = "hub",
     out_auth: str = "authority",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) — PageRank's
     topic-local sibling: an AUTHORITY is pointed at by good hubs, a
@@ -533,19 +606,21 @@ def hits(
 
     Same loop discipline as :func:`pagerank`: per iteration one
     key-wise join + one groupBy per direction, L2 normalization as a
-    1-row aggregate, edges AND scores localCheckpoint'ed (r6-3).
-    Differential: an independent numpy power iteration at 1e-9
-    (tests/test_web.py)."""
+    1-row aggregate, edges AND scores localCheckpoint'ed (r6-3);
+    ``checkpoint_dir``/``checkpoint_every`` select the node-loss-safe
+    reliable-checkpoint policy (:class:`_LoopCheckpointer`, see
+    :func:`pagerank`). Differential: an independent numpy power
+    iteration at 1e-9 (tests/test_web.py)."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
-    nodes = (
+    ck = _LoopCheckpointer(edges.sparkSession, checkpoint_dir, checkpoint_every)
+    e = ck.setup(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = ck.setup(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     scores = nodes.select("node", F.lit(1.0).alias("h"), F.lit(1.0).alias("a"))
     # L2 norms ride as BROADCAST 1-row aggregates inside the one job
@@ -556,7 +631,7 @@ def hits(
         n = F.sqrt(F.coalesce(F.sum(F.col(col) * F.col(col)), F.lit(0.0)))
         return df.agg(F.when(n > 0, n).otherwise(F.lit(1.0)).alias(out))
 
-    for _ in range(iterations):
+    for _i in range(iterations):
         auth = (
             scores.join(e, scores["node"] == e["src"])
             .groupBy(F.col("dst").alias("node"))
@@ -576,11 +651,11 @@ def hits(
         hn = nodes.join(hub, "node", "left").select(
             "node", F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h_raw")
         )
-        scores = (
+        scores = ck.step(
             hn.crossJoin(F.broadcast(_l2(hn, "h_raw", "nh")))
             .select("node", (F.col("h_raw") / F.col("nh")).alias("h"))
-            .join(an, "node")
-            .localCheckpoint(eager=True)
+            .join(an, "node"),
+            _i,
         )
     return scores.select(
         "node", F.col("h").alias(out_hub), F.col("a").alias(out_auth)

@@ -248,3 +248,163 @@ def test_dedup_spans_randomized_against_python_reference(spark):
         got = _rows(dedup_spans(df, min_span_tokens=L))
         want = _ref_dedup_spans(docs, L)
         assert got == want, f"seed={seed} L={L}"
+
+
+# ----------------------------------------------------- anchored mode (r8)
+
+_ORACLE_ANCHOR = r"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM span_docs WHERE text IS NOT NULL
+), ex AS (
+  SELECT doc_id, u.pos - 1 AS pos, ts[u.pos] AS tok, len(ts) AS n, ts
+  FROM b, unnest(generate_series(1, len(ts))) AS u(pos)
+), g AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos <= n - {L} THEN
+           CAST(concat('0x', substring(md5(
+               array_to_string(ts[pos + 1 : pos + {L}], ' ')), 1, 8)) AS BIGINT)
+         END AS gh
+  FROM ex
+), h AS (
+  SELECT doc_id, pos, gh * 2097152 + (1048576 - pos) AS cmb
+  FROM g WHERE gh IS NOT NULL
+), wsel AS (
+  SELECT doc_id,
+    min(cmb) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {W1} PRECEDING AND CURRENT ROW) AS sel,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+    count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM h
+), anch AS (
+  SELECT DISTINCT doc_id, 1048576 - (sel % 2097152) AS pos, sel // 2097152 AS gh
+  FROM wsel WHERE rn >= {W} OR rn = ng
+), occ AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gh) AS cnt,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM anch
+), losers AS (
+  SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1
+), m AS (
+  SELECT g.doc_id, g.pos, g.tok,
+         max(CASE WHEN l.pos IS NOT NULL THEN g.pos END)
+           OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                 ROWS UNBOUNDED PRECEDING) AS lastl
+  FROM g LEFT JOIN losers l USING (doc_id, pos)
+), reb AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos)
+           FILTER (lastl IS NULL OR lastl <= pos - {L}) AS text_kept,
+         count(*) FILTER (lastl IS NULL OR lastl <= pos - {L}) AS n_kept
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.text_kept, '') END AS text,
+       CASE WHEN d.text IS NULL OR trim(d.text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM span_docs d LEFT JOIN reb r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _want_anchor(duck, L, W):
+    return {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(_ORACLE_ANCHOR.format(L=L, W=W, W1=W - 1)).fetchall()
+    }
+
+
+def test_dedup_spans_anchor_matches_duckdb_rederivation(span_docs, duck):
+    """VERDICT r7 #4: the anchored plan — window-of-w cmb minima
+    (winnow encoding) as anchors, duplicated-anchor losers, identical
+    span-cover rebuild — re-derived end-to-end in DuckDB (sliding-min
+    window + the exact oracle's cover tail); text and both counters
+    row-for-row."""
+    got = _rows(
+        dedup_spans(span_docs, min_span_tokens=8, strategy="anchor", anchor_window=4)
+    )
+    assert got == _want_anchor(duck, 8, 4)
+
+
+def test_dedup_spans_anchor_w1_equals_exact(span_docs):
+    """anchor_window=1 selects every gram — the anchored plan must
+    reproduce the exact strategies bit-for-bit."""
+    exact = _rows(dedup_spans(span_docs, min_span_tokens=8, strategy="join"))
+    anch = _rows(
+        dedup_spans(span_docs, min_span_tokens=8, strategy="anchor", anchor_window=1)
+    )
+    assert anch == exact
+
+
+def test_dedup_spans_anchor_deletions_subset_of_exact(spark):
+    """One-sided error, the documented miss profile: anchored mode
+    never deletes a token exact mode keeps — exact's kept token
+    sequence is a subsequence of anchored's, per document, on dense
+    random corpora (overlapping spans everywhere)."""
+    import random
+
+    def _is_subseq(small, big):
+        it = iter(big)
+        return all(tok in it for tok in small)
+
+    for seed, L, w in ((7, 4, 2), (23, 6, 3), (41, 8, 4)):
+        rng = random.Random(seed)
+        docs = {
+            k: [rng.choice("abcd") for _ in range(rng.randint(0, 20))]
+            for k in range(50)
+        }
+        df = spark.createDataFrame(
+            [(k, " ".join(t) if t else "") for k, t in docs.items()],
+            "doc_id long, text string",
+        )
+        exact = _rows(dedup_spans(df, min_span_tokens=L))
+        anch = _rows(
+            dedup_spans(df, min_span_tokens=L, strategy="anchor", anchor_window=w)
+        )
+        for k in docs:
+            assert anch[k][2] >= exact[k][2], (seed, k)
+            assert _is_subseq(exact[k][0].split(), anch[k][0].split()), (seed, k)
+
+
+def test_dedup_spans_anchor_long_passage_guarantee(spark):
+    """The winnowing guarantee, end to end: a duplicated passage of
+    length >= L + w - 1 loses, in the non-first copy, every token
+    except at most w-1 at each boundary. Unique marker tokens pin
+    exactly which positions survive."""
+    L, w = 8, 4
+    M = 20  # passage length >= L + w - 1 = 11
+    passage = [f"p{i}" for i in range(M)]
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + " ".join(passage) + " a4 a5"),
+            (2, "b1 b2 " + " ".join(passage) + " b3 b4 b5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(dedup_spans(df, min_span_tokens=L, strategy="anchor", anchor_window=w))
+    assert out[1][0] == "a1 a2 a3 " + " ".join(passage) + " a4 a5"  # winner intact
+    kept2 = out[2][0].split()
+    surviving = [t for t in kept2 if t in set(passage)]
+    # at most w-1 tokens survive at each edge, none in the interior
+    assert set(surviving) <= set(passage[: w - 1]) | set(passage[-(w - 1):]), kept2
+    # and the unique context around the passage is untouched
+    assert [t for t in kept2 if t.startswith("b")] == ["b1", "b2", "b3", "b4", "b5"]
+
+
+def test_dedup_spans_anchor_rejects_bad_window(span_docs):
+    with pytest.raises(ValueError, match="anchor_window"):
+        dedup_spans(span_docs, min_span_tokens=4, strategy="anchor", anchor_window=5)
+    with pytest.raises(ValueError, match="anchor_window"):
+        dedup_spans(span_docs, strategy="anchor", anchor_window=0)
+
+
+def test_dedup_spans_anchor_edge_docs_pass_through(span_docs):
+    out = _rows(dedup_spans(span_docs, min_span_tokens=8, strategy="anchor"))
+    assert out[90002] == ("too short for any gram", 5, 5)
+    assert out[90003] == ("", 0, 0)
+    assert out[90004] == (None, 0, 0)

@@ -1,21 +1,36 @@
-"""Corpus-scale fused-IVF recall probe (VERDICT r6 next-round #2).
+"""Corpus-scale fused-IVF recall probe (VERDICT r6 #2, extended r8).
 
 Round 6 attributed the fused-IVF fast point's 0.70 recall@10 (nprobe
 3/8 on the 5k-row sf0.1 corpus) to the tiny near-isotropic corpus, not
-the method. That claim is testable: build a ≥100k-row fused corpus
-(stub embedder), train 64 k-means cells, sweep nprobe, and report
-recall@10 vs SCAN FRACTION next to the sf0.1 head-8 curve. If recall
-at a fixed scan fraction rises with corpus size, the fast point is
-corpus-bound; if it stays flat, the coarse quantizer needs work.
+the method. That claim is testable: build a ≥100k-row fused corpus,
+train k-means cells, sweep nprobe, and report recall@10 vs SCAN
+FRACTION. Round 7 ran it twice (100k/64, 500k/256) and the quantizer
+rankings REVERSED — but both corpus size AND cell count varied, and
+both runs used the near-isotropic hash-BOW stub. Round 8 closes both
+confounds (VERDICT r7 asks #1 and #2):
 
-Also sweeps the coarse-quantizer choice itself at this scale —
-TRAINED k-means centroids vs the serve default's first-N corpus rows
-("head") — so the default is a measured pick, not a guess.
+* ``--embedder proxy`` embeds the corpus with
+  ``ProxyTransformerEmbedder`` — real-transformer-shaped (anisotropic,
+  correlated) vectors from a pinned-weight numpy forward pass — so the
+  quantizer doctrine is measured on realistic embedding geometry, not
+  stub geometry.
+* a comma-separated cell list (e.g. ``64,256,1024,4096``) sweeps cell
+  COUNT over ONE shared corpus, one shared exact baseline — the
+  de-confounded cell-count axis. In sweep mode nprobe per cell count is
+  derived from FIXED target scan fractions so points are comparable
+  across cell counts.
 
-Usage: python tools/fused_ivf_scale_probe.py [factor] [n_cells] [sf_dir]
-       (defaults 20 → 100k rows, 64 cells, sf0.1)
-Prints one JSON line per (centroids, nprobe) with mean recall@10 over
-8 seeded queries, plus a summary line.
+Every (quantizer, nprobe) row also reports the OBSERVED scan fraction
+(sum of probed-cell sizes / n) — nominal nprobe/n_cells misstates the
+work when cells are unbalanced.
+
+Usage: python tools/fused_ivf_scale_probe.py [factor] [cells] [sf_dir]
+           [--embedder stub|proxy] [--queries N] [--harmonics K]
+       factor: corpus = documents × factor rows (default 20 → ~100k)
+       cells:  one count ("64") or a comma list ("64,256,1024,4096")
+Prints one JSON line per (centroids, n_cells, nprobe) with mean
+recall@10 over the seeded queries, plus per-quantizer cell-balance
+summary lines.
 """
 
 from __future__ import annotations
@@ -30,18 +45,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+# fixed target scan fractions for sweep mode (VERDICT r7 ask #2)
+SWEEP_FRACS = (0.03125, 0.09375, 0.25)
+
 
 def main():
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    n_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: (a.split("=", 1)[1] if "=" in a else True)
+            for a in sys.argv[1:] if a.startswith("--")}
+    factor = int(argv[0]) if len(argv) > 0 else 20
+    cells_list = [int(c) for c in str(argv[1] if len(argv) > 1 else "64").split(",")]
+    sf_dir = argv[2] if len(argv) > 2 else "/root/testdata/sf0.1"
+    embedder_kind = str(opts.get("--embedder", "stub"))
+    n_queries = int(opts.get("--queries", 8))
+    num_harmonics = int(opts.get("--harmonics", 64))
 
     from fuserank_spark.session import get_spark
     from fuserank_spark import schema as S
-    from fuserank_spark.embed import DeterministicStubEmbedder, embed_corpus
+    from fuserank_spark.embed import (
+        DeterministicStubEmbedder,
+        ProxyTransformerEmbedder,
+        embed_corpus,
+    )
     from fuserank_spark.encode import compute_stats, encode_products, record_text_dim
     from fuserank_spark.flagship import probe_cells
-    from fuserank_spark.pipeline_ext.simsearch import ivf_assign, ivf_build
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign_arrow, ivf_build
     from fuserank_spark.query import compile_query
     from fuserank_spark.search import topk
 
@@ -49,7 +77,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # replicated corpus with per-replica text perturbation: embeddings
-    # vary per replica (hashed BOW sees the rep token), aux spreads —
+    # vary per replica (both embedders see the rep token), aux spreads —
     # the scale_smoke construction
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     big = (
@@ -63,18 +91,34 @@ def main():
         .repartition(64, "row_id")
     )
     aux = {"lang": S.SPARSE, "n_chars": S.DENSE}
-    embedded = embed_corpus(big, {"text": 1.0}, dim=64)
+    if embedder_kind == "proxy":
+        emb_dim = 384
+        # blas_threads=1: 32-way task parallelism, no nested threadpools
+        factory = lambda: ProxyTransformerEmbedder(blas_threads=1)  # noqa: E731
+        query_embedder = ProxyTransformerEmbedder()
+    elif embedder_kind == "stub":
+        emb_dim = 64
+        factory = lambda: DeterministicStubEmbedder(emb_dim)  # noqa: E731
+        query_embedder = DeterministicStubEmbedder(emb_dim)
+    else:
+        raise SystemExit(f"--embedder must be stub|proxy, got {embedder_kind}")
+
+    t0 = time.time()
+    embedded = embed_corpus(big, {"text": 1.0}, dim=emb_dim, embedder_factory=factory)
     stats = compute_stats(embedded, aux)
-    encoded, layout = encode_products(embedded, aux, stats, num_harmonics=64)
-    record_text_dim(layout, 64)
+    encoded, layout = encode_products(embedded, aux, stats, num_harmonics=num_harmonics)
+    record_text_dim(layout, emb_dim)
     enc = encoded.select("row_id", "vector").persist()
     n = enc.count()
-    print(f"fused corpus: {n} rows, dim {layout.dim}", file=sys.stderr)
+    print(
+        f"fused corpus: {n} rows, dim {layout.dim}, embedder={embedder_kind}, "
+        f"built in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
 
-    # 8 seeded fused queries (bench's qvec construction)
-    emb = DeterministicStubEmbedder(64)
+    # seeded fused queries (bench's qvec construction)
     qvecs = []
-    for i in range(8):
+    for i in range(n_queries):
         cq = compile_query(
             f"scale probe query {i} spark filter",
             {
@@ -82,7 +126,7 @@ def main():
                 "n_chars": ((100.0 + 20 * i, 300.0 + 20 * i, False), 1.5),
             },
             aux, stats, layout,
-            text_embedder=emb, num_harmonics=64,
+            text_embedder=query_embedder, num_harmonics=num_harmonics,
         )
         qvecs.append(np.asarray(cq.vector, dtype="float64"))
 
@@ -91,85 +135,96 @@ def main():
         for qv in qvecs
     ]
 
-    head_cents = np.array(
-        [
-            r["vector"]
-            for r in enc.orderBy("row_id").limit(n_cells).select("vector").collect()
-        ],
-        dtype="float64",
-    )
-    t0 = time.time()
-    _assigned_ml, trained_cents = ivf_build(
-        enc, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
-        sample_fraction=min(1.0, 50_000 / n), max_iter=10,
-    )
-    train_sec = round(time.time() - t0, 1)
-    print(f"k-means {n_cells} cells trained in {train_sec}s", file=sys.stderr)
+    sweep_mode = len(cells_list) > 1
+    for n_cells in cells_list:
+        head_cents = np.array(
+            [
+                r["vector"]
+                for r in enc.orderBy("row_id").limit(n_cells).select("vector").collect()
+            ],
+            dtype="float64",
+        )
+        t0 = time.time()
+        _a, trained_cents = ivf_build(
+            enc, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
+            sample_fraction=min(1.0, 50_000 / n), max_iter=10,
+        )
+        train_sec = round(time.time() - t0, 1)
+        print(f"k-means {n_cells} cells trained in {train_sec}s", file=sys.stderr)
 
-    # spherical k-means: train on L2-normalized vectors, renormalize
-    # the centroids — the IP-aligned trainer (plain k-means optimizes
-    # L2 cell geometry, which need not match inner-product retrieval
-    # over fused vectors whose norms vary by modality coverage)
-    norm = F.sqrt(F.aggregate(F.transform("vector", lambda x: x * x),
-                              F.lit(0.0), lambda a, v: a + v))
-    enc_unit = enc.withColumn("__n", norm).select(
-        "row_id", F.transform("vector", lambda x: x / F.col("__n")).alias("vector")
-    )
-    _a, sph = ivf_build(
-        enc_unit, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
-        sample_fraction=min(1.0, 50_000 / n), max_iter=10,
-    )
-    sph = sph / np.maximum(np.linalg.norm(sph, axis=1, keepdims=True), 1e-12)
+        # spherical k-means: train on L2-normalized vectors, renormalize
+        # the centroids — the IP-aligned trainer (plain k-means optimizes
+        # L2 cell geometry, which need not match inner-product retrieval
+        # over fused vectors whose norms vary by modality coverage)
+        norm = F.sqrt(F.aggregate(F.transform("vector", lambda x: x * x),
+                                  F.lit(0.0), lambda a, v: a + v))
+        enc_unit = enc.withColumn("__n", norm).select(
+            "row_id", F.transform("vector", lambda x: x / F.col("__n")).alias("vector")
+        )
+        _a, sph = ivf_build(
+            enc_unit, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
+            sample_fraction=min(1.0, 50_000 / n), max_iter=10,
+        )
+        sph = sph / np.maximum(np.linalg.norm(sph, axis=1, keepdims=True), 1e-12)
 
-    nprobes = tuple(sorted({p for p in (1, 2, 4, 8, 16, 24, 32, n_cells) if p <= n_cells}))
-    results = []
-    for cents_name, cents in (
-        ("head", head_cents), ("trained", trained_cents), ("spherical", sph)
-    ):
-        assigned = ivf_assign(
-            enc, cents, vec_col="vector", metric="ip", score_round=6
-        ).persist()
-        assigned.count()
-        for nprobe in nprobes:
-            recalls = []
-            for qi, qv in enumerate(qvecs):
-                probed = probe_cells(cents, qv, nprobe)
-                got = {
-                    r["row_id"]
-                    for r in topk(
-                        assigned, qv, k=10,
-                        predicate=F.col("centroid_id").isin(probed),
-                    ).select("row_id").collect()
-                }
-                recalls.append(len(exact[qi] & got) / 10.0)
-            row = {
-                "centroids": cents_name,
-                "n_rows": n,
-                "n_cells": n_cells,
-                "nprobe": nprobe,
-                "scan_frac": round(nprobe / n_cells, 4),
-                "mean_recall_at_10": round(sum(recalls) / len(recalls), 4),
-                "min_recall": round(min(recalls), 2),
+        if sweep_mode:
+            # fixed target fractions (comparable across cell counts)
+            # plus a few tiny fixed probes for the graceful-degradation
+            # signal at minimal scan fractions
+            nprobes = tuple(sorted(
+                {max(1, round(f * n_cells)) for f in SWEEP_FRACS} | {1, 2, 4}
+            ))
+        else:
+            nprobes = tuple(sorted(
+                {p for p in (1, 2, 4, 8, 16, 24, 32, n_cells) if p <= n_cells}
+            ))
+
+        for cents_name, cents in (
+            ("head", head_cents), ("trained", trained_cents), ("spherical", sph)
+        ):
+            # arrow assignment (parity-pinned twin of the expression
+            # path): the expression form compiles n_cells·dim literals
+            # into the plan — unusable at 1024+ cells
+            assigned = ivf_assign_arrow(
+                enc, cents, vec_col="vector", metric="ip", score_round=6
+            ).persist()
+            sizes = {
+                r["centroid_id"]: r["c"]
+                for r in assigned.groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("c")).collect()
             }
-            results.append(row)
-            print(json.dumps(row))
-        assigned.unpersist()
-
-    # scan fraction actually read per probe set differs from
-    # nprobe/n_cells when cells are unbalanced — report observed
-    # fractions for the trained cells at the fast points
-    sizes = {
-        r["centroid_id"]: r["c"]
-        for r in ivf_assign(enc, trained_cents, vec_col="vector", metric="ip",
-                            score_round=6)
-        .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    print(json.dumps({
-        "summary": "cell balance (trained)",
-        "n_cells_used": len(sizes),
-        "max_cell_frac": round(max(sizes.values()) / n, 4),
-        "train_sec": train_sec,
-    }))
+            for nprobe in nprobes:
+                recalls, obs_fracs = [], []
+                for qi, qv in enumerate(qvecs):
+                    probed = probe_cells(cents, qv, nprobe)
+                    got = {
+                        r["row_id"]
+                        for r in topk(
+                            assigned, qv, k=10,
+                            predicate=F.col("centroid_id").isin(probed),
+                        ).select("row_id").collect()
+                    }
+                    recalls.append(len(exact[qi] & got) / 10.0)
+                    obs_fracs.append(sum(sizes.get(c, 0) for c in probed) / n)
+                row = {
+                    "centroids": cents_name,
+                    "embedder": embedder_kind,
+                    "n_rows": n,
+                    "n_cells": n_cells,
+                    "nprobe": nprobe,
+                    "scan_frac": round(nprobe / n_cells, 4),
+                    "observed_scan_frac": round(sum(obs_fracs) / len(obs_fracs), 4),
+                    "mean_recall_at_10": round(sum(recalls) / len(recalls), 4),
+                    "min_recall": round(min(recalls), 2),
+                }
+                print(json.dumps(row))
+            print(json.dumps({
+                "summary": f"cell balance ({cents_name})",
+                "n_cells": n_cells,
+                "n_cells_used": len(sizes),
+                "max_cell_frac": round(max(sizes.values()) / n, 4),
+            }))
+            assigned.unpersist()
 
 
 if __name__ == "__main__":

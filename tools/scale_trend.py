@@ -41,6 +41,7 @@ ALL_OPS = (
     "minhash_lsh",
     "dedup_spans_join",
     "dedup_spans_window",
+    "dedup_spans_anchor",
     "winnow_fps",
     "winnow_pairs_cap48",
     "contamination",
@@ -144,6 +145,8 @@ def main():
             lambda: noop(dedup_spans(big, strategy="join").select("doc_id", "n_kept")))
         run("dedup_spans_window",
             lambda: noop(dedup_spans(big, strategy="window").select("doc_id", "n_kept")))
+        run("dedup_spans_anchor",
+            lambda: noop(dedup_spans(big, strategy="anchor").select("doc_id", "n_kept")))
         run("winnow_fps", lambda: winnow_fingerprints(big).count())
         run("winnow_pairs_cap48",
             lambda: winnow_overlap_pairs(big, min_shared=8, max_bucket_size=48).count())
