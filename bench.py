@@ -320,6 +320,12 @@ def main() -> None:
     build_wall = round(
         sum(v for k, v in times.items() if k in BUILD_ENTRIES and v >= 0), 3
     )
+    # per-entry breakdown so build_wall deltas are self-explaining in
+    # the artifact (VERDICT r7 wrong #3: the r7 build_wall jump read
+    # as a regression until BASELINE.md explained the proxy sample)
+    build_breakdown = {
+        k: v for k, v in times.items() if k in BUILD_ENTRIES and v >= 0
+    }
     # eval/quality trackers are neither build nor serve — split them
     # out so serve_wall_sec is strictly steady-state query cost
     eval_wall = round(
@@ -349,6 +355,7 @@ def main() -> None:
         "fused_ivf_recall_at_10_fast": ivf_recall_fast,
         "fused_ivf_fast_nprobe": FUSED_IVF_NPROBE_FAST,
         "build_wall_sec": build_wall,
+        "build_wall_breakdown": build_breakdown,
         "eval_wall_sec": eval_wall,
         "serve_wall_sec": serve_wall,
     }

@@ -307,6 +307,7 @@ def build_fused_ivf_index(
     *,
     n_cells: int = FUSED_IVF_CELLS,
     trained: bool = True,
+    quantizer: str | None = None,
     sample_rows: int = 50_000,
     max_iter: int = 10,
 ) -> int:
@@ -316,29 +317,54 @@ def build_fused_ivf_index(
     partitioned by ``centroid_id``, and freeze the encoder meta (with
     the centroids) next to it. Returns the number of cells written.
 
-    ``trained=True`` (default) trains k-means cells on a bounded
-    sample of the fused vectors; ``trained=False`` uses the
-    first-``n_cells`` corpus rows (also the SQL-derivable demo
-    quantizer the frozen oracle entry q_fused_ivf re-derives).
-    WHICH wins is corpus-dependent — measured both ways in
-    tools/fused_ivf_scale_probe.py (100k/64: trained 1.00 vs head
-    0.85 at 0.375 scan; 500k/256: head 0.86 at 0.094 scan, trained
-    trailing — BASELINE.md r7 tables + the doctrine comment above):
-    run the probe on the target corpus before freezing an index.
-    Training cost is O(sample_rows), not O(corpus)."""
+    ``quantizer`` picks the coarse quantizer explicitly: ``"kmeans"``
+    (bounded-sample Lloyd), ``"spherical"`` (k-means on L2-normalized
+    vectors, centroids renormalized — the IP-aligned trainer), or
+    ``"head"`` (first-``n_cells`` corpus rows, also the SQL-derivable
+    demo quantizer the frozen oracle entry q_fused_ivf re-derives).
+    When None it derives from the legacy ``trained`` flag. WHICH wins
+    is corpus-dependent — measured in tools/fused_ivf_scale_probe.py
+    across THREE geometries (BASELINE.md r7 + r8 tables): on stub
+    hash-BOW vectors the rankings reversed between 100k/64 and
+    500k/256 (the r7 result); on PROXY-TRANSFORMER (anisotropic,
+    correlated) geometry — the realistic one — trained and spherical
+    clearly beat head at serve-relevant scan fractions (100k/64:
+    0.875/0.80 vs 0.46 at 0.25 scan; 100k/256: 0.875 vs 0.675),
+    spherical never worse than plain k-means, while head's only
+    surviving edge is graceful degradation at tiny scan fractions at
+    high cell counts. Run the probe on the target corpus before
+    freezing an index. Training cost is O(sample_rows), not
+    O(corpus)."""
     import numpy as np
 
     from .encode import save_encoder_meta
     from .pipeline_ext.simsearch import ivf_assign, ivf_build, ivf_persist
 
     corpus = build_corpus_cached(spark, sf_dir)
-    if trained:
+    q = quantizer or ("kmeans" if trained else "head")
+    if q not in ("kmeans", "spherical", "head"):
+        raise ValueError(f"quantizer must be kmeans|spherical|head, got {q!r}")
+    if q in ("kmeans", "spherical"):
         n = corpus.encoded.count()
         frac = min(1.0, sample_rows / max(n, 1))
+        train_src = corpus.encoded
+        if q == "spherical":
+            norm = F.sqrt(F.aggregate(
+                F.transform("vector", lambda x: x * x),
+                F.lit(0.0), lambda a, v: a + v,
+            ))
+            train_src = corpus.encoded.withColumn("__n", norm).select(
+                "row_id",
+                F.transform("vector", lambda x: x / F.col("__n")).alias("vector"),
+            )
         _assigned_ml, cents = ivf_build(
-            corpus.encoded, dim=corpus.layout.dim, n_centroids=n_cells,
+            train_src, dim=corpus.layout.dim, n_centroids=n_cells,
             vec_col="vector", sample_fraction=frac, max_iter=max_iter,
         )
+        if q == "spherical":
+            cents = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+            )
     else:
         # orderBy/limit, NOT filter(row_id < n_cells): sparse row_ids
         # would silently under-fill the filter form (ADVICE r7); this
@@ -360,7 +386,7 @@ def build_fused_ivf_index(
         extra={
             "emb_dim": EMB_DIM,
             "centroids": [[float(x) for x in c] for c in np.asarray(cents)],
-            "quantizer": "kmeans" if trained else "head",
+            "quantizer": q,
         },
     )
     return len(cents)

@@ -315,3 +315,57 @@ def test_score_breakdown_decomposes_topk(corpus):
     cq2 = _compiled(corpus, {"lang": ((["en"], False), 5.0)}, text="spark")
     bd2 = score_breakdown(corpus.encoded, corpus.layout, cq2.vector, k=5).collect()
     assert all(abs(r["score_n_chars"]) < 1e-9 for r in bd2)  # unqueried segment
+
+
+def test_build_fused_ivf_index_spherical_roundtrip(spark, tmp_path):
+    """r8: the spherical quantizer option (k-means on L2-normalized
+    vectors, renormalized centroids — the IP-aligned trainer that won
+    the proxy-geometry probe). Same files-only serve contract: at
+    nprobe == n_cells the pruned serve returns the exact fused top-k;
+    centroids land unit-norm in the frozen meta."""
+    import numpy as np
+
+    from fuserank_spark.flagship import (
+        build_corpus_cached,
+        build_fused_ivf_index,
+        flagship_compiled,
+        fused_ivf_serve_persisted,
+    )
+    from fuserank_spark.encode import load_encoder_meta
+
+    idx = str(tmp_path / "sidx")
+    meta = str(tmp_path / "sidx_meta.json")
+    n_cells = build_fused_ivf_index(
+        spark, SF_SMOKE, idx, meta, n_cells=4, quantizer="spherical", max_iter=5
+    )
+    assert n_cells == 4
+    _s, _l, knobs = load_encoder_meta(meta)
+    assert knobs["quantizer"] == "spherical"
+    cents = np.asarray(knobs["centroids"])
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+
+    corpus = build_corpus_cached(spark, SF_SMOKE)
+    cq = flagship_compiled(corpus)
+    exact = [r["row_id"] for r in topk(corpus.encoded, cq.vector, k=10).collect()]
+    served = [
+        r["row_id"]
+        for r in fused_ivf_serve_persisted(
+            spark, idx, meta, k=10, nprobe=4,
+            aux_data={
+                "lang": ((["en", "de"], False), 2.0),
+                "source": (None, 1.0),
+                "n_chars": ((120.0, 360.0, False), 1.5),
+            },
+        ).select("row_id").collect()
+    ]
+    assert served == exact
+
+
+def test_build_fused_ivf_index_rejects_unknown_quantizer(spark, tmp_path):
+    from fuserank_spark.flagship import build_fused_ivf_index
+
+    with pytest.raises(ValueError, match="quantizer"):
+        build_fused_ivf_index(
+            spark, SF_SMOKE, str(tmp_path / "x"), str(tmp_path / "x.json"),
+            quantizer="magic",
+        )

@@ -15,8 +15,13 @@ from the Spark UI REST API (this tool's own session enables the UI;
 the engine default keeps it off).
 
 Usage: python tools/crawl_pipeline_bench.py [factor] [sf_dir]
+           [--embed-tail=N]
        (defaults: 100 → 500k records, sf0.1)
-Prints one JSON line per stage and a final summary line.
+``--embed-tail=N`` (VERDICT r7 #6) appends the X1 stage chain —
+proxy-transformer embed → fused encode → IVF build + partitioned
+write — over the first N curated docs (N=0 → all), so the table
+prices the FULL pipeline including the embed/index cost the text-only
+run omits. Prints one JSON line per stage and a final summary line.
 """
 
 from __future__ import annotations
@@ -65,8 +70,15 @@ class StageMeter:
 
 
 def main():
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: (a.split("=", 1)[1] if "=" in a else True)
+            for a in sys.argv[1:] if a.startswith("--")}
+    factor = int(argv[0]) if len(argv) > 0 else 100
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    embed_tail = opts.get("--embed-tail")
+    embed_rows = int(embed_tail) if embed_tail not in (None, True) else (
+        50_000 if embed_tail else None
+    )
 
     from pyspark.sql import SparkSession
 
@@ -247,6 +259,65 @@ def main():
         lambda: dataset_card(curated.select("doc_id", "text")),
     )
 
+    n_embedded = None
+    if embed_rows is not None:
+        # X1 tail (VERDICT r7 #6): proxy-transformer embed → fused
+        # encode → IVF build + centroid-partitioned write, over the
+        # curated output — the stages the text-only table omits
+        from fuserank_spark import schema as S
+        from fuserank_spark.embed import ProxyTransformerEmbedder, embed_corpus
+        from fuserank_spark.encode import (
+            compute_stats,
+            encode_products,
+            record_text_dim,
+        )
+        from fuserank_spark.pipeline_ext.simsearch import ivf_build, ivf_persist
+
+        sel = curated.select(
+            F.col("doc_id").alias("row_id"), "text", "domain", "n_tokens"
+        )
+        if embed_rows > 0:
+            sel = sel.orderBy("row_id").limit(embed_rows)
+        # 32 tasks exactly: per-task proxy weight init must not
+        # multiply with the upstream partition count (scale_trend rule)
+        sel = sel.repartition(32)
+
+        def _embed():
+            out = embed_corpus(
+                sel, {"text": 1.0},
+                embedder_factory=lambda: ProxyTransformerEmbedder(blas_threads=1),
+            ).persist()
+            out.count()
+            return out
+
+        embedded = meter.run("proxy_embed", _embed)
+        n_embedded = embedded.count()
+
+        def _encode():
+            aux = {"domain": S.SPARSE, "n_tokens": S.DENSE}
+            stats = compute_stats(embedded, aux)
+            enc, layout = encode_products(embedded, aux, stats, num_harmonics=64)
+            record_text_dim(layout, 384)
+            out = enc.select("row_id", "vector").persist()
+            out.count()
+            return out, layout
+
+        encoded, layout = meter.run("fused_encode", _encode)
+
+        ivf_dir = os.path.join(cache, "crawl_bench_ivf")
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
+        def _ivf():
+            assigned, cents = ivf_build(
+                encoded, dim=layout.dim, n_centroids=64, vec_col="vector",
+                sample_fraction=min(1.0, 50_000 / max(n_embedded, 1)), max_iter=10,
+            )
+            ivf_persist(assigned, ivf_dir)
+            return len(cents)
+
+        meter.run("ivf_build_write", _ivf)
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     total = round(time.time() - t_all, 1)
     print(json.dumps({
         "summary": "crawl_pipeline_bench",
@@ -256,6 +327,7 @@ def main():
         "total_wall_sec": total,
         "total_shuffle_write_mb": round(sum(r["shuffle_write_mb"] for r in meter.rows), 1),
         "card_n_docs": card.get("n_docs"),
+        "embed_tail_rows": n_embedded,
     }))
     shutil.rmtree(warc_dir, ignore_errors=True)
 
