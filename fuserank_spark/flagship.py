@@ -305,7 +305,7 @@ def build_fused_ivf_index(
     index_path: str,
     meta_path: str,
     *,
-    n_cells: int = FUSED_IVF_CELLS,
+    n_cells: int | str = FUSED_IVF_CELLS,
     trained: bool = True,
     quantizer: str | None = None,
     sample_rows: int = 50_000,
@@ -334,7 +334,14 @@ def build_fused_ivf_index(
     surviving edge is graceful degradation at tiny scan fractions at
     high cell counts. Run the probe on the target corpus before
     freezing an index. Training cost is O(sample_rows), not
-    O(corpus)."""
+    O(corpus).
+
+    ``n_cells="auto"`` sizes the cell count as 4·√n (clamped to
+    [64, 65536]) — the r8 de-confounded cell sweep measured cell
+    COUNT as the dominant recall knob at fixed scan fraction for
+    trained quantizers, and head cells collapse above 256 cells, so
+    auto implies a trained/spherical quantizer at scale (BASELINE.md
+    r8 cell-sweep table)."""
     import numpy as np
 
     from .encode import save_encoder_meta
@@ -344,6 +351,16 @@ def build_fused_ivf_index(
     q = quantizer or ("kmeans" if trained else "head")
     if q not in ("kmeans", "spherical", "head"):
         raise ValueError(f"quantizer must be kmeans|spherical|head, got {q!r}")
+    if n_cells == "auto":
+        # 4·sqrt(n), clamped: the r8 de-confounded cell sweep (one 500k
+        # corpus, cells 64→4096 at fixed scan fractions) measured cell
+        # COUNT as the recall knob for trained quantizers — trained@9.4%
+        # scan: 0.25/0.18/0.63/0.96 across the sweep — landing at the
+        # FAISS 4√n…16√n rule of thumb (BASELINE.md r8 table)
+        import math
+
+        n_cells = max(64, min(65_536, 4 * int(math.sqrt(corpus.encoded.count()))))
+    n_cells = int(n_cells)
     if q in ("kmeans", "spherical"):
         n = corpus.encoded.count()
         frac = min(1.0, sample_rows / max(n, 1))

@@ -369,3 +369,23 @@ def test_build_fused_ivf_index_rejects_unknown_quantizer(spark, tmp_path):
             spark, SF_SMOKE, str(tmp_path / "x"), str(tmp_path / "x.json"),
             quantizer="magic",
         )
+
+
+def test_build_fused_ivf_index_auto_cells(spark, tmp_path):
+    """n_cells='auto' → 4·sqrt(n) clamped to [64, 65536] (the r8
+    cell-sweep doctrine)."""
+    import math
+
+    from fuserank_spark.encode import load_encoder_meta
+    from fuserank_spark.flagship import build_corpus_cached, build_fused_ivf_index
+
+    n = build_corpus_cached(spark, SF_SMOKE).encoded.count()
+    want = max(64, min(65_536, 4 * int(math.sqrt(n))))
+    idx = str(tmp_path / "aidx")
+    meta = str(tmp_path / "aidx_meta.json")
+    n_cells = build_fused_ivf_index(
+        spark, SF_SMOKE, idx, meta, n_cells="auto", max_iter=2
+    )
+    assert n_cells == want
+    _s, _l, knobs = load_encoder_meta(meta)
+    assert len(knobs["centroids"]) == want
