@@ -938,22 +938,30 @@ def _dedup_spans_anchored(
             i <= F.col("__n_tok") - L, gh * F.lit(BIG) + (F.lit(POS0) - pos_ok)
         ).otherwise(F.lit(None).cast("long"))
 
-    with_cmb = base.withColumn(
-        "__cmb", F.transform(F.col("__toks"), lambda _t, i: _cmb_at(i))
-    )
-    winlen = n_grams - F.lit(w - 1)
-    m = F.slice(F.col("__cmb"), 1, winlen)
-    for j in range(1, w):
-        m = F.zip_with(
-            m, F.slice(F.col("__cmb"), 1 + j, winlen), lambda a, b: F.least(a, b)
+    cmb_arr = F.transform(F.col("__toks"), lambda _t, i: _cmb_at(i))
+
+    def _anchors_from(cmb):
+        # `cmb` is a BOUND LAMBDA VARIABLE, so the expensive gram-hash
+        # transform above is evaluated exactly once per row no matter
+        # how many slices reference it. A plain withColumn("__cmb")
+        # does NOT give that guarantee: CollapseProject inlines the
+        # transform into every one of the w+1 slice references (14 md5
+        # trees in the plan at w=2; measured 617 s vs 44 s exact at
+        # 500k before this barrier — the CSE-across-HOF trap, lambda
+        # edition).
+        winlen = n_grams - F.lit(w - 1)
+        m = F.slice(cmb, 1, winlen)
+        for j in range(1, w):
+            m = F.zip_with(m, F.slice(cmb, 1 + j, winlen), lambda a, b: F.least(a, b))
+        return (
+            F.when(n_grams <= 0, F.array().cast("array<long>"))
+            .when(n_grams < w, F.array(F.array_min(F.slice(cmb, 1, n_grams))))
+            .otherwise(F.array_distinct(m))
         )
-    anchors = (
-        F.when(n_grams <= 0, F.array().cast("array<long>"))
-        .when(n_grams < w, F.array(F.array_min(F.slice(F.col("__cmb"), 1, n_grams))))
-        .otherwise(F.array_distinct(m))
-    )
+
+    anchors = F.element_at(F.transform(F.array(cmb_arr), _anchors_from), 1)
     anch = (
-        with_cmb.withColumn("__anch", anchors)
+        base.withColumn("__anch", anchors)
         .select(F.col(key_col).alias("__k"), F.explode("__anch").alias("__c"))
         .select(
             "__k",
