@@ -78,7 +78,12 @@ def main():
     ):
         out = dedup_spans(big, **kwargs).select("doc_id", "n_tokens", "n_kept")
         t0 = time.time()
-        out.write.format("noop").mode("overwrite").save()
+        # persist+count, not a bare noop write: the differential below
+        # consumes each output a second time, and an unmaterialized
+        # frame would re-run the whole dedup pipeline per action
+        # (CLAUDE.md r6-3 — this tool paid that twice at 5M before)
+        out = out.persist()
+        out.count()
         wall = round(time.time() - t0, 1)
         cur = snap()
         print(json.dumps({
