@@ -915,6 +915,8 @@ def curate_corpus(
     quality_model=None,
     pareto_alpha: float | None = None,
     span_dedup_tokens: int | None = None,
+    span_dedup_strategy: str = "join",
+    span_dedup_anchor_window: int = 4,
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
     domain_col: str = "domain",
@@ -957,7 +959,11 @@ def curate_corpus(
     after the (optional) line dedup and before any scoring — the Lee
     et al. 2021 ordering: cut duplicated passages first so quality /
     perplexity / hash dedup judge the unique content that will
-    actually train.
+    actually train. ``span_dedup_strategy="anchor"`` (+
+    ``span_dedup_anchor_window``) selects the anchored scale path —
+    ~3.3× fewer exchange bytes at w=4, one-sided boundary-miss
+    profile (see :func:`dedup.dedup_spans`); the default stays the
+    exact join so the frozen oracle entries are byte-identical.
 
     Pass ``domain_ranks`` (a (node, rank) frame, e.g. `web.pagerank`
     over `web.domain_link_graph`) + ``min_domain_rank`` to gate on the
@@ -1003,8 +1009,16 @@ def curate_corpus(
     if span_dedup_tokens is not None:
         from .dedup import dedup_spans
 
+        # span_dedup_strategy="anchor" is the crawl-scale exchange cut
+        # (the composition's cost center is THIS stage's gram stream —
+        # 4.1 GB of the 4.2 GB r7 crawl→shards shuffle; anchor mode
+        # carries winnowing anchors only, measured 3.3× fewer bytes at
+        # w=4 with the one-sided miss profile dedup_spans documents)
         df = dedup_spans(
-            df, key_col=key_col, text_col=text_col, min_span_tokens=span_dedup_tokens
+            df, key_col=key_col, text_col=text_col,
+            min_span_tokens=span_dedup_tokens,
+            strategy=span_dedup_strategy,
+            anchor_window=span_dedup_anchor_window,
         ).drop("n_tokens", "n_kept")
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
     if min_compression_ratio is not None:

@@ -807,3 +807,33 @@ def test_curate_corpus_compression_gate(spark):
     assert [r["doc_id"] for r in kept.collect()] == [1]
     # defaults-off identity: both docs survive without the gate
     assert curate_corpus(d, min_quality=0.0).count() == 2
+
+
+def test_curate_corpus_anchor_span_strategy(spark):
+    """r8: span_dedup_strategy='anchor' routes the span stage through
+    the anchored scale path. A long planted passage (>= L + w - 1)
+    still loses its interior in the later copy (the winnowing
+    guarantee end-to-end through the composition), and the default
+    strategy is byte-identical to an explicit 'join'."""
+    passage = " ".join(f"p{i}" for i in range(20))
+    rows = [
+        (1, f"intro words here {passage} closing unique thoughts expressed"),
+        (2, f"other doc begins {passage} and then different tail content"),
+    ]
+    d = _docs(spark, rows)
+    out = curate_corpus(
+        d, min_quality=0.0, span_dedup_tokens=8,
+        span_dedup_strategy="anchor", span_dedup_anchor_window=4,
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert passage in texts[1]
+    # interior gone in the later copy: at most w-1 = 3 boundary tokens
+    # per side survive
+    surviving = [t for t in texts[2].split() if t.startswith("p") and t[1:].isdigit()]
+    assert set(surviving) <= {f"p{i}" for i in (0, 1, 2, 17, 18, 19)}, texts[2]
+    # explicit default == implicit default (oracle-path identity)
+    a = curate_corpus(d, min_quality=0.0, span_dedup_tokens=8).collect()
+    b = curate_corpus(
+        d, min_quality=0.0, span_dedup_tokens=8, span_dedup_strategy="join"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -79,6 +79,7 @@ def main():
     embed_rows = int(embed_tail) if embed_tail not in (None, True) else (
         50_000 if embed_tail else None
     )
+    span_strategy = str(opts.get("--span-strategy", "join"))
 
     from pyspark.sql import SparkSession
 
@@ -215,6 +216,7 @@ def main():
             kept.select("doc_id", "text", "domain"),
             line_dedup=True,
             span_dedup_tokens=8,
+            span_dedup_strategy=span_strategy,
             perplexity_lm=lm,
             max_perplexity=1e6,
             min_compression_ratio=0.05,
