@@ -917,6 +917,7 @@ def curate_corpus(
     span_dedup_tokens: int | None = None,
     span_dedup_strategy: str = "join",
     span_dedup_anchor_window: int = 4,
+    span_drop_if_kept_below: float | None = None,
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
     domain_col: str = "domain",
@@ -964,6 +965,11 @@ def curate_corpus(
     ~3.3× fewer exchange bytes at w=4, one-sided boundary-miss
     profile (see :func:`dedup.dedup_spans`); the default stays the
     exact join so the frozen oracle entries are byte-identical.
+    ``span_drop_if_kept_below=f`` drops documents whose surviving
+    token fraction after span dedup falls below ``f`` (Lee et al.'s
+    companion rule) — pair it with anchor mode, whose boundary
+    residue otherwise keeps gutted duplicates alive through the
+    quality gates.
 
     Pass ``domain_ranks`` (a (node, rank) frame, e.g. `web.pagerank`
     over `web.domain_link_graph`) + ``min_domain_rank`` to gate on the
@@ -1019,7 +1025,21 @@ def curate_corpus(
             min_span_tokens=span_dedup_tokens,
             strategy=span_dedup_strategy,
             anchor_window=span_dedup_anchor_window,
-        ).drop("n_tokens", "n_kept")
+        )
+        if span_drop_if_kept_below is not None:
+            # Lee et al.'s companion rule: a document that lost most of
+            # its tokens to span dedup is a shell, not a document —
+            # drop it instead of letting its residue (with anchor mode,
+            # up to w−1 boundary tokens per duplicated span) drift
+            # through the quality gates. Measured in the crawl bench:
+            # without this floor, anchor mode's boundary residue kept
+            # 153k gutted replicas alive that exact mode's near-total
+            # deletion culled at the quality gate (BASELINE.md r8).
+            df = df.filter(
+                F.col("n_kept")
+                >= F.col("n_tokens") * F.lit(float(span_drop_if_kept_below))
+            )
+        df = df.drop("n_tokens", "n_kept")
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)
     if min_compression_ratio is not None:
         # RPv2-style repetitiveness gate: too-compressible text

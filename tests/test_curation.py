@@ -837,3 +837,28 @@ def test_curate_corpus_anchor_span_strategy(spark):
         d, min_quality=0.0, span_dedup_tokens=8, span_dedup_strategy="join"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_curate_corpus_span_kept_floor(spark):
+    """span_drop_if_kept_below: a doc gutted by span dedup (whole-doc
+    duplicate) is dropped outright instead of drifting through later
+    gates on its residue — with anchor mode, where up to w-1 boundary
+    tokens per side survive, the floor is what makes gutted replicas
+    die the way exact mode's near-total deletion does."""
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, base + " unique closing alpha"),
+        (2, base + " unique closing beta"),   # loses all 30 base tokens
+        (3, "a completely different document about other topics entirely here"),
+    ]
+    d = _docs(spark, rows)
+    for strat in ("join", "anchor"):
+        out = curate_corpus(
+            d, min_quality=0.0, span_dedup_tokens=8,
+            span_dedup_strategy=strat, span_drop_if_kept_below=0.5,
+        )
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 1 in ids and 3 in ids and 2 not in ids, (strat, ids)
+    # without the floor the residue survives (both strategies)
+    out = curate_corpus(d, min_quality=0.0, span_dedup_tokens=8)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}

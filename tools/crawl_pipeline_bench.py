@@ -80,6 +80,8 @@ def main():
         50_000 if embed_tail else None
     )
     span_strategy = str(opts.get("--span-strategy", "join"))
+    kept_floor = opts.get("--span-kept-floor")
+    kept_floor = float(kept_floor) if kept_floor not in (None, True) else None
 
     from pyspark.sql import SparkSession
 
@@ -217,6 +219,7 @@ def main():
             line_dedup=True,
             span_dedup_tokens=8,
             span_dedup_strategy=span_strategy,
+            span_drop_if_kept_below=kept_floor,
             perplexity_lm=lm,
             max_perplexity=1e6,
             min_compression_ratio=0.05,
