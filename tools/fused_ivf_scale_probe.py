@@ -175,8 +175,12 @@ def main():
                 {max(1, round(f * n_cells)) for f in SWEEP_FRACS} | {1, 2, 4}
             ))
         else:
+            # fixed small probes + the target-fraction points (so high
+            # cell counts still measure the serve-relevant 3–25% scan
+            # band instead of jumping from 32 probes to a full scan)
             nprobes = tuple(sorted(
                 {p for p in (1, 2, 4, 8, 16, 24, 32, n_cells) if p <= n_cells}
+                | {max(1, round(f * n_cells)) for f in SWEEP_FRACS}
             ))
 
         for cents_name, cents in (
