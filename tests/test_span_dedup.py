@@ -408,3 +408,20 @@ def test_dedup_spans_anchor_edge_docs_pass_through(span_docs):
     assert out[90002] == ("too short for any gram", 5, 5)
     assert out[90003] == ("", 0, 0)
     assert out[90004] == (None, 0, 0)
+
+
+def test_dedup_spans_anchor_plan_has_no_window(span_docs):
+    """Plan-shape guard for the anchored exchange budget: the exact
+    strategies rebuild through a per-token running-max WindowExec; the
+    anchored rebuild is a narrow array_except after a doc-granular
+    join — no window operator anywhere, and no more exchanges than
+    the exact join plan."""
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    exact = plan(dedup_spans(span_docs, min_span_tokens=8, strategy="join"))
+    anch = plan(dedup_spans(span_docs, min_span_tokens=8, strategy="anchor"))
+    assert "Window" in exact
+    assert "Window" not in anch
+    assert anch.count("Exchange") <= exact.count("Exchange")
+    assert "CartesianProduct" not in anch
