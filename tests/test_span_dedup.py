@@ -352,7 +352,7 @@ def test_dedup_spans_anchor_deletions_subset_of_exact(spark):
         it = iter(big)
         return all(tok in it for tok in small)
 
-    for seed, L, w in ((7, 4, 2), (23, 6, 3), (41, 8, 4)):
+    for seed, L, w in ((7, 4, 2), (23, 6, 3), (41, 8, 4), (59, 5, 5), (67, 8, 2)):
         rng = random.Random(seed)
         docs = {
             k: [rng.choice("abcd") for _ in range(rng.randint(0, 20))]
