@@ -299,6 +299,34 @@ def fused_ivf_serve_persisted(
     )
 
 
+def resolve_auto_cells(n_rows: int, quantizer: str) -> int:
+    """``n_cells="auto"`` sizing: 4·√n clamped to [64, 65536] — the r8
+    de-confounded cell sweep (one 500k corpus, cells 64→4096 at fixed
+    scan fractions) measured cell COUNT as the recall knob for trained
+    quantizers (trained@9.4% scan: 0.25/0.18/0.63/0.96 across the
+    sweep), landing at the FAISS 4√n…16√n rule of thumb (BASELINE.md
+    r8 table).
+
+    GUARDS the measured-bad configuration (VERDICT r8 ask #3): head
+    cells collapse at ≥1024 cells on BOTH probed geometries (stub 500k
+    sweep and proxy tables), and auto sizing reaches 1024 cells at any
+    corpus ≥65k rows — so auto+head at that scale raises instead of
+    silently building what the doctrine forbids. Pick
+    quantizer="spherical"/"kmeans", or pin an explicit small n_cells
+    to opt into head deliberately."""
+    import math
+
+    cells = max(64, min(65_536, 4 * int(math.sqrt(max(int(n_rows), 0)))))
+    if quantizer == "head" and cells >= 1024:
+        raise ValueError(
+            f"n_cells='auto' resolved {cells} cells with quantizer='head': "
+            "head quantizers collapse at >=1024 cells on both measured "
+            "geometries (BASELINE.md r8); use quantizer='spherical'/'kmeans' "
+            "or an explicit n_cells < 1024"
+        )
+    return cells
+
+
 def build_fused_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -352,14 +380,7 @@ def build_fused_ivf_index(
     if q not in ("kmeans", "spherical", "head"):
         raise ValueError(f"quantizer must be kmeans|spherical|head, got {q!r}")
     if n_cells == "auto":
-        # 4·sqrt(n), clamped: the r8 de-confounded cell sweep (one 500k
-        # corpus, cells 64→4096 at fixed scan fractions) measured cell
-        # COUNT as the recall knob for trained quantizers — trained@9.4%
-        # scan: 0.25/0.18/0.63/0.96 across the sweep — landing at the
-        # FAISS 4√n…16√n rule of thumb (BASELINE.md r8 table)
-        import math
-
-        n_cells = max(64, min(65_536, 4 * int(math.sqrt(corpus.encoded.count()))))
+        n_cells = resolve_auto_cells(corpus.encoded.count(), q)
     n_cells = int(n_cells)
     if q in ("kmeans", "spherical"):
         n = corpus.encoded.count()
@@ -370,7 +391,13 @@ def build_fused_ivf_index(
                 F.transform("vector", lambda x: x * x),
                 F.lit(0.0), lambda a, v: a + v,
             ))
-            train_src = corpus.encoded.withColumn("__n", norm).select(
+            # greatest(norm, 1e-12): a zero-norm fused vector would
+            # otherwise yield NaN/Inf training rows that poison the
+            # k-means centroids (the centroid renormalization below
+            # already guards; the training input must too — ADVICE r8)
+            train_src = corpus.encoded.withColumn(
+                "__n", F.greatest(norm, F.lit(1e-12))
+            ).select(
                 "row_id",
                 F.transform("vector", lambda x: x / F.col("__n")).alias("vector"),
             )

@@ -358,6 +358,8 @@ def resolve_duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 10,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph:
     min-label propagation (one hop per round) combined with pointer
@@ -368,8 +370,25 @@ def resolve_duplicate_clusters(
 
     Each iteration is two keyed joins + a groupBy-min — all shuffles
     on ids; no driver-side graph. Raises if the iteration budget is
-    exhausted before fixpoint rather than returning wrong clusters."""
-    edges = (
+    exhausted before fixpoint rather than returning wrong clusters.
+
+    ``checkpoint_dir``/``checkpoint_every`` (VERDICT r8 ask #2) select
+    the node-loss-safe materialization policy of
+    :class:`fuserank_spark.pipeline_ext.web._LoopCheckpointer` —
+    identical exposure to pagerank/hits: the default per-iteration
+    ``localCheckpoint`` truncates lineage, so a lost executor at
+    iteration 9 of 10 kills a web-scale dedup job; with a directory,
+    reliable ``checkpoint()`` files land every ``checkpoint_every``
+    iterations (plus once at convergence) and intermediate iterations
+    persist WITHOUT truncating lineage, bounding re-work to
+    ``checkpoint_every − 1`` iterations. The convergence check rides
+    inside the stepped frame (``prev_cid`` threaded through) instead
+    of a join against the previous labels, so no trailing frame is
+    needed after a step materializes."""
+    from .web import _LoopCheckpointer
+
+    ck = _LoopCheckpointer(pairs.sparkSession, checkpoint_dir, checkpoint_every)
+    edges = ck.setup(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
@@ -378,13 +397,12 @@ def resolve_duplicate_clusters(
         # candidate-pair pipeline (signatures, banding, bucket
         # pair-gen) per round — measured 65 s → 27.5 s on a 5k batch
         # of incremental_lsh_dedup. Bounded: 2×|pairs| id pairs.
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
     converged = False
-    for _ in range(max_iterations):
+    for _i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -394,6 +412,10 @@ def resolve_duplicate_clusters(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
+                # old label rides along so convergence is a filter on
+                # the materialized frame, not a join vs the previous
+                # iteration (whose cache the checkpointer reclaims)
+                F.col("cluster_id").alias("prev_cid"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
@@ -407,22 +429,21 @@ def resolve_duplicate_clusters(
             stepped.join(ptr, stepped["cluster_id"] == ptr["lid"], "left")
             .select(
                 "id",
+                "prev_cid",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("lcid"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
         )
-        # checkpoint FIRST (cuts lineage), then count changes from the
-        # materialized frame — otherwise the two-join plan runs twice
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # materialize FIRST (cuts/caches the two-join plan), then count
+        # changes from the materialized frame — otherwise it runs twice
+        new_labels = ck.step(new_labels, _i)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("cluster_id") != F.col("prev_cid"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             converged = True
             break
@@ -431,6 +452,7 @@ def resolve_duplicate_clusters(
             f"cluster resolution did not converge in {max_iterations} iterations; "
             "raise max_iterations (components deeper than ~2^iterations)"
         )
+    labels = ck.finish(labels)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -440,12 +462,19 @@ def deduplicate(
     key_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Keep-one-per-cluster: resolve clusters from candidate pairs,
     drop every member except the minimum-id survivor. Rows in no
     pair pass through untouched (left join, no full shuffle of the
-    corpus beyond the one keyed join)."""
-    clusters = resolve_duplicate_clusters(pairs, id_a, id_b)
+    corpus beyond the one keyed join). ``checkpoint_dir``/
+    ``checkpoint_every`` pass through to
+    :func:`resolve_duplicate_clusters`'s node-loss-safe policy."""
+    clusters = resolve_duplicate_clusters(
+        pairs, id_a, id_b,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
     victims = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(key_col)
     )

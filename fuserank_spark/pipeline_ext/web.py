@@ -414,14 +414,21 @@ class _LoopCheckpointer:
         cached.unpersist()  # `out` is backed by the checkpoint files
         return out
 
-    def step(self, df: DataFrame, i: int) -> DataFrame:
-        """Per-iteration state frame."""
+    def step(self, df: DataFrame, i: int, *, last: bool = False) -> DataFrame:
+        """Per-iteration state frame. ``last=True`` on the loop's final
+        iteration FORCES a reliable checkpoint even off-cadence and
+        unpersists every trailing cached frame — otherwise a loop ending
+        on a non-checkpoint iteration returns a persisted DataFrame that
+        stays resident (MEMORY_AND_DISK) for the session's lifetime and
+        repeated calls accumulate cached blocks (ADVICE r8 #3). The
+        forced final checkpoint also makes the RESULT durable, which is
+        what a web-scale caller wants anyway."""
         if self.dir is None:
             return df.localCheckpoint(eager=True)
         from pyspark import StorageLevel
 
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if (i + 1) % self.every == 0:
+        if last or (i + 1) % self.every == 0:
             out = cached.checkpoint(eager=True)
             cached.unpersist()
             if self._prev is not None:
@@ -433,6 +440,20 @@ class _LoopCheckpointer:
             self._prev.unpersist()
         self._prev = cached
         return cached
+
+    def finish(self, df: DataFrame) -> DataFrame:
+        """Terminal frame of a CONVERGENCE loop, where the last
+        iteration is unknown in advance so ``step(last=True)`` can't
+        apply: force the off-cadence reliable checkpoint (reading the
+        trailing cached blocks) and unpersist them. No-op when the
+        final ``step`` already checkpointed or in localCheckpoint
+        mode. ``df`` may be a projection over the last stepped frame."""
+        if self.dir is None or self._prev is None:
+            return df
+        out = df.checkpoint(eager=True)
+        self._prev.unpersist()
+        self._prev = None
+        return out
 
 
 def pagerank(
@@ -535,6 +556,7 @@ def pagerank(
                 ).alias("r"),
             ),
             _i,
+            last=(_i == iterations - 1),
         )
     return ranks.select("node", F.col("r").alias(out_col))
 
@@ -656,6 +678,7 @@ def hits(
             .select("node", (F.col("h_raw") / F.col("nh")).alias("h"))
             .join(an, "node"),
             _i,
+            last=(_i == iterations - 1),
         )
     return scores.select(
         "node", F.col("h").alias(out_hub), F.col("a").alias(out_auth)

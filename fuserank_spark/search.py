@@ -150,11 +150,14 @@ def _arrow_partial_topk(
     scale = None if score_round is None else 10.0 ** int(score_round)
 
     def _rank_key(scores: np.ndarray) -> np.ndarray:
-        # portable half-up round (CLAUDE.md `_round9` formula) so the
-        # heap's tie domain equals the caller's final F.round ordering
+        # half-up AWAY FROM ZERO, matching the caller's final F.round
+        # (decimal HALF_UP): floor(|x|*s+0.5) rounds toward +inf, which
+        # for NEGATIVE midpoints picks the other neighbor than F.round
+        # does — copysign makes the heap's tie domain equal the final
+        # ordering's on both signs (ADVICE r8 #1)
         if scale is None:
             return scores
-        return np.floor(scores * scale + 0.5) / scale
+        return np.copysign(np.floor(np.abs(scores) * scale + 0.5), scores) / scale
 
     def _score(batches):
         # accumulate per-query heaps across the partition's batches

@@ -214,3 +214,30 @@ def test_arrow_topk_heap_rounds_before_rank(spark):
     assert [r["row_id"] for r in got_expr] == [1]
     # and WITHOUT rounding both paths agree on the raw winner
     assert [r["row_id"] for r in topk(df, qv, k=1, use_arrow=True).collect()] == [2]
+
+
+def test_arrow_topk_heap_negative_midpoint_sign_aware(spark):
+    """ADVICE r8 #1: the heap's round key must be half-up AWAY FROM
+    ZERO (matching the final F.round / decimal HALF_UP), not toward
+    +inf. Scores −1.0 and −0.5 with score_round=0: F.round sends BOTH
+    to −1.0 (−0.5 rounds away from zero), so the tie falls to row_id
+    and row 1 wins. The old floor(x·s+0.5) key sent −0.5 to 0.0, so
+    the k=1 heap cut kept row 2 — disagreeing with the final order."""
+    import numpy as np
+
+    from fuserank_spark.search import topk
+
+    dim = 128  # ≥100 so the auto heuristic also picks Arrow
+    q = [1.0] + [0.0] * (dim - 1)
+    a = [-1.0] + [0.0] * (dim - 1)
+    b = [-0.5] + [0.0] * (dim - 1)
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "row_id bigint, vector array<double>"
+    ).coalesce(1)
+    qv = np.asarray(q)
+    got_arrow = topk(df, qv, k=1, use_arrow=True, score_round=0).collect()
+    got_expr = topk(df, qv, k=1, use_arrow=False, score_round=0).collect()
+    assert [r["row_id"] for r in got_arrow] == [1]
+    assert [r["row_id"] for r in got_expr] == [1]
+    # unrounded, the raw-higher score (−0.5, row 2) wins on both paths
+    assert [r["row_id"] for r in topk(df, qv, k=1, use_arrow=True).collect()] == [2]

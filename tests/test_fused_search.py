@@ -389,3 +389,24 @@ def test_build_fused_ivf_index_auto_cells(spark, tmp_path):
     assert n_cells == want
     _s, _l, knobs = load_encoder_meta(meta)
     assert len(knobs["centroids"]) == want
+
+
+def test_resolve_auto_cells_guards_head_collapse():
+    """VERDICT r8 ask #3: n_cells='auto' with quantizer='head' must
+    refuse the measured-bad configuration (head collapses at ≥1024
+    cells on both r8 geometries; auto reaches 1024 at ≥65k rows)."""
+    import pytest as _pytest
+
+    from fuserank_spark.flagship import resolve_auto_cells
+
+    # 4·√n clamped to [64, 65536]
+    assert resolve_auto_cells(100, "spherical") == 64
+    assert resolve_auto_cells(500_000, "kmeans") == 2828
+    assert resolve_auto_cells(10**9, "spherical") == 65_536
+    # head fine below the collapse point…
+    assert resolve_auto_cells(10_000, "head") == 400
+    # …and refused at/above it
+    with _pytest.raises(ValueError, match="head"):
+        resolve_auto_cells(65_536, "head")
+    with _pytest.raises(ValueError, match="head"):
+        resolve_auto_cells(500_000, "head")

@@ -729,3 +729,38 @@ def test_hits_reliable_checkpoint_matches_numpy(spark, tmp_path):
     exp = _np_hits(edges, 10)
     for n, (eh, ea) in exp.items():
         assert abs(got[n][0] - eh) < 1e-9 and abs(got[n][1] - ea) < 1e-9, n
+
+
+def test_pagerank_checkpoint_no_trailing_cache(spark, tmp_path):
+    """ADVICE r8 #3: a loop ending OFF the checkpoint cadence used to
+    return a persisted frame that stayed resident for the session's
+    lifetime. step(last=True) now forces the final reliable checkpoint
+    and unpersists every trailing cached frame — the persistent-RDD
+    census returns to its pre-call level once the result is collected."""
+    import random
+
+    from fuserank_spark.pipeline_ext.web import hits, pagerank
+
+    rng = random.Random(7)
+    edges = sorted({(f"d{rng.randrange(30)}", f"d{rng.randrange(35)}") for _ in range(150)})
+    edges = [(s, d) for s, d in edges if s != d]
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["src_domain", "dst_domain"]))
+
+    def _persisted_ids():
+        # ID set, not size: the ContextCleaner asynchronously unpersists
+        # GC'd frames from EARLIER tests, so a raw count can shrink
+        # between measurements — the invariant is "this call leaves no
+        # NEW persisted RDD behind"
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        it = m.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = _persisted_ids()
+    # 7 iterations, every=3 → last iteration (i=6) is OFF cadence
+    pagerank(sdf, iterations=7, checkpoint_dir=str(tmp_path / "pr"), checkpoint_every=3).collect()
+    assert _persisted_ids() - before == set()
+    hits(sdf, iterations=7, checkpoint_dir=str(tmp_path / "ht"), checkpoint_every=3).collect()
+    assert _persisted_ids() - before == set()

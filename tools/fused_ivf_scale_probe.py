@@ -158,7 +158,7 @@ def main():
         # over fused vectors whose norms vary by modality coverage)
         norm = F.sqrt(F.aggregate(F.transform("vector", lambda x: x * x),
                                   F.lit(0.0), lambda a, v: a + v))
-        enc_unit = enc.withColumn("__n", norm).select(
+        enc_unit = enc.withColumn("__n", F.greatest(norm, F.lit(1e-12))).select(
             "row_id", F.transform("vector", lambda x: x / F.col("__n")).alias("vector")
         )
         _a, sph = ivf_build(
