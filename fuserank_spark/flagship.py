@@ -243,6 +243,8 @@ def fused_ivf_serve_persisted(
     text: str = "spark join filter vector search",
     k: int = 10,
     nprobe: int = FUSED_IVF_NPROBE_FAST,
+    target_recall: float | None = None,
+    recall_curve: tuple[tuple[float, float], ...] | None = None,
     delta_sink: str | None = None,
 ) -> DataFrame:
     """Serve a fused query from FILES ONLY — no in-session corpus
@@ -255,6 +257,15 @@ def fused_ivf_serve_persisted(
     streaming.incremental_ivf_index + ivf_persist: the centroid_id
     filter prunes partitions, so the query reads nprobe/n_cells of
     the stored bytes.
+
+    ``target_recall``: pick nprobe from a MEASURED recall curve
+    (:func:`nprobe_for_target_recall`) over the meta's cell count
+    instead of passing a raw ``nprobe`` — the operationalized r8/r9
+    recall tables. Only valid for trained/spherical indexes (the
+    default curve is measured there; head quantizers collapse at auto
+    cell counts, BASELINE.md r8, so this path refuses them — pass an
+    explicit ``nprobe`` to opt in deliberately). ``recall_curve``
+    overrides the default curve with your own corpus-measured points.
 
     ``delta_sink``: when ``index_path`` is a COMPACTED snapshot
     (streaming.compact_ivf_index) and the maintenance stream is still
@@ -290,6 +301,18 @@ def fused_ivf_serve_persisted(
     )
     from .streaming.incremental import read_ivf_index
 
+    if target_recall is not None:
+        q_kind = str(knobs.get("quantizer", "head"))
+        if q_kind == "head":
+            raise ValueError(
+                "target_recall is measured for trained/spherical quantizers; "
+                "this index was frozen with quantizer='head' (no curve — head "
+                "collapses at auto cell counts, BASELINE.md r8). Pass an "
+                "explicit nprobe instead."
+            )
+        nprobe = nprobe_for_target_recall(
+            target_recall, len(cents), curve=recall_curve
+        )
     df = read_ivf_index(spark, index_path, delta_sink=delta_sink)
     return topk(
         df,
@@ -297,6 +320,65 @@ def fused_ivf_serve_persisted(
         k=k,
         predicate=F.col("centroid_id").isin(probe_cells(cents, cq.vector, nprobe)),
     )
+
+
+# Measured nprobe→recall serve curve for the doctrine configuration —
+# trained/spherical k-means at the auto cell count (4·√n) on the 500k
+# ProxyTransformerEmbedder corpus (realistic anisotropic geometry),
+# recall@10 vs cell-size-weighted OBSERVED scan fraction, 8 seeded
+# fused queries (tools/fused_ivf_scale_probe.py --corpus-cache,
+# BASELINE.md r9). Scan FRACTION, not raw nprobe, is the axis because
+# it transfers across cell counts (the r8 de-confounded sweep's
+# protocol). The (1.0, 1.0) full-scan anchor is implicit in
+# :func:`nprobe_for_target_recall` — pruning is the only
+# approximation, so a full scan is exact by construction.
+TRAINED_AUTO_RECALL_CURVE: tuple[tuple[float, float], ...] = (
+    (0.031, 0.54),
+    (0.094, 0.93),
+    (0.25, 1.00),
+)
+
+
+def nprobe_for_target_recall(
+    target_recall: float,
+    n_cells: int,
+    *,
+    curve: tuple[tuple[float, float], ...] | None = None,
+) -> int:
+    """Pick ``nprobe`` by table lookup from a MEASURED recall curve
+    instead of a raw guess (VERDICT r8 ask #6): the smallest measured
+    scan fraction whose recall@10 meets ``target_recall``, converted
+    to ``nprobe = max(1, ceil(frac · n_cells))``. Targets above every
+    measured point resolve to the implicit ``(1.0, 1.0)`` full-scan
+    anchor (recall at ``nprobe = n_cells`` is 1.0 by construction —
+    scoring is exact, pruning is the only approximation).
+
+    ``curve`` is a sequence of ``(scan_fraction, recall)`` points
+    ascending in scan fraction; default is
+    :data:`TRAINED_AUTO_RECALL_CURVE` — measured for trained/spherical
+    quantizers at the auto cell count on the 500k proxy-geometry
+    corpus. A recall curve is a CORPUS-MEASURED artifact (the r7/r8
+    lesson: quantizer rankings reversed between geometries): for a
+    different corpus, measure with ``tools/fused_ivf_scale_probe.py``
+    (``--corpus-cache`` makes re-probes cheap) and pass the points
+    here. No curve exists for head quantizers at auto cell counts —
+    they collapse there on both measured geometries (BASELINE.md r8),
+    which is why the serve path refuses that combination."""
+    import math
+
+    if not (0.0 < target_recall <= 1.0):
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    pts = list(curve if curve is not None else TRAINED_AUTO_RECALL_CURVE)
+    if any(not (0.0 < f <= 1.0 and 0.0 <= r <= 1.0) for f, r in pts):
+        raise ValueError(f"curve points must be (frac in (0,1], recall in [0,1]): {pts}")
+    if [f for f, _r in pts] != sorted(f for f, _r in pts):
+        raise ValueError("curve must be ascending in scan fraction")
+    for frac, recall in pts:
+        if recall >= target_recall:
+            return max(1, min(n_cells, math.ceil(frac * n_cells)))
+    return n_cells
 
 
 def resolve_auto_cells(n_rows: int, quantizer: str) -> int:

@@ -410,3 +410,80 @@ def test_resolve_auto_cells_guards_head_collapse():
         resolve_auto_cells(65_536, "head")
     with _pytest.raises(ValueError, match="head"):
         resolve_auto_cells(500_000, "head")
+
+
+def test_nprobe_for_target_recall_table_lookup():
+    """r9 (VERDICT r8 ask #6): nprobe from a measured (scan_frac,
+    recall) curve — smallest measured fraction meeting the target,
+    ceil'd onto the cell count; targets above every measured point
+    fall through to the implicit (1.0, 1.0) full-scan anchor."""
+    import pytest as _pytest
+
+    from fuserank_spark.flagship import nprobe_for_target_recall
+
+    curve = ((0.031, 0.54), (0.094, 0.93), (0.25, 1.0))
+    assert nprobe_for_target_recall(0.5, 2828, curve=curve) == 88   # ceil(.031*2828)
+    assert nprobe_for_target_recall(0.9, 2828, curve=curve) == 266  # ceil(.094*2828)
+    assert nprobe_for_target_recall(1.0, 2828, curve=curve) == 707  # ceil(.25*2828)
+    # a curve that never reaches the target → full scan
+    low = ((0.1, 0.3), (0.5, 0.8))
+    assert nprobe_for_target_recall(0.95, 64, curve=low) == 64
+    # floor at 1 probe, cap at n_cells
+    assert nprobe_for_target_recall(0.5, 8, curve=curve) == 1
+    assert nprobe_for_target_recall(0.9, 4, curve=((0.9, 0.99),)) == 4
+    # default curve is importable and well-formed
+    assert nprobe_for_target_recall(0.9, 2828) >= 1
+    with _pytest.raises(ValueError, match="target_recall"):
+        nprobe_for_target_recall(0.0, 64)
+    with _pytest.raises(ValueError, match="target_recall"):
+        nprobe_for_target_recall(1.1, 64)
+    with _pytest.raises(ValueError, match="n_cells"):
+        nprobe_for_target_recall(0.9, 0)
+    with _pytest.raises(ValueError, match="ascending"):
+        nprobe_for_target_recall(0.9, 64, curve=((0.25, 0.9), (0.1, 0.5)))
+    with _pytest.raises(ValueError, match="curve points"):
+        nprobe_for_target_recall(0.9, 64, curve=((0.0, 0.5),))
+
+
+def test_serve_persisted_target_recall(spark, tmp_path):
+    """target_recall on the files-only serve path: a curve point at
+    full scan fraction resolves to nprobe == n_cells, so the served
+    top-k equals the exact fused top-k; head-quantizer indexes are
+    refused (no measured curve — they collapse at auto cell counts)."""
+    from fuserank_spark.flagship import (
+        build_corpus_cached,
+        build_fused_ivf_index,
+        flagship_compiled,
+        fused_ivf_serve_persisted,
+    )
+
+    idx = str(tmp_path / "tridx")
+    meta = str(tmp_path / "tridx_meta.json")
+    n_cells = build_fused_ivf_index(
+        spark, SF_SMOKE, idx, meta, n_cells=4, quantizer="spherical", max_iter=5
+    )
+    assert n_cells == 4
+    aux = {
+        "lang": ((["en", "de"], False), 2.0),
+        "source": (None, 1.0),
+        "n_chars": ((120.0, 360.0, False), 1.5),
+    }
+    corpus = build_corpus_cached(spark, SF_SMOKE)
+    cq = flagship_compiled(corpus)
+    exact = [r["row_id"] for r in topk(corpus.encoded, cq.vector, k=10).collect()]
+    served = [
+        r["row_id"]
+        for r in fused_ivf_serve_persisted(
+            spark, idx, meta, k=10, aux_data=aux,
+            target_recall=1.0, recall_curve=((1.0, 1.0),),
+        ).select("row_id").collect()
+    ]
+    assert served == exact
+
+    hidx = str(tmp_path / "hidx")
+    hmeta = str(tmp_path / "hidx_meta.json")
+    build_fused_ivf_index(spark, SF_SMOKE, hidx, hmeta, n_cells=4, quantizer="head")
+    with pytest.raises(ValueError, match="head"):
+        fused_ivf_serve_persisted(
+            spark, hidx, hmeta, k=10, aux_data=aux, target_recall=0.9
+        )

@@ -26,8 +26,12 @@ work when cells are unbalanced.
 
 Usage: python tools/fused_ivf_scale_probe.py [factor] [cells] [sf_dir]
            [--embedder stub|proxy] [--queries N] [--harmonics K]
+           [--corpus-cache DIR]
        factor: corpus = documents × factor rows (default 20 → ~100k)
        cells:  one count ("64") or a comma list ("64,256,1024,4096")
+       --corpus-cache: reuse the embedded+encoded corpus across runs
+           (encoded.parquet + encoder meta under DIR; built on first
+           use — a 500k proxy embed is ~30 min, the probes are not)
 Prints one JSON line per (centroids, n_cells, nprobe) with mean
 recall@10 over the seeded queries, plus per-quantizer cell-balance
 summary lines.
@@ -60,6 +64,8 @@ def main():
     n_queries = int(opts.get("--queries", 8))
     num_harmonics = int(opts.get("--harmonics", 64))
 
+    cache_dir = opts.get("--corpus-cache")
+
     from fuserank_spark.session import get_spark
     from fuserank_spark import schema as S
     from fuserank_spark.embed import (
@@ -67,7 +73,13 @@ def main():
         ProxyTransformerEmbedder,
         embed_corpus,
     )
-    from fuserank_spark.encode import compute_stats, encode_products, record_text_dim
+    from fuserank_spark.encode import (
+        compute_stats,
+        encode_products,
+        load_encoder_meta,
+        record_text_dim,
+        save_encoder_meta,
+    )
     from fuserank_spark.flagship import probe_cells
     from fuserank_spark.pipeline_ext.simsearch import ivf_assign_arrow, ivf_build
     from fuserank_spark.query import compile_query
@@ -76,45 +88,70 @@ def main():
     spark = get_spark("fused-ivf-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # replicated corpus with per-replica text perturbation: embeddings
-    # vary per replica (both embedders see the rep token), aux spreads —
-    # the scale_smoke construction
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    big = (
-        docs.crossJoin(spark.range(factor).select(F.col("id").alias("rep")))
-        .select(
-            (F.col("doc_id") * factor + F.col("rep")).alias("row_id"),
-            F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
-            "lang",
-            (F.col("n_chars") + F.col("rep") % 37).alias("n_chars"),
-        )
-        .repartition(64, "row_id")
-    )
     aux = {"lang": S.SPARSE, "n_chars": S.DENSE}
     if embedder_kind == "proxy":
         emb_dim = 384
-        # blas_threads=1: 32-way task parallelism, no nested threadpools
-        factory = lambda: ProxyTransformerEmbedder(blas_threads=1)  # noqa: E731
         query_embedder = ProxyTransformerEmbedder()
     elif embedder_kind == "stub":
         emb_dim = 64
-        factory = lambda: DeterministicStubEmbedder(emb_dim)  # noqa: E731
         query_embedder = DeterministicStubEmbedder(emb_dim)
     else:
         raise SystemExit(f"--embedder must be stub|proxy, got {embedder_kind}")
 
-    t0 = time.time()
-    embedded = embed_corpus(big, {"text": 1.0}, dim=emb_dim, embedder_factory=factory)
-    stats = compute_stats(embedded, aux)
-    encoded, layout = encode_products(embedded, aux, stats, num_harmonics=num_harmonics)
-    record_text_dim(layout, emb_dim)
-    enc = encoded.select("row_id", "vector").persist()
-    n = enc.count()
-    print(
-        f"fused corpus: {n} rows, dim {layout.dim}, embedder={embedder_kind}, "
-        f"built in {time.time() - t0:.1f}s",
-        file=sys.stderr,
-    )
+    cache_meta = os.path.join(cache_dir, "meta.json") if cache_dir else None
+    cache_parq = os.path.join(cache_dir, "encoded.parquet") if cache_dir else None
+    if cache_meta and os.path.exists(cache_meta):
+        t0 = time.time()
+        stats, layout, _knobs = load_encoder_meta(cache_meta)
+        enc = spark.read.parquet(cache_parq).persist()
+        n = enc.count()
+        print(
+            f"fused corpus: {n} rows, dim {layout.dim}, embedder={embedder_kind}, "
+            f"LOADED from {cache_dir} in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    else:
+        # replicated corpus with per-replica text perturbation:
+        # embeddings vary per replica (both embedders see the rep
+        # token), aux spreads — the scale_smoke construction
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        big = (
+            docs.crossJoin(spark.range(factor).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("doc_id") * factor + F.col("rep")).alias("row_id"),
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+                "lang",
+                (F.col("n_chars") + F.col("rep") % 37).alias("n_chars"),
+            )
+            .repartition(64, "row_id")
+        )
+        if embedder_kind == "proxy":
+            # blas_threads=1: 32-way task parallelism, no nested pools
+            factory = lambda: ProxyTransformerEmbedder(blas_threads=1)  # noqa: E731
+        else:
+            factory = lambda: DeterministicStubEmbedder(emb_dim)  # noqa: E731
+        t0 = time.time()
+        embedded = embed_corpus(big, {"text": 1.0}, dim=emb_dim, embedder_factory=factory)
+        stats = compute_stats(embedded, aux)
+        encoded, layout = encode_products(embedded, aux, stats, num_harmonics=num_harmonics)
+        record_text_dim(layout, emb_dim)
+        if cache_dir:
+            encoded.select("row_id", "vector").write.mode("overwrite").parquet(cache_parq)
+            save_encoder_meta(
+                cache_meta, stats, layout,
+                num_harmonics=num_harmonics,
+                extra={"emb_dim": emb_dim, "embedder": embedder_kind, "factor": factor},
+            )
+            enc = spark.read.parquet(cache_parq).persist()
+        else:
+            enc = encoded.select("row_id", "vector").persist()
+        n = enc.count()
+        print(
+            f"fused corpus: {n} rows, dim {layout.dim}, embedder={embedder_kind}, "
+            f"built in {time.time() - t0:.1f}s"
+            + (f", cached to {cache_dir}" if cache_dir else ""),
+            file=sys.stderr,
+        )
 
     # seeded fused queries (bench's qvec construction)
     qvecs = []
