@@ -1333,6 +1333,69 @@ def span_length_profile(
     )
 
 
+def recommended_anchor_window(
+    profile: DataFrame,
+    *,
+    min_span_tokens: int = 8,
+    max_miss_frac: float = 0.05,
+) -> dict:
+    """Invert a :func:`span_length_profile` histogram into a concrete
+    ``anchor_window`` under a duplicated-token miss budget: the
+    LARGEST ``w ∈ [1, L]`` (largest = biggest exchange cut, bytes cut
+    ≈ (w+1)/2×) whose guarantee gap — the cumulative duplicated-token
+    mass at ``span_tokens < L + w − 1`` — stays within
+    ``max_miss_frac``. The gap is an UPPER bound on anchor mode's
+    guaranteed-miss fraction (see :func:`span_length_profile`), so the
+    recommendation is conservative.
+
+    Driver-side math over the collected histogram (bounded by the
+    longest document — at most a few thousand rows). Returns::
+
+        {"anchor_window": w,            # 1..L; 1 == exact candidate set
+         "guarantee_tokens": L + w − 1, # shortest span guaranteed caught
+         "gap_mass_frac": f,            # measured mass below the guarantee
+         "bytes_cut_estimate": (w+1)/2} # the measured w-law's shape term
+
+    A corpus whose duplicate mass sits entirely at the minimal span
+    length (the 5M trend regime, missed_frac 0.432 at w=4 — SCALING.md
+    r8/r9) yields ``anchor_window = 1`` for any tight budget: the
+    honest answer that anchor mode cannot cut bytes there without
+    eating the miss."""
+    L = int(min_span_tokens)
+    if L < 2:
+        raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
+    if not (0.0 <= max_miss_frac <= 1.0):
+        raise ValueError(f"max_miss_frac must be in [0, 1], got {max_miss_frac}")
+    rows = sorted(
+        (int(r["span_tokens"]), float(r["cum_mass_frac"]))
+        for r in profile.select("span_tokens", "cum_mass_frac").collect()
+    )
+
+    def gap_at(w: int) -> float:
+        # cumulative mass strictly below the guarantee threshold L+w−1
+        thr = L + w - 1
+        g = 0.0
+        for s, cum in rows:
+            if s < thr:
+                g = cum
+            else:
+                break
+        return g
+
+    best = 1  # w=1 selects every gram — exact candidate set, gap 0 below L
+    for w in range(2, L + 1):
+        if gap_at(w) <= max_miss_frac:
+            best = w
+        else:
+            break  # gap_at is non-decreasing in w
+    return {
+        "anchor_window": best,
+        "guarantee_tokens": L + best - 1,
+        "gap_mass_frac": gap_at(best),
+        "bytes_cut_estimate": (best + 1) / 2,
+    }
+
+
 def corpus_minhash_sketch(
     df: DataFrame, text_col: str = "text", num_perms: int = 64
 ) -> list[int]:

@@ -209,3 +209,66 @@ def test_profile_plan_has_no_quadratic_ops(profile_docs):
     plan = span_length_profile(profile_docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recommended_anchor_window_inverts_profile(spark):
+    """Histogram → w inversion: corpus with 9-token (small mass) and
+    20-token (dominant mass) duplicated passages at L=8. Gap below
+    L+w−1: w=2 → thr 9, gap = 0 (9-token spans are AT the threshold);
+    w=3 → thr 10, gap = mass(9); so budget ≥ mass(9) allows larger w,
+    budget < mass(9) caps at w=2."""
+    from fuserank_spark.pipeline_ext.dedup import recommended_anchor_window
+
+    p_short = " ".join(f"s{i}" for i in range(9))     # 9-token span
+    p_long = " ".join(f"l{i}" for i in range(20))     # 20-token span
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {p_short} cc dd {p_long} ee"),
+            (2, f"ff gg hh {p_short} ii {p_long} jj kk"),
+        ],
+        "doc_id bigint, text string",
+    )
+    prof = span_length_profile(docs, min_span_tokens=8)
+    # dup mass: 9-token spans 18 tokens, 20-token spans 40 → frac 18/58
+    short_frac = 18 / 58
+    tight = recommended_anchor_window(
+        prof, min_span_tokens=8, max_miss_frac=short_frac / 2
+    )
+    assert tight["anchor_window"] == 2
+    assert tight["guarantee_tokens"] == 9
+    assert tight["gap_mass_frac"] == 0.0
+    loose = recommended_anchor_window(
+        prof, min_span_tokens=8, max_miss_frac=0.5
+    )
+    # 20-token spans allow w up to min(20−8+1, 8) = 8 before the
+    # dominant mass enters the gap
+    assert loose["anchor_window"] == 8
+    assert loose["gap_mass_frac"] == pytest.approx(short_frac, abs=1e-9)
+
+
+def test_recommended_anchor_window_minimal_span_regime(spark):
+    """The 5M-regime shape: ALL duplicate mass at the minimal span
+    length L → any tight budget yields w=1 (anchor mode cannot cut
+    bytes without eating the miss — the honest answer)."""
+    from fuserank_spark.pipeline_ext.dedup import recommended_anchor_window
+
+    p = " ".join(f"m{i}" for i in range(8))  # exactly L tokens
+    docs = spark.createDataFrame(
+        [(1, f"aa bb {p} cc"), (2, f"dd {p} ee ff")],
+        "doc_id bigint, text string",
+    )
+    prof = span_length_profile(docs, min_span_tokens=8)
+    got = recommended_anchor_window(prof, min_span_tokens=8, max_miss_frac=0.05)
+    assert got["anchor_window"] == 1
+    assert got["guarantee_tokens"] == 8
+
+
+def test_recommended_anchor_window_rejects_bad_args(spark):
+    from fuserank_spark.pipeline_ext.dedup import recommended_anchor_window
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    prof = span_length_profile(docs, min_span_tokens=8)
+    with pytest.raises(ValueError):
+        recommended_anchor_window(prof, min_span_tokens=1)
+    with pytest.raises(ValueError):
+        recommended_anchor_window(prof, max_miss_frac=1.5)
