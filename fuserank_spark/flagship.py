@@ -381,6 +381,21 @@ def nprobe_for_target_recall(
     return n_cells
 
 
+def curve_from_sweep(sweep: "DataFrame", n_cells: int) -> tuple[tuple[float, float], ...]:
+    """Convert an ``eval_harness.fused_ivf_nprobe_sweep`` result
+    (``nprobe int, recall double``) into the ``(scan_fraction,
+    recall)`` points :func:`nprobe_for_target_recall` consumes —
+    the one-line bridge from "measure the curve on YOUR corpus" to
+    "serve with target_recall". The sweep frame is tiny (one row per
+    probed nprobe); collect is bounded."""
+    rows = sorted(
+        (int(r["nprobe"]), float(r["recall"])) for r in sweep.collect()
+    )
+    if not rows:
+        raise ValueError("empty sweep — probe at least one nprobe")
+    return tuple((min(1.0, np_ / n_cells), rec) for np_, rec in rows)
+
+
 def resolve_auto_cells(n_rows: int, quantizer: str) -> int:
     """``n_cells="auto"`` sizing: 4·√n clamped to [64, 65536] — the r8
     de-confounded cell sweep (one 500k corpus, cells 64→4096 at fixed

@@ -487,3 +487,25 @@ def test_serve_persisted_target_recall(spark, tmp_path):
         fused_ivf_serve_persisted(
             spark, hidx, hmeta, k=10, aux_data=aux, target_recall=0.9
         )
+
+
+def test_curve_from_sweep_bridges_to_target_recall(spark):
+    """Measured sweep → curve points → nprobe lookup, end to end on
+    the sf0.001 corpus: the full-probe point (nprobe == n_cells) has
+    recall 1.0 by construction, so target_recall=1.0 resolves to a
+    full scan through the measured curve."""
+    from fuserank_spark.eval_harness import fused_ivf_nprobe_sweep
+    from fuserank_spark.flagship import (
+        FUSED_IVF_CELLS,
+        curve_from_sweep,
+        nprobe_for_target_recall,
+    )
+
+    sweep = fused_ivf_nprobe_sweep(
+        spark, SF_SMOKE, nprobes=(1, FUSED_IVF_CELLS), k=10
+    )
+    curve = curve_from_sweep(sweep, FUSED_IVF_CELLS)
+    assert curve[-1] == (1.0, 1.0)
+    assert nprobe_for_target_recall(1.0, FUSED_IVF_CELLS, curve=curve) == FUSED_IVF_CELLS
+    with pytest.raises(ValueError, match="empty sweep"):
+        curve_from_sweep(sweep.limit(0), FUSED_IVF_CELLS)
