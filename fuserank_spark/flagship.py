@@ -323,18 +323,25 @@ def fused_ivf_serve_persisted(
 
 
 # Measured nprobe→recall serve curve for the doctrine configuration —
-# trained/spherical k-means at the auto cell count (4·√n) on the 500k
-# ProxyTransformerEmbedder corpus (realistic anisotropic geometry),
-# recall@10 vs cell-size-weighted OBSERVED scan fraction, 8 seeded
-# fused queries (tools/fused_ivf_scale_probe.py --corpus-cache,
-# BASELINE.md r9). Scan FRACTION, not raw nprobe, is the axis because
-# it transfers across cell counts (the r8 de-confounded sweep's
-# protocol). The (1.0, 1.0) full-scan anchor is implicit in
-# :func:`nprobe_for_target_recall` — pruning is the only
-# approximation, so a full scan is exact by construction.
+# trained/spherical k-means at the auto cell count (4·√n = 2828) on
+# the 500k ProxyTransformerEmbedder corpus (realistic anisotropic
+# geometry), 8 seeded fused queries, recall@10 per nominal scan
+# fraction (tools/fused_ivf_scale_probe.py 100 2828 --embedder=proxy
+# --corpus-cache, BASELINE.md r9). Each point is the MIN of the
+# trained and spherical measurements at that fraction (conservative;
+# the two track within 0.02 everywhere). Scan FRACTION, not raw
+# nprobe, is the axis because it transfers across cell counts (the
+# r8 de-confounded sweep's protocol). The (1.0, 1.0) full-scan anchor
+# is implicit in :func:`nprobe_for_target_recall` — pruning is the
+# only approximation, so a full scan is exact by construction.
+# Measured 0.25-scan recall was 1.0 with MIN 1.0 over the query set
+# on both quantizers; head cells at the same 2828 cells collapse to
+# 0.74 at quarter scan (the serve path refuses them).
 TRAINED_AUTO_RECALL_CURVE: tuple[tuple[float, float], ...] = (
-    (0.031, 0.54),
-    (0.094, 0.93),
+    (0.0028, 0.125),
+    (0.0113, 0.2875),
+    (0.0311, 0.6125),
+    (0.0937, 0.8875),
     (0.25, 1.00),
 )
 
