@@ -112,7 +112,13 @@ def main():
     from fuserank_spark.pipeline_ext.profile import dataset_card
     from fuserank_spark.partitioning import write_training_shards
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+    # CRAWL_BENCH_CACHE: override for concurrent A/B arms — each run
+    # rmtree's and rewrites its fixture dir, so two arms sharing the
+    # default path would race
+    cache = os.environ.get(
+        "CRAWL_BENCH_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"),
+    )
     warc_dir = os.path.join(cache, "crawl_bench_warc")
     shard_dir = os.path.join(cache, "crawl_bench_shards")
     shutil.rmtree(warc_dir, ignore_errors=True)
@@ -129,7 +135,16 @@ def main():
             F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
         )
         .withColumn("dom", F.pmod(F.xxhash64("doc_id"), F.lit(20_000)))
-        .repartition(32)
+        # file count scales with the tier: read_warc's unit of
+        # parallelism is the FILE and a whole file rides through the
+        # binaryFile source as ONE in-memory blob — 32 files at factor
+        # 1000 means 32 concurrent ~110 MB blobs (plus Arrow copies)
+        # inside local mode's single driver JVM, a measured GC death
+        # spiral (r9: 0/32 tasks after an hour). ~11 MB files keep the
+        # per-task footprint flat at every factor, matching the
+        # many-modest-files shape crawl corpora actually ship
+        # (read_warc docstring: "one giant WARC is the caller's smell").
+        .repartition(32 * max(1, factor // 100))
     )
 
     def _write_warc_partition(rows):
