@@ -264,8 +264,14 @@ def fused_ivf_serve_persisted(
     recall tables. Only valid for trained/spherical indexes (the
     default curve is measured there; head quantizers collapse at auto
     cell counts, BASELINE.md r8, so this path refuses them — pass an
-    explicit ``nprobe`` to opt in deliberately). ``recall_curve``
-    overrides the default curve with your own corpus-measured points.
+    explicit ``nprobe`` to opt in deliberately). The DEFAULT curve is
+    additionally valid only in the auto cell-count regime (cells ≈
+    4·√n — recall does not transfer across regimes at fixed scan
+    fraction, VERDICT r9 #1), so it refuses indexes whose cell count
+    is more than 2× off ``resolve_auto_cells`` for the meta's recorded
+    corpus size. ``recall_curve`` overrides the default curve with
+    your own corpus-measured points (``curve_from_sweep``) and skips
+    the regime check — a measured curve carries its own regime.
 
     ``delta_sink``: when ``index_path`` is a COMPACTED snapshot
     (streaming.compact_ivf_index) and the maintenance stream is still
@@ -310,6 +316,39 @@ def fused_ivf_serve_persisted(
                 "collapses at auto cell counts, BASELINE.md r8). Pass an "
                 "explicit nprobe instead."
             )
+        if recall_curve is None:
+            # the DEFAULT curve was measured in the auto-cell regime
+            # (cells = 4·√n on the 500k proxy corpus) and does NOT
+            # transfer across cell-count regimes — at the same 9.4%
+            # scan, trained recall measured 0.69 at 1024 cells vs 0.90
+            # at 2828 (BASELINE.md r8/r9 tables; VERDICT r9 #1). Refuse
+            # unless this index's cell count is within 2× of what auto
+            # sizing would pick for its recorded corpus size.
+            # index_rows is the explicit build-time record (r10);
+            # stats.n_rows (compute_stats' count, persisted in every
+            # meta since r1) is the fallback for pre-r10 indexes
+            n_rows_meta = knobs.get("index_rows", stats.n_rows)
+            if not n_rows_meta:
+                raise ValueError(
+                    "this index meta records no corpus row count, so the "
+                    "default recall curve's cell-count regime cannot be "
+                    "verified — re-freeze with build_fused_ivf_index, or pass "
+                    "a corpus-measured recall_curve (curve_from_sweep over "
+                    "eval_harness.fused_ivf_nprobe_sweep), or an explicit "
+                    "nprobe."
+                )
+            expected = resolve_auto_cells(int(n_rows_meta), q_kind)
+            if not (expected / 2 <= len(cents) <= expected * 2):
+                raise ValueError(
+                    f"default recall curve refused: index has {len(cents)} "
+                    f"cells for {int(n_rows_meta)} rows, but the curve was "
+                    f"measured in the auto regime (~{expected} cells here; "
+                    "tolerance 2x). Recall does not transfer across cell-"
+                    "count regimes at fixed scan fraction (BASELINE.md "
+                    "r8/r9: 0.69@1024 vs 0.90@2828 cells at 9.4% scan) — "
+                    "measure your own curve via curve_from_sweep and pass "
+                    "recall_curve=, or pass an explicit nprobe."
+                )
         nprobe = nprobe_for_target_recall(
             target_recall, len(cents), curve=recall_curve
         )
@@ -325,18 +364,22 @@ def fused_ivf_serve_persisted(
 # Measured nprobe→recall serve curve for the doctrine configuration —
 # trained/spherical k-means at the auto cell count (4·√n = 2828) on
 # the 500k ProxyTransformerEmbedder corpus (realistic anisotropic
-# geometry), 8 seeded fused queries, recall@10 per nominal scan
+# geometry), seeded fused queries, recall@10 per nominal scan
 # fraction (tools/fused_ivf_scale_probe.py 100 2828 --embedder=proxy
-# --corpus-cache, BASELINE.md r9). Each point is the MIN of the
-# trained and spherical measurements at that fraction (conservative;
-# the two track within 0.02 everywhere). Scan FRACTION, not raw
-# nprobe, is the axis because it transfers across cell counts (the
-# r8 de-confounded sweep's protocol). The (1.0, 1.0) full-scan anchor
-# is implicit in :func:`nprobe_for_target_recall` — pruning is the
-# only approximation, so a full scan is exact by construction.
-# Measured 0.25-scan recall was 1.0 with MIN 1.0 over the query set
-# on both quantizers; head cells at the same 2828 cells collapse to
-# 0.74 at quarter scan (the serve path refuses them).
+# --corpus-cache, BASELINE.md r9/r10). Each point is the MIN of the
+# trained and spherical MEAN measurements at that fraction
+# (conservative; the two track within 0.02 everywhere). Scan FRACTION
+# is the axis, but it does NOT transfer across cell-count regimes —
+# the r8/r9 tables measured trained recall 0.69 at 1024 cells vs 0.90
+# at 2828 at the SAME 9.4% scan (cell count is itself a recall knob).
+# The curve is valid only for indexes in the auto regime (cells ≈
+# 4·√n), which is what fused_ivf_serve_persisted's default-curve
+# guard enforces. The (1.0, 1.0) full-scan anchor is implicit in
+# :func:`nprobe_for_target_recall` — pruning is the only
+# approximation, so a full scan is exact by construction. Measured
+# 0.25-scan recall was 1.0 with MIN 1.0 over the query set on both
+# quantizers; head cells at the same 2828 cells collapse to 0.74 at
+# quarter scan (the serve path refuses them).
 TRAINED_AUTO_RECALL_CURVE: tuple[tuple[float, float], ...] = (
     (0.0028, 0.125),
     (0.0113, 0.2875),
@@ -483,11 +526,14 @@ def build_fused_ivf_index(
     q = quantizer or ("kmeans" if trained else "head")
     if q not in ("kmeans", "spherical", "head"):
         raise ValueError(f"quantizer must be kmeans|spherical|head, got {q!r}")
+    # counted once; recorded in the meta so the serve path can verify
+    # a default-curve target_recall lookup is in the measured regime
+    # (VERDICT r9 #1)
+    n = corpus.encoded.count()
     if n_cells == "auto":
-        n_cells = resolve_auto_cells(corpus.encoded.count(), q)
+        n_cells = resolve_auto_cells(n, q)
     n_cells = int(n_cells)
     if q in ("kmeans", "spherical"):
-        n = corpus.encoded.count()
         frac = min(1.0, sample_rows / max(n, 1))
         train_src = corpus.encoded
         if q == "spherical":
@@ -535,6 +581,7 @@ def build_fused_ivf_index(
             "emb_dim": EMB_DIM,
             "centroids": [[float(x) for x in c] for c in np.asarray(cents)],
             "quantizer": q,
+            "index_rows": int(n),
         },
     )
     return len(cents)

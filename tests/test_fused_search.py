@@ -489,6 +489,66 @@ def test_serve_persisted_target_recall(spark, tmp_path):
         )
 
 
+def test_serve_persisted_default_curve_regime_guard(spark, tmp_path):
+    """r10 (VERDICT r9 #1): the DEFAULT recall curve was measured in
+    the auto cell-count regime (cells = 4·√n) and recall does not
+    transfer across regimes at fixed scan fraction (0.69@1024 vs
+    0.90@2828 cells at 9.4% scan, BASELINE.md r8/r9) — so a
+    default-curve target_recall lookup refuses an index whose cell
+    count is >2× off the auto sizing for its recorded corpus size,
+    while (a) an in-regime index serves, and (b) an explicit
+    corpus-measured recall_curve skips the check (it carries its own
+    regime)."""
+    import json
+
+    from fuserank_spark.flagship import (
+        build_fused_ivf_index,
+        fused_ivf_serve_persisted,
+        resolve_auto_cells,
+    )
+
+    aux = {"lang": ((["en", "de"], False), 2.0)}
+    idx = str(tmp_path / "small_idx")
+    meta = str(tmp_path / "small_meta.json")
+    build_fused_ivf_index(
+        spark, SF_SMOKE, idx, meta, n_cells=4, quantizer="spherical", max_iter=3
+    )
+    # the build records the corpus row count in the meta (VERDICT r9
+    # missing #3) — the field the serve-time guard reads
+    doc = json.load(open(meta))
+    assert doc["extra"]["index_rows"] == doc["n_rows"] > 0
+    # 4 cells vs resolve_auto_cells(500) = 88: out of regime → refuse
+    assert not (
+        resolve_auto_cells(doc["n_rows"], "spherical") / 2
+        <= 4
+        <= resolve_auto_cells(doc["n_rows"], "spherical") * 2
+    )
+    with pytest.raises(ValueError, match="default recall curve refused"):
+        fused_ivf_serve_persisted(
+            spark, idx, meta, k=5, aux_data=aux, target_recall=0.9
+        )
+    # an explicit measured curve on the same index skips the guard
+    got = fused_ivf_serve_persisted(
+        spark, idx, meta, k=5, aux_data=aux,
+        target_recall=0.9, recall_curve=((1.0, 1.0),),
+    ).collect()
+    assert len(got) == 5
+
+    # an index at the auto cell count (within 2×) serves on the
+    # default curve
+    idx2 = str(tmp_path / "auto_idx")
+    meta2 = str(tmp_path / "auto_meta.json")
+    n_cells = build_fused_ivf_index(
+        spark, SF_SMOKE, idx2, meta2, n_cells="auto", quantizer="spherical",
+        max_iter=3,
+    )
+    assert n_cells == resolve_auto_cells(json.load(open(meta2))["n_rows"], "spherical")
+    got = fused_ivf_serve_persisted(
+        spark, idx2, meta2, k=5, aux_data=aux, target_recall=0.9
+    ).collect()
+    assert len(got) == 5
+
+
 def test_curve_from_sweep_bridges_to_target_recall(spark):
     """Measured sweep → curve points → nprobe lookup, end to end on
     the sf0.001 corpus: the full-probe point (nprobe == n_cells) has

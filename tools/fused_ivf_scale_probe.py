@@ -26,12 +26,23 @@ work when cells are unbalanced.
 
 Usage: python tools/fused_ivf_scale_probe.py [factor] [cells] [sf_dir]
            [--embedder stub|proxy] [--queries N] [--harmonics K]
-           [--corpus-cache DIR]
+           [--corpus-cache DIR] [--quantizers head,trained,spherical]
+           [--nprobes N1,N2,...]
        factor: corpus = documents × factor rows (default 20 → ~100k)
        cells:  one count ("64") or a comma list ("64,256,1024,4096")
        --corpus-cache: reuse the embedded+encoded corpus across runs
            (encoded.parquet + encoder meta under DIR; built on first
-           use — a 500k proxy embed is ~30 min, the probes are not)
+           use — a 500k proxy embed is ~30 min, the probes are not).
+           The cache carries its build knobs (embedder/factor/
+           harmonics) and a load REFUSES when they differ from the
+           CLI args — a proxy-built cache served to a --embedder=stub
+           run would silently mismatch every query vector (ADVICE r9).
+       --quantizers: subset of head,trained,spherical (default all
+           three) — k-means training dominates the wall at high cell
+           counts, so a curve re-measure that only needs
+           trained/spherical should not pay for head
+       --nprobes: pin the probed nprobe list exactly (overrides the
+           derived ladder) — e.g. just the 5 curve fractions
 Prints one JSON line per (centroids, n_cells, nprobe) with mean
 recall@10 over the seeded queries, plus per-quantizer cell-balance
 summary lines.
@@ -63,6 +74,14 @@ def main():
     embedder_kind = str(opts.get("--embedder", "stub"))
     n_queries = int(opts.get("--queries", 8))
     num_harmonics = int(opts.get("--harmonics", 64))
+    quantizers = tuple(str(opts.get("--quantizers", "head,trained,spherical")).split(","))
+    bad_q = set(quantizers) - {"head", "trained", "spherical"}
+    if bad_q:
+        raise SystemExit(f"--quantizers must be from head,trained,spherical: {bad_q}")
+    pinned_nprobes = (
+        tuple(int(p) for p in str(opts["--nprobes"]).split(","))
+        if "--nprobes" in opts else None
+    )
 
     cache_dir = opts.get("--corpus-cache")
 
@@ -103,6 +122,21 @@ def main():
     if cache_meta and os.path.exists(cache_meta):
         t0 = time.time()
         stats, layout, _knobs = load_encoder_meta(cache_meta)
+        # the cache is only valid for the knobs it was built with —
+        # query vectors are compiled from the CLI's embedder/harmonics,
+        # so a mismatch silently probes the wrong layout (ADVICE r9)
+        for knob, want in (
+            ("embedder", embedder_kind),
+            ("factor", factor),
+            ("num_harmonics", num_harmonics),
+        ):
+            got = _knobs.get(knob)
+            if got != want:
+                raise SystemExit(
+                    f"corpus cache at {cache_dir} was built with {knob}={got!r} "
+                    f"but this run asks {knob}={want!r} — pass matching args "
+                    "or point --corpus-cache at a fresh dir"
+                )
         enc = spark.read.parquet(cache_parq).persist()
         n = enc.count()
         print(
@@ -174,37 +208,52 @@ def main():
 
     sweep_mode = len(cells_list) > 1
     for n_cells in cells_list:
-        head_cents = np.array(
-            [
-                r["vector"]
-                for r in enc.orderBy("row_id").limit(n_cells).select("vector").collect()
-            ],
-            dtype="float64",
-        )
-        t0 = time.time()
-        _a, trained_cents = ivf_build(
-            enc, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
-            sample_fraction=min(1.0, 50_000 / n), max_iter=10,
-        )
-        train_sec = round(time.time() - t0, 1)
-        print(f"k-means {n_cells} cells trained in {train_sec}s", file=sys.stderr)
+        built: list[tuple[str, np.ndarray]] = []
+        if "head" in quantizers:
+            head_cents = np.array(
+                [
+                    r["vector"]
+                    for r in enc.orderBy("row_id").limit(n_cells).select("vector").collect()
+                ],
+                dtype="float64",
+            )
+            built.append(("head", head_cents))
+        if "trained" in quantizers:
+            t0 = time.time()
+            _a, trained_cents = ivf_build(
+                enc, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
+                sample_fraction=min(1.0, 50_000 / n), max_iter=10,
+            )
+            train_sec = round(time.time() - t0, 1)
+            print(f"k-means {n_cells} cells trained in {train_sec}s", file=sys.stderr)
+            built.append(("trained", trained_cents))
 
-        # spherical k-means: train on L2-normalized vectors, renormalize
-        # the centroids — the IP-aligned trainer (plain k-means optimizes
-        # L2 cell geometry, which need not match inner-product retrieval
-        # over fused vectors whose norms vary by modality coverage)
-        norm = F.sqrt(F.aggregate(F.transform("vector", lambda x: x * x),
-                                  F.lit(0.0), lambda a, v: a + v))
-        enc_unit = enc.withColumn("__n", F.greatest(norm, F.lit(1e-12))).select(
-            "row_id", F.transform("vector", lambda x: x / F.col("__n")).alias("vector")
-        )
-        _a, sph = ivf_build(
-            enc_unit, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
-            sample_fraction=min(1.0, 50_000 / n), max_iter=10,
-        )
-        sph = sph / np.maximum(np.linalg.norm(sph, axis=1, keepdims=True), 1e-12)
+        if "spherical" in quantizers:
+            # spherical k-means: train on L2-normalized vectors, renormalize
+            # the centroids — the IP-aligned trainer (plain k-means optimizes
+            # L2 cell geometry, which need not match inner-product retrieval
+            # over fused vectors whose norms vary by modality coverage)
+            norm = F.sqrt(F.aggregate(F.transform("vector", lambda x: x * x),
+                                      F.lit(0.0), lambda a, v: a + v))
+            enc_unit = enc.withColumn("__n", F.greatest(norm, F.lit(1e-12))).select(
+                "row_id", F.transform("vector", lambda x: x / F.col("__n")).alias("vector")
+            )
+            t0 = time.time()
+            _a, sph = ivf_build(
+                enc_unit, dim=layout.dim, n_centroids=n_cells, vec_col="vector",
+                sample_fraction=min(1.0, 50_000 / n), max_iter=10,
+            )
+            sph = sph / np.maximum(np.linalg.norm(sph, axis=1, keepdims=True), 1e-12)
+            print(
+                f"spherical k-means {n_cells} cells trained in "
+                f"{round(time.time() - t0, 1)}s",
+                file=sys.stderr,
+            )
+            built.append(("spherical", sph))
 
-        if sweep_mode:
+        if pinned_nprobes is not None:
+            nprobes = tuple(sorted({p for p in pinned_nprobes if 1 <= p <= n_cells}))
+        elif sweep_mode:
             # fixed target fractions (comparable across cell counts)
             # plus a few tiny fixed probes for the graceful-degradation
             # signal at minimal scan fractions
@@ -220,9 +269,7 @@ def main():
                 | {max(1, round(f * n_cells)) for f in SWEEP_FRACS}
             ))
 
-        for cents_name, cents in (
-            ("head", head_cents), ("trained", trained_cents), ("spherical", sph)
-        ):
+        for cents_name, cents in built:
             # arrow assignment (parity-pinned twin of the expression
             # path): the expression form compiles n_cells·dim literals
             # into the plan — unusable at 1024+ cells
