@@ -900,6 +900,66 @@ def boilerplate_fraction(
     )
 
 
+def resolve_span_strategy(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 8,
+    max_miss_frac: float = 0.05,
+    sample_fraction: float | None = 0.1,
+    seed: int = 7,
+) -> dict:
+    """The "profile first, strategy second" pre-flight (SCALING.md r9)
+    as one call: run :func:`dedup.span_length_profile` on a seeded
+    document sample, invert it with
+    :func:`dedup.recommended_anchor_window` under the miss budget, and
+    map the answer onto :func:`dedup.dedup_spans` arguments —
+    ``w == 1`` means anchor mode cannot cut exchange bytes without
+    exceeding the budget (the 5M minimal-span regime, where the
+    anchor+floor composition missed whole spans and kept 25.6× exact's
+    survivors — BASELINE.md r9), so the choice falls back to the exact
+    join. Returns::
+
+        {"strategy": "join" | "anchor",
+         "anchor_window": w,             # 1 for the exact fallback
+         "gap_mass_frac": f,             # measured mass below the guarantee
+         "bytes_cut_estimate": (w+1)/2}  # anchor mode's exchange-cut shape
+
+    This is an EAGER pre-flight (one bounded profile job + a
+    driver-side histogram inversion) — the price of not freezing a
+    corpus-dependent knob doctrinally (the r7–r9 lesson, twice:
+    quantizer choice and anchor w both reversed between corpora)."""
+    from .dedup import recommended_anchor_window, span_length_profile
+
+    prof = span_length_profile(
+        df,
+        key_col=key_col,
+        text_col=text_col,
+        min_span_tokens=min_span_tokens,
+        sample_fraction=sample_fraction,
+        seed=seed,
+    )
+    try:
+        rec = recommended_anchor_window(prof, max_miss_frac=max_miss_frac)
+    except ValueError as e:
+        if "empty profile" not in str(e):
+            raise
+        # no duplicated mass in the sample at all — nothing for anchor
+        # mode to miss, but also nothing for it to cut: the exact join
+        # on a dup-free corpus is cheap (its gram stream has no ≥2
+        # groups), so the conservative answer is exact
+        rec = {"anchor_window": 1, "gap_mass_frac": 0.0,
+               "bytes_cut_estimate": 1.0}
+    w = int(rec["anchor_window"])
+    return {
+        "strategy": "join" if w == 1 else "anchor",
+        "anchor_window": w,
+        "gap_mass_frac": float(rec["gap_mass_frac"]),
+        "bytes_cut_estimate": float(rec["bytes_cut_estimate"]),
+    }
+
+
 def curate_corpus(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -918,6 +978,8 @@ def curate_corpus(
     span_dedup_strategy: str = "join",
     span_dedup_anchor_window: int = 4,
     span_drop_if_kept_below: float | None = None,
+    span_auto_max_miss_frac: float = 0.05,
+    span_auto_sample_fraction: float | None = 0.1,
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
     domain_col: str = "domain",
@@ -971,6 +1033,19 @@ def curate_corpus(
     residue otherwise keeps gutted duplicates alive through the
     quality gates.
 
+    ``span_dedup_strategy="auto"`` (VERDICT r9 ask #4) runs the
+    "profile first, strategy second" pre-flight inline
+    (:func:`resolve_span_strategy`): a seeded-sample
+    :func:`dedup.span_length_profile` inverted under
+    ``span_auto_max_miss_frac`` picks exact (``w == 1`` — the 5M
+    minimal-span regime, where anchor mode misses whole spans) or
+    anchor at the recommended ``w``; ``span_dedup_anchor_window`` is
+    ignored in auto mode. One bounded eager profile job before the
+    pipeline is declared. Note the kept-fraction floor stays YOUR
+    call: pass ``span_drop_if_kept_below`` alongside auto if anchor
+    may be chosen — the floor compensates boundary residue (not
+    whole missed spans; that part is what the miss budget bounds).
+
     Pass ``domain_ranks`` (a (node, rank) frame, e.g. `web.pagerank`
     over `web.domain_link_graph`) + ``min_domain_rank`` to gate on the
     domain-authority prior FIRST — the RefinedWeb ordering: provenance
@@ -1015,6 +1090,17 @@ def curate_corpus(
     if span_dedup_tokens is not None:
         from .dedup import dedup_spans
 
+        span_strategy, span_w = span_dedup_strategy, span_dedup_anchor_window
+        if span_dedup_strategy == "auto":
+            choice = resolve_span_strategy(
+                df,
+                key_col=key_col,
+                text_col=text_col,
+                min_span_tokens=span_dedup_tokens,
+                max_miss_frac=span_auto_max_miss_frac,
+                sample_fraction=span_auto_sample_fraction,
+            )
+            span_strategy, span_w = choice["strategy"], choice["anchor_window"]
         # span_dedup_strategy="anchor" is the crawl-scale exchange cut
         # (the composition's cost center is THIS stage's gram stream —
         # 4.1 GB of the 4.2 GB r7 crawl→shards shuffle; anchor mode
@@ -1023,8 +1109,8 @@ def curate_corpus(
         df = dedup_spans(
             df, key_col=key_col, text_col=text_col,
             min_span_tokens=span_dedup_tokens,
-            strategy=span_dedup_strategy,
-            anchor_window=span_dedup_anchor_window,
+            strategy=span_strategy,
+            anchor_window=span_w,
         )
         if span_drop_if_kept_below is not None:
             # Lee et al.'s companion rule: a document that lost most of

@@ -1250,6 +1250,11 @@ def span_length_profile(
       largest usable ``anchor_window`` (the operator enforces
       ``w ≤ L``) whose guarantee still covers spans of this length
       (Lee et al. 2021, arXiv:2107.06499's companion analysis)
+    * ``min_span_tokens`` — the constant ``L`` the profile was built
+      with, carried with the histogram so
+      :func:`recommended_anchor_window` can verify it inverts the
+      same ``L`` (every guarantee threshold is ``L``-relative; a
+      mismatched ``L`` would silently shift them all — ADVICE r9)
 
     ``sample_fraction`` bounds the token-granular work for a
     diagnostic pass over a large corpus: a seeded, engine-portable
@@ -1327,7 +1332,7 @@ def span_length_profile(
         )
         .select(
             "span_tokens", "n_spans", "dup_token_mass", "cum_mass_frac",
-            "max_guaranteed_w",
+            "max_guaranteed_w", F.lit(L).cast("int").alias("min_span_tokens"),
         )
         .orderBy("span_tokens")
     )
@@ -1336,7 +1341,7 @@ def span_length_profile(
 def recommended_anchor_window(
     profile: DataFrame,
     *,
-    min_span_tokens: int = 8,
+    min_span_tokens: int | None = None,
     max_miss_frac: float = 0.05,
 ) -> dict:
     """Invert a :func:`span_length_profile` histogram into a concrete
@@ -1360,15 +1365,57 @@ def recommended_anchor_window(
     length (the 5M trend regime, missed_frac 0.432 at w=4 — SCALING.md
     r8/r9) yields ``anchor_window = 1`` for any tight budget: the
     honest answer that anchor mode cannot cut bytes there without
-    eating the miss."""
-    L = int(min_span_tokens)
-    if L < 2:
+    eating the miss.
+
+    ``min_span_tokens`` defaults to the ``L`` the profile itself
+    carries (its ``min_span_tokens`` column); passing it explicitly is
+    a cross-check — a value different from the profile's raises
+    instead of silently shifting every guarantee threshold (ADVICE
+    r9)."""
+    if min_span_tokens is not None and int(min_span_tokens) < 2:
         raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
     if not (0.0 <= max_miss_frac <= 1.0):
         raise ValueError(f"max_miss_frac must be in [0, 1], got {max_miss_frac}")
+    cols = ["span_tokens", "cum_mass_frac"]
+    has_L_col = "min_span_tokens" in profile.columns
+    if has_L_col:
+        cols.append("min_span_tokens")
+    elif min_span_tokens is None:
+        raise ValueError(
+            "profile carries no min_span_tokens column (built before r10?) "
+            "— pass min_span_tokens= explicitly"
+        )
+    collected = profile.select(*cols).collect()
+    if has_L_col:
+        profile_Ls = {int(r["min_span_tokens"]) for r in collected}
+        if len(profile_Ls) > 1:
+            raise ValueError(
+                f"profile mixes rows from different min_span_tokens builds: "
+                f"{sorted(profile_Ls)}"
+            )
+        if profile_Ls:
+            (profile_L,) = profile_Ls
+            if min_span_tokens is not None and int(min_span_tokens) != profile_L:
+                raise ValueError(
+                    f"min_span_tokens={int(min_span_tokens)} does not match the "
+                    f"profile's own L={profile_L} — the guarantee thresholds are "
+                    "L-relative, so inverting a profile at a different L would "
+                    "silently shift them all"
+                )
+            min_span_tokens = profile_L
+    if min_span_tokens is None:
+        # empty profile with no rows to read L from — no duplicated
+        # mass at all, any w is safe; report the degenerate answer at
+        # an L the caller must supply
+        raise ValueError(
+            "empty profile and no min_span_tokens given — pass the L the "
+            "profile was built with"
+        )
+    L = int(min_span_tokens)
+    if L < 2:
+        raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
     rows = sorted(
-        (int(r["span_tokens"]), float(r["cum_mass_frac"]))
-        for r in profile.select("span_tokens", "cum_mass_frac").collect()
+        (int(r["span_tokens"]), float(r["cum_mass_frac"])) for r in collected
     )
 
     def gap_at(w: int) -> float:

@@ -625,6 +625,97 @@ def test_curate_corpus_optional_span_dedup_stage(spark):
         assert c not in out.columns
 
 
+def test_resolve_span_strategy_regimes(spark):
+    """VERDICT r9 ask #4 — the "profile first, strategy second" rule
+    as one call: a corpus whose duplicate mass sits at the minimal
+    span length (the 5M trend regime) resolves to the exact join
+    (anchor cannot cut bytes there without eating the miss), a
+    long-span corpus resolves to anchor at the profile-recommended
+    w."""
+    from fuserank_spark.pipeline_ext.curation import resolve_span_strategy
+
+    # all dup mass at exactly L=8 tokens → w=1 → exact
+    p_min = " ".join(f"m{i}" for i in range(8))
+    minimal = _docs(
+        spark,
+        [(1, f"aa bb {p_min} cc"), (2, f"dd {p_min} ee ff")],
+    )
+    got = resolve_span_strategy(
+        minimal, min_span_tokens=8, max_miss_frac=0.05, sample_fraction=None
+    )
+    assert got["strategy"] == "join"
+    assert got["anchor_window"] == 1
+
+    # all dup mass in 20-token spans → guarantee holds up to w=8 → anchor
+    p_long = " ".join(f"l{i}" for i in range(20))
+    longspan = _docs(
+        spark,
+        [(1, f"aa bb {p_long} cc"), (2, f"dd {p_long} ee ff")],
+    )
+    got = resolve_span_strategy(
+        longspan, min_span_tokens=8, max_miss_frac=0.05, sample_fraction=None
+    )
+    assert got["strategy"] == "anchor"
+    assert got["anchor_window"] == 8
+    assert got["gap_mass_frac"] == 0.0
+
+    # dup-free corpus: nothing to miss, exact is the cheap answer
+    clean = _docs(spark, [(1, "totally unique words"), (2, "other text")])
+    got = resolve_span_strategy(
+        clean, min_span_tokens=8, sample_fraction=None
+    )
+    assert got == {
+        "strategy": "join", "anchor_window": 1,
+        "gap_mass_frac": 0.0, "bytes_cut_estimate": 1.0,
+    }
+
+
+def test_curate_corpus_span_strategy_auto(spark):
+    """span_dedup_strategy="auto" wires the pre-flight into the
+    composition: the minimal-span fixture auto-selects exact (output
+    identical to strategy="join"), the long-span fixture auto-selects
+    anchor (output identical to the explicit anchor run at the
+    recommended w)."""
+    p_min = " ".join(f"m{i}" for i in range(8))
+    minimal = _docs(
+        spark,
+        [
+            (1, f"intro words here {p_min} closing unique thoughts expressed"),
+            (2, f"other doc begins {p_min} and then different tail content"),
+        ],
+    )
+    auto = curate_corpus(
+        minimal, min_quality=0.0, span_dedup_tokens=8,
+        span_dedup_strategy="auto", span_auto_sample_fraction=None,
+    )
+    exact = curate_corpus(
+        minimal, min_quality=0.0, span_dedup_tokens=8,
+        span_dedup_strategy="join",
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, exact.collect()))
+
+    p_long = " ".join(f"l{i}" for i in range(20))
+    longspan = _docs(
+        spark,
+        [
+            (1, f"intro words here {p_long} closing unique thoughts expressed"),
+            (2, f"other doc begins {p_long} and then different tail content"),
+        ],
+    )
+    auto = curate_corpus(
+        longspan, min_quality=0.0, span_dedup_tokens=8,
+        span_dedup_strategy="auto", span_auto_sample_fraction=None,
+    )
+    anchored = curate_corpus(
+        longspan, min_quality=0.0, span_dedup_tokens=8,
+        span_dedup_strategy="anchor", span_dedup_anchor_window=8,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, anchored.collect()))
+    # and auto actually excised the duplicated passage from the loser
+    texts = {r["doc_id"]: r["text"] for r in auto.collect()}
+    assert p_long in texts[1] and p_long not in texts[2]
+
+
 def test_leakage_safe_split_clusters_never_straddle(spark):
     """Every pair edge lands both endpoints in the SAME split;
     singletons get exactly their assign_split value (coalesce

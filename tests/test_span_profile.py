@@ -272,3 +272,35 @@ def test_recommended_anchor_window_rejects_bad_args(spark):
         recommended_anchor_window(prof, min_span_tokens=1)
     with pytest.raises(ValueError):
         recommended_anchor_window(prof, max_miss_frac=1.5)
+
+
+def test_profile_carries_L_and_inverter_cross_checks(spark):
+    """ADVICE r9: the profile carries the L it was built with
+    (``min_span_tokens`` column), recommended_anchor_window reads it
+    when the parameter is omitted, and a MISMATCHED explicit L raises
+    instead of silently shifting every guarantee threshold."""
+    from fuserank_spark.pipeline_ext.dedup import recommended_anchor_window
+
+    p = " ".join(f"x{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"aa bb {p} cc"), (2, f"dd {p} ee")],
+        "doc_id bigint, text string",
+    )
+    prof = span_length_profile(docs, min_span_tokens=8)
+    assert {int(r["min_span_tokens"]) for r in prof.collect()} == {8}
+    # L read from the profile itself — same answer as the explicit call
+    implicit = recommended_anchor_window(prof, max_miss_frac=0.5)
+    explicit = recommended_anchor_window(prof, min_span_tokens=8, max_miss_frac=0.5)
+    assert implicit == explicit
+    assert implicit["guarantee_tokens"] == 8 + implicit["anchor_window"] - 1
+    with pytest.raises(ValueError, match="does not match the"):
+        recommended_anchor_window(prof, min_span_tokens=5, max_miss_frac=0.5)
+    # a pre-r10 profile shape (no L column) still works with an
+    # explicit L, and refuses when L is omitted
+    legacy = prof.drop("min_span_tokens")
+    assert (
+        recommended_anchor_window(legacy, min_span_tokens=8, max_miss_frac=0.5)
+        == explicit
+    )
+    with pytest.raises(ValueError, match="no min_span_tokens column"):
+        recommended_anchor_window(legacy, max_miss_frac=0.5)
