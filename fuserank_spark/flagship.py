@@ -364,11 +364,16 @@ def fused_ivf_serve_persisted(
 # Measured nprobe→recall serve curve for the doctrine configuration —
 # trained/spherical k-means at the auto cell count (4·√n = 2828) on
 # the 500k ProxyTransformerEmbedder corpus (realistic anisotropic
-# geometry), seeded fused queries, recall@10 per nominal scan
-# fraction (tools/fused_ivf_scale_probe.py 100 2828 --embedder=proxy
-# --corpus-cache, BASELINE.md r9/r10). Each point is the MIN of the
-# trained and spherical MEAN measurements at that fraction
-# (conservative; the two track within 0.02 everywhere). Scan FRACTION
+# geometry), 32 seeded fused queries (r10 re-measure; the r9 curve
+# rested on 8), MEAN recall@10 per nominal scan fraction
+# (tools/fused_ivf_scale_probe.py 100 2828 --embedder=proxy
+# --corpus-cache --queries=32, BASELINE.md r10 table with the full
+# per-point min/mean distribution). Each point is the MIN of the
+# trained and spherical means at that fraction (conservative; the two
+# track within 0.05 everywhere). The recall here is a MEAN guarantee,
+# not a per-query floor — measured per-query MINs are 0.4 at the
+# 0.0937 point and 0.9 at 0.25 (spherical): a caller needing a floor
+# must read the BASELINE.md min column, not this table. Scan FRACTION
 # is the axis, but it does NOT transfer across cell-count regimes —
 # the r8/r9 tables measured trained recall 0.69 at 1024 cells vs 0.90
 # at 2828 at the SAME 9.4% scan (cell count is itself a recall knob).
@@ -376,16 +381,17 @@ def fused_ivf_serve_persisted(
 # 4·√n), which is what fused_ivf_serve_persisted's default-curve
 # guard enforces. The (1.0, 1.0) full-scan anchor is implicit in
 # :func:`nprobe_for_target_recall` — pruning is the only
-# approximation, so a full scan is exact by construction. Measured
-# 0.25-scan recall was 1.0 with MIN 1.0 over the query set on both
-# quantizers; head cells at the same 2828 cells collapse to 0.74 at
-# quarter scan (the serve path refuses them).
+# approximation, so a full scan is exact by construction (and with 32
+# queries the quarter-scan point is now honestly 0.9969, not the
+# 8-query 1.00 — target_recall=1.0 resolves to a full scan). Head
+# cells at the same 2828 cells collapse to 0.74 at quarter scan (the
+# serve path refuses them).
 TRAINED_AUTO_RECALL_CURVE: tuple[tuple[float, float], ...] = (
-    (0.0028, 0.125),
-    (0.0113, 0.2875),
-    (0.0311, 0.6125),
-    (0.0937, 0.8875),
-    (0.25, 1.00),
+    (0.0028, 0.1375),
+    (0.0113, 0.4125),
+    (0.0311, 0.7063),
+    (0.0937, 0.9437),
+    (0.25, 0.9969),
 )
 
 
@@ -407,7 +413,11 @@ def nprobe_for_target_recall(
     ascending in scan fraction; default is
     :data:`TRAINED_AUTO_RECALL_CURVE` — measured for trained/spherical
     quantizers at the auto cell count on the 500k proxy-geometry
-    corpus. A recall curve is a CORPUS-MEASURED artifact (the r7/r8
+    corpus (32 queries, r10). The recall values are per-point MEANS
+    over the query set — the lookup guarantees expected recall, not a
+    per-query floor (measured per-query mins per point are in the
+    BASELINE.md r10 table; at the 9.4%-scan point the worst query saw
+    0.4). A recall curve is a CORPUS-MEASURED artifact (the r7/r8
     lesson: quantizer rankings reversed between geometries): for a
     different corpus, measure with ``tools/fused_ivf_scale_probe.py``
     (``--corpus-cache`` makes re-probes cheap) and pass the points

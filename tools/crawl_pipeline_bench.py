@@ -15,8 +15,14 @@ from the Spark UI REST API (this tool's own session enables the UI;
 the engine default keeps it off).
 
 Usage: python tools/crawl_pipeline_bench.py [factor] [sf_dir]
-           [--embed-tail=N]
+           [--embed-tail=N] [--span-strategy=join|anchor|auto]
+           [--span-kept-floor=f]
        (defaults: 100 → 500k records, sf0.1)
+``--span-strategy=auto`` (r10) exercises the profile-first pre-flight
+inside the composition: curate_corpus runs resolve_span_strategy on a
+seeded sample and picks exact or anchor+w itself; the pre-flight's
+wall lands in the curate_corpus stage row, pricing what the
+operational rule actually costs.
 ``--embed-tail=N`` (VERDICT r7 #6) appends the X1 stage chain —
 proxy-transformer embed → fused encode → IVF build + partitioned
 write — over the first N curated docs (N=0 → all), so the table
