@@ -909,6 +909,8 @@ def resolve_span_strategy(
     max_miss_frac: float = 0.05,
     sample_fraction: float | None = 0.1,
     seed: int = 7,
+    kept_floor: float | None = None,
+    floor_protect_quantile: float = 0.1,
 ) -> dict:
     """The "profile first, strategy second" pre-flight (SCALING.md r9)
     as one call: run :func:`dedup.span_length_profile` on a seeded
@@ -926,11 +928,67 @@ def resolve_span_strategy(
          "gap_mass_frac": f,             # measured mass below the guarantee
          "bytes_cut_estimate": (w+1)/2}  # anchor mode's exchange-cut shape
 
+    ``kept_floor``: the ``span_drop_if_kept_below`` value the caller
+    will pair with anchor mode, if known. The miss budget bounds
+    MISSED duplicated mass only — a gutted duplicate still retains
+    ≤ ``2(w−1)`` boundary tokens, and on short-document corpora a
+    large ``w`` keeps whole-doc-duplicate shells ABOVE the floor (the
+    budget said yes, the floor then failed to cull: measured r10 on
+    the crawl fixture, w=8 + floor 0.3 kept 84,200 survivors vs
+    exact's 4,756 — docs up to ~60 tokens retain 14 residue + unique
+    tokens ≥ 0.3 kept fraction, and the fixture's p50 is 58). With
+    ``kept_floor`` given, ``w`` is additionally capped so a
+    bottom-``floor_protect_quantile`` document's pure-residue shell
+    dies: ``2(w−1) ≤ floor · n_q`` with ``n_q`` the sampled
+    token-count quantile (default p10 — protecting the median alone
+    leaves half the corpus below the shelter boundary; same tokenizer
+    as the span op). Sub-quantile docs and the unique-tail term can
+    still shelter — raise the floor or lower the quantile if the tail
+    matters; the output reports ``protect_doc_tokens`` /
+    ``floor_cap_w`` so the arithmetic is visible.
+
     This is an EAGER pre-flight (one bounded profile job + a
     driver-side histogram inversion) — the price of not freezing a
     corpus-dependent knob doctrinally (the r7–r9 lesson, twice:
     quantizer choice and anchor w both reversed between corpora)."""
     from .dedup import recommended_anchor_window, span_length_profile
+    from .hashing import portable_hash32
+    from .textstats import tokens_expr
+
+    src = df
+    if sample_fraction is not None:
+        # the same seeded portable gate span_length_profile applies, so
+        # the p50 below is measured on the identical document sample
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        gate = F.pmod(
+            portable_hash32(
+                F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}"))
+            ),
+            F.lit(1_000_000),
+        )
+        src = df.filter(gate < F.lit(int(round(sample_fraction * 1_000_000))))
+
+    n_q = None
+    cap = None
+    if kept_floor is not None:
+        if not (0.0 < kept_floor <= 1.0):
+            raise ValueError(f"kept_floor must be in (0, 1], got {kept_floor}")
+        if not (0.0 < floor_protect_quantile <= 1.0):
+            raise ValueError(
+                f"floor_protect_quantile must be in (0, 1], got "
+                f"{floor_protect_quantile}"
+            )
+        row = src.agg(
+            F.percentile_approx(
+                F.size(tokens_expr(F.col(text_col))), floor_protect_quantile
+            ).alias("p")
+        ).collect()[0]
+        n_q = int(row["p"]) if row["p"] is not None else 0
+        # largest w with 2(w−1) ≤ kept_floor · n_q
+        cap = max(1, 1 + int((kept_floor * n_q) / 2.0))
 
     prof = span_length_profile(
         df,
@@ -941,7 +999,9 @@ def resolve_span_strategy(
         seed=seed,
     )
     try:
-        rec = recommended_anchor_window(prof, max_miss_frac=max_miss_frac)
+        rec = recommended_anchor_window(
+            prof, max_miss_frac=max_miss_frac, max_window=cap
+        )
     except ValueError as e:
         if "empty profile" not in str(e):
             raise
@@ -952,12 +1012,16 @@ def resolve_span_strategy(
         rec = {"anchor_window": 1, "gap_mass_frac": 0.0,
                "bytes_cut_estimate": 1.0}
     w = int(rec["anchor_window"])
-    return {
+    out = {
         "strategy": "join" if w == 1 else "anchor",
         "anchor_window": w,
         "gap_mass_frac": float(rec["gap_mass_frac"]),
         "bytes_cut_estimate": float(rec["bytes_cut_estimate"]),
     }
+    if kept_floor is not None:
+        out["protect_doc_tokens"] = n_q
+        out["floor_cap_w"] = cap
+    return out
 
 
 def curate_corpus(
@@ -1041,10 +1105,12 @@ def curate_corpus(
     minimal-span regime, where anchor mode misses whole spans) or
     anchor at the recommended ``w``; ``span_dedup_anchor_window`` is
     ignored in auto mode. One bounded eager profile job before the
-    pipeline is declared. Note the kept-fraction floor stays YOUR
-    call: pass ``span_drop_if_kept_below`` alongside auto if anchor
-    may be chosen — the floor compensates boundary residue (not
-    whole missed spans; that part is what the miss budget bounds).
+    pipeline is declared. Pass ``span_drop_if_kept_below`` alongside
+    auto if anchor may be chosen — auto feeds it into the w choice as
+    the residue cap (``2(w−1) ≤ floor · p10`` doc tokens, so a
+    bottom-decile whole-doc duplicate's boundary-residue shell cannot
+    shelter under the floor — the r10 crawl-fixture finding), and the
+    floor itself then culls the shells the cap arithmetic targets.
 
     Pass ``domain_ranks`` (a (node, rank) frame, e.g. `web.pagerank`
     over `web.domain_link_graph`) + ``min_domain_rank`` to gate on the
@@ -1099,6 +1165,10 @@ def curate_corpus(
                 min_span_tokens=span_dedup_tokens,
                 max_miss_frac=span_auto_max_miss_frac,
                 sample_fraction=span_auto_sample_fraction,
+                # the floor the caller will apply below caps w so a
+                # median doc's pure-residue shell cannot shelter under
+                # it (the r10 crawl-fixture finding)
+                kept_floor=span_drop_if_kept_below,
             )
             span_strategy, span_w = choice["strategy"], choice["anchor_window"]
         # span_dedup_strategy="anchor" is the crawl-scale exchange cut

@@ -1348,6 +1348,7 @@ def recommended_anchor_window(
     *,
     min_span_tokens: int | None = None,
     max_miss_frac: float = 0.05,
+    max_window: int | None = None,
 ) -> dict:
     """Invert a :func:`span_length_profile` histogram into a concrete
     ``anchor_window`` under a duplicated-token miss budget: the
@@ -1376,7 +1377,16 @@ def recommended_anchor_window(
     carries (its ``min_span_tokens`` column); passing it explicitly is
     a cross-check — a value different from the profile's raises
     instead of silently shifting every guarantee threshold (ADVICE
-    r9)."""
+    r9).
+
+    ``max_window`` caps the searched ``w`` range below ``L`` — the
+    hook for constraints OUTSIDE the miss budget, e.g. the
+    kept-floor residue cap (:func:`curation.resolve_span_strategy`):
+    a gutted duplicate retains ≤ ``2(w−1)`` boundary tokens, so on
+    short-document corpora a large ``w`` keeps whole-doc-duplicate
+    shells above a kept-fraction floor even when the miss budget
+    would allow it (measured r10: w=8 on the crawl fixture kept 84k
+    survivors vs exact's 4.8k THROUGH the 0.3 floor)."""
     if min_span_tokens is not None and int(min_span_tokens) < 2:
         raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
     if not (0.0 <= max_miss_frac <= 1.0):
@@ -1434,8 +1444,9 @@ def recommended_anchor_window(
                 break
         return g
 
+    w_hi = L if max_window is None else max(1, min(L, int(max_window)))
     best = 1  # w=1 selects every gram — exact candidate set, gap 0 below L
-    for w in range(2, L + 1):
+    for w in range(2, w_hi + 1):
         if gap_at(w) <= max_miss_frac:
             best = w
         else:

@@ -670,6 +670,64 @@ def test_resolve_span_strategy_regimes(spark):
     }
 
 
+def test_resolve_span_strategy_floor_caps_w(spark):
+    """r10 crawl-fixture finding: the miss budget bounds missed dup
+    MASS, but a gutted duplicate retains ≤ 2(w−1) boundary tokens —
+    on short docs a large w keeps whole-doc-duplicate shells above
+    the kept floor. With kept_floor given, w is capped so a
+    bottom-decile doc's pure-residue shell dies: 2(w−1) ≤ floor·p10."""
+    from fuserank_spark.pipeline_ext.curation import resolve_span_strategy
+
+    # every doc 24 tokens, duplicated 20-token passage → without a
+    # floor the budget allows w=8 (gap 0 up to guarantee 15 ≤ 20)
+    p20 = " ".join(f"l{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, f"aa bb cc {p20} d1"),
+            (2, f"ee ff gg {p20} d2"),
+        ],
+    )
+    free = resolve_span_strategy(
+        docs, min_span_tokens=8, max_miss_frac=0.05, sample_fraction=None
+    )
+    assert free["anchor_window"] == 8
+
+    capped = resolve_span_strategy(
+        docs, min_span_tokens=8, max_miss_frac=0.05, sample_fraction=None,
+        kept_floor=0.25,
+    )
+    # p10 of token counts = 24 → cap = 1 + int(0.25·24/2) = 4
+    assert capped["protect_doc_tokens"] == 24
+    assert capped["floor_cap_w"] == 4
+    assert capped["anchor_window"] == 4
+    assert capped["strategy"] == "anchor"
+
+    # a high floor leaves the budget's w untouched (cap ≥ L)
+    loose = resolve_span_strategy(
+        docs, min_span_tokens=8, max_miss_frac=0.05, sample_fraction=None,
+        kept_floor=0.8,
+    )
+    assert loose["floor_cap_w"] >= 8
+    assert loose["anchor_window"] == 8
+
+    # a floor so tight no residue is tolerable → exact
+    tight = resolve_span_strategy(
+        docs, min_span_tokens=8, max_miss_frac=0.05, sample_fraction=None,
+        kept_floor=0.05,
+    )
+    assert tight["floor_cap_w"] == 1
+    assert tight["strategy"] == "join"
+
+    with pytest.raises(ValueError, match="kept_floor"):
+        resolve_span_strategy(docs, kept_floor=1.5, sample_fraction=None)
+    with pytest.raises(ValueError, match="floor_protect_quantile"):
+        resolve_span_strategy(
+            docs, kept_floor=0.3, floor_protect_quantile=0.0,
+            sample_fraction=None,
+        )
+
+
 def test_curate_corpus_span_strategy_auto(spark):
     """span_dedup_strategy="auto" wires the pre-flight into the
     composition: the minimal-span fixture auto-selects exact (output
