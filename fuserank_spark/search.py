@@ -126,16 +126,25 @@ def _arrow_partial_topk(
     score_col: str,
     score_round: int | None = None,
 ) -> DataFrame:
-    """Per-partition numpy scoring: each task stacks its Arrow batch
-    into a matrix, multiplies against ALL queries at once, and emits
-    only its local top-k per query — k·P·Q tiny rows leave the scan.
+    """Per-partition numpy scoring: each task reads its Arrow batch's
+    list column as ONE flat float64 buffer (mapInArrow — no
+    pandas-object-list materialization), reshapes, multiplies against
+    ALL queries at once, and emits only its local top-k per query —
+    k·P·Q tiny rows leave the scan.
+
+    r10 rework, measured at the sf0.1 batch shape (5k rows × 522 dim
+    × 32 queries): the former mapInPandas path spent ~790 ms/batch in
+    `np.stack` over the object-list vector column vs 2.4 ms for the
+    matmul it fed — the conversion WAS the operator. The flat-buffer
+    read is near-zero-copy; the per-query cut also moves from a full
+    lexsort (O(n log n)) to threshold-partition + lexsort of the ≥kth
+    slice (O(n + m log m), identical selection incl. boundary ties).
 
     ``score_round`` makes the partition-local heap SELECT on the
     rounded score (round-before-rank inside the heap, ADVICE r7):
     ulp-tied rows tie and fall to the key tie-break before the k cut,
     matching the caller's final `F.round` ordering. Emitted scores
     stay raw — the caller rounds at the final orderBy."""
-    import pandas as pd
     from pyspark.sql import types as T
 
     key_type = next(f.dataType for f in df.schema.fields if f.name == key_col)
@@ -159,21 +168,62 @@ def _arrow_partial_topk(
             return scores
         return np.copysign(np.floor(np.abs(scores) * scale + 0.5), scores) / scale
 
+    dim = int(qm.shape[1])
+
+    def _cut(keys: np.ndarray, rk: np.ndarray, n: int):
+        # deterministic tie-break: (rounded score desc, key asc) — keeps
+        # parity with the expression path's orderBy semantics. For
+        # n >> k, pre-filter to everything >= the k-th largest rounded
+        # score (>= keeps boundary ties for the key tie-break) and
+        # lexsort only that slice — same selection, O(n) + tiny sort.
+        if n > 4 * k:
+            thr = np.partition(rk, n - k)[n - k]
+            m = rk >= thr
+            sub = np.lexsort((keys[m], -rk[m]))[:k]
+            return np.flatnonzero(m)[sub]
+        return np.lexsort((keys, -rk))[:k]
+
     def _score(batches):
+        import pyarrow as pa
+
         # accumulate per-query heaps across the partition's batches
         best: dict[int, list] = {i: [] for i in range(len(qids))}
-        for pdf in batches:
-            if len(pdf) == 0:
+        key_pa_type = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            M = np.stack(pdf[vector_col].to_numpy())  # (n, d)
-            keys = pdf[key_col].to_numpy()
+            vec_arr = rb.column(rb.schema.get_field_index(vector_col))
+            key_arr = rb.column(rb.schema.get_field_index(key_col))
+            if key_pa_type is None:
+                key_pa_type = key_arr.type
+            if vec_arr.null_count:
+                raise ValueError(
+                    f"topk over NULL {vector_col} rows — filter them first"
+                )
+            # ListArray → verify every row is exactly query-dim wide
+            # before the flat reshape (FixedSizeList has no offsets)
+            if hasattr(vec_arr, "offsets"):
+                widths = np.diff(vec_arr.offsets.to_numpy())
+                if widths.size and not (widths == dim).all():
+                    raise ValueError(
+                        f"{vector_col} widths {set(widths.tolist())} != "
+                        f"query dim {dim}"
+                    )
+            vals = vec_arr.flatten().to_numpy(zero_copy_only=False)
+            if vals.size != n * dim:
+                raise ValueError(
+                    f"{vector_col} buffer size {vals.size} != {n}x{dim}"
+                )
+            M = vals.reshape(n, dim)
+            keys = key_arr.to_numpy(zero_copy_only=False)
             S = M @ qm.T  # (n, Q)
             for j in range(qm.shape[0]):
                 col = S[:, j]
-                # deterministic tie-break: (score desc, key asc) — keeps
-                # parity with the expression path's orderBy semantics
-                idx = np.lexsort((keys, -_rank_key(col)))[:k]
-                best[j].append((keys[idx], col[idx]))
+                sel = _cut(keys, _rank_key(col), n)
+                best[j].append((keys[sel], col[sel]))
+        if key_pa_type is None:
+            return  # empty partition — emit nothing
         rows = {"query_id": [], key_col: [], score_col: []}
         for j, chunks in best.items():
             if not chunks:
@@ -183,12 +233,19 @@ def _arrow_partial_topk(
             if len(ss) > k:
                 idx = np.lexsort((ks, -_rank_key(ss)))[:k]
                 ks, ss = ks[idx], ss[idx]
-            rows["query_id"].extend([qids[j]] * len(ks))
+            rows["query_id"].extend([int(qids[j])] * len(ks))
             rows[key_col].extend(ks.tolist())
             rows[score_col].extend(float(x) for x in ss)
-        yield pd.DataFrame(rows)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(rows["query_id"], type=pa.int64()),
+                pa.array(rows[key_col], type=key_pa_type),
+                pa.array(rows[score_col], type=pa.float64()),
+            ],
+            names=["query_id", key_col, score_col],
+        )
 
-    return df.select(key_col, vector_col).mapInPandas(_score, schema=out_schema)
+    return df.select(key_col, vector_col).mapInArrow(_score, schema=out_schema)
 
 
 def text_topk_then_rerank(

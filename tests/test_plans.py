@@ -242,9 +242,10 @@ def test_knn_merges_are_two_phase(spark):
         assert "pmod" in p and "xxhash64" in p
 
 
-def test_brute_force_arrow_path_is_mapinpandas(spark):
+def test_brute_force_arrow_path_is_maparrow(spark):
     """use_arrow=True: scoring happens inside the Arrow scan
-    (FlatMapGroups/MapInPandas), the corpus never crossJoin-shuffles."""
+    (MapInArrow since r10 — flat-buffer vector reads, no pandas
+    object-list stack), the corpus never crossJoin-shuffles."""
     from fuserank_spark.pipeline_ext.simsearch import brute_force_knn
 
     e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
@@ -252,7 +253,7 @@ def test_brute_force_arrow_path_is_mapinpandas(spark):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     p = plan_str(brute_force_knn(e, q, k=5, use_arrow=True))
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p or "PythonMapInArrow" in p
     assert "CartesianProduct" not in p
 
 
