@@ -402,16 +402,30 @@ def export_report(
 
 
 def fused_ivf_nprobe_sweep(
-    spark: SparkSession, sf_dir: str, nprobes=(1, 2, 3, 4, 8), k: int = 10
+    spark: SparkSession, sf_dir: str, nprobes=(1, 2, 3, 4, 8), k: int = 10,
+    n_queries: int = 1, seed: int = 42,
 ) -> DataFrame:
     """Recall@k of the fused-IVF serve path per nprobe, against the
     exact fused scan (the ann-index analog of the harmonics sweep;
     reference eval loop src/eval/evaluate.py:156-202). One corpus
     build is shared across the sweep; recall at nprobe=n_cells is
-    1.0 by construction and anchors the table."""
+    1.0 by construction and anchors the table.
+
+    ``n_queries > 1`` (r11, VERDICT r10 #3): sweep a seeded batch of
+    fused queries instead of the single flagship query, and emit a
+    ``recall_min`` column (the worst query per point) alongside the
+    mean — ``flagship.curve_from_sweep`` then produces a (frac, mean,
+    min) curve that supports ``target_min_recall``. The single-query
+    default keeps the historical 2-column schema (its min IS its
+    mean)."""
     from pyspark.sql import functions as _F
 
-    from .flagship import FUSED_IVF_CELLS, build_corpus_cached, fused_ivf_parts, probe_cells
+    from .embed import DeterministicStubEmbedder
+    from .flagship import (
+        AUX_SCHEMA, EMB_DIM, FUSED_IVF_CELLS, NUM_HARMONICS,
+        build_corpus_cached, fused_ivf_parts, probe_cells,
+    )
+    from .query import compile_query
     from .search import topk
 
     corpus = build_corpus_cached(spark, sf_dir)
@@ -431,20 +445,55 @@ def fused_ivf_nprobe_sweep(
         .select("vector")
         .collect()
     ]
-    exact = {r["row_id"] for r in topk(corpus.encoded, cq.vector, k=k).collect()}
+    if n_queries <= 1:
+        qvecs = [cq.vector]
+    else:
+        emb = DeterministicStubEmbedder(EMB_DIM)
+        qvecs = []
+        for i in range(n_queries):
+            rng = random.Random(seed * 1000 + i)
+            lo = float(rng.uniform(50.0, 250.0))
+            cqi = compile_query(
+                f"sweep query {i} spark join filter",
+                {
+                    "lang": (([rng.choice(["en", "de", "es", "fr"])], False), 2.0),
+                    "source": (None, 1.0),
+                    "n_chars": ((lo, lo + 200.0, False), 1.5),
+                },
+                AUX_SCHEMA, corpus.stats, corpus.layout,
+                text_embedder=emb, num_harmonics=NUM_HARMONICS,
+            )
+            qvecs.append(cqi.vector)
+    exact = [
+        {r["row_id"] for r in topk(corpus.encoded, qv, k=k).collect()}
+        for qv in qvecs
+    ]
     rows = []
     for np_ in nprobes:
-        probed = probe_cells(cents, cq.vector, int(np_))
-        got = {
-            r["row_id"]
-            for r in topk(
-                assigned, cq.vector, k=k,
-                predicate=_F.col("centroid_id").isin(probed),
-            ).collect()
-        }
-        rows.append((int(np_), len(exact & got) / max(len(exact), 1)))
+        recalls = []
+        for qv, ex in zip(qvecs, exact):
+            probed = probe_cells(cents, qv, int(np_))
+            got = {
+                r["row_id"]
+                for r in topk(
+                    assigned, qv, k=k,
+                    predicate=_F.col("centroid_id").isin(probed),
+                ).collect()
+            }
+            recalls.append(len(ex & got) / max(len(ex), 1))
+        if n_queries <= 1:
+            rows.append((int(np_), recalls[0]))
+        else:
+            rows.append(
+                (int(np_), sum(recalls) / len(recalls), min(recalls))
+            )
     assigned.unpersist()
-    return spark.createDataFrame(rows, "nprobe int, recall double")
+    schema = (
+        "nprobe int, recall double"
+        if n_queries <= 1
+        else "nprobe int, recall double, recall_min double"
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def evaluate_lsh_dedup_recall(

@@ -244,7 +244,8 @@ def fused_ivf_serve_persisted(
     k: int = 10,
     nprobe: int = FUSED_IVF_NPROBE_FAST,
     target_recall: float | None = None,
-    recall_curve: tuple[tuple[float, float], ...] | None = None,
+    target_min_recall: float | None = None,
+    recall_curve: tuple[tuple[float, ...], ...] | None = None,
     delta_sink: str | None = None,
 ) -> DataFrame:
     """Serve a fused query from FILES ONLY — no in-session corpus
@@ -272,6 +273,12 @@ def fused_ivf_serve_persisted(
     corpus size. ``recall_curve`` overrides the default curve with
     your own corpus-measured points (``curve_from_sweep``) and skips
     the regime check — a measured curve carries its own regime.
+
+    ``target_min_recall`` (r11, VERDICT r10 #3): same lookup but
+    against the curve's per-query MIN column — a floor guarantee for
+    SLA-style serving (the mean-vs-min gap is large: 0.94 mean vs 0.4
+    min at the default curve's 9.4% point). Same quantizer and regime
+    guards apply; combinable with ``target_recall``.
 
     ``delta_sink``: when ``index_path`` is a COMPACTED snapshot
     (streaming.compact_ivf_index) and the maintenance stream is still
@@ -307,7 +314,7 @@ def fused_ivf_serve_persisted(
     )
     from .streaming.incremental import read_ivf_index
 
-    if target_recall is not None:
+    if target_recall is not None or target_min_recall is not None:
         q_kind = str(knobs.get("quantizer", "head"))
         if q_kind == "head":
             raise ValueError(
@@ -350,7 +357,8 @@ def fused_ivf_serve_persisted(
                     "recall_curve=, or pass an explicit nprobe."
                 )
         nprobe = nprobe_for_target_recall(
-            target_recall, len(cents), curve=recall_curve
+            target_recall, len(cents), curve=recall_curve,
+            target_min_recall=target_min_recall,
         )
     df = read_ivf_index(spark, index_path, delta_sink=delta_sink)
     return topk(
@@ -379,75 +387,125 @@ def fused_ivf_serve_persisted(
 # at 2828 at the SAME 9.4% scan (cell count is itself a recall knob).
 # The curve is valid only for indexes in the auto regime (cells ≈
 # 4·√n), which is what fused_ivf_serve_persisted's default-curve
-# guard enforces. The (1.0, 1.0) full-scan anchor is implicit in
+# guard enforces. The (1.0, 1.0, 1.0) full-scan anchor is implicit in
 # :func:`nprobe_for_target_recall` — pruning is the only
 # approximation, so a full scan is exact by construction (and with 32
 # queries the quarter-scan point is now honestly 0.9969, not the
 # 8-query 1.00 — target_recall=1.0 resolves to a full scan). Head
 # cells at the same 2828 cells collapse to 0.74 at quarter scan (the
 # serve path refuses them).
-TRAINED_AUTO_RECALL_CURVE: tuple[tuple[float, float], ...] = (
-    (0.0028, 0.1375),
-    (0.0113, 0.4125),
-    (0.0311, 0.7063),
-    (0.0937, 0.9437),
-    (0.25, 0.9969),
+#
+# r11: points are (scan_fraction, mean_recall, MIN_recall) triples —
+# the third column is the worst single query's recall@10 at that
+# fraction, min across the two quantizers (BASELINE.md r10 table), so
+# ``target_min_recall`` can serve an SLA-style per-query floor instead
+# of sending the caller to read the table by hand (VERDICT r10 #3).
+# The mean-vs-min gap is LARGE at mid fractions (0.94 mean / 0.4 min
+# at 9.4% scan): a floor-bound caller pays a much deeper scan.
+TRAINED_AUTO_RECALL_CURVE: tuple[tuple[float, float, float], ...] = (
+    (0.0028, 0.1375, 0.0),
+    (0.0113, 0.4125, 0.0),
+    (0.0311, 0.7063, 0.2),
+    (0.0937, 0.9437, 0.4),
+    (0.25, 0.9969, 0.9),
 )
 
 
 def nprobe_for_target_recall(
-    target_recall: float,
+    target_recall: float | None,
     n_cells: int,
     *,
-    curve: tuple[tuple[float, float], ...] | None = None,
+    curve: tuple[tuple[float, ...], ...] | None = None,
+    target_min_recall: float | None = None,
 ) -> int:
     """Pick ``nprobe`` by table lookup from a MEASURED recall curve
     instead of a raw guess (VERDICT r8 ask #6): the smallest measured
     scan fraction whose recall@10 meets ``target_recall``, converted
     to ``nprobe = max(1, ceil(frac · n_cells))``. Targets above every
-    measured point resolve to the implicit ``(1.0, 1.0)`` full-scan
-    anchor (recall at ``nprobe = n_cells`` is 1.0 by construction —
-    scoring is exact, pruning is the only approximation).
+    measured point resolve to the implicit ``(1.0, 1.0, 1.0)``
+    full-scan anchor (recall at ``nprobe = n_cells`` is 1.0 by
+    construction — scoring is exact, pruning is the only
+    approximation).
 
-    ``curve`` is a sequence of ``(scan_fraction, recall)`` points
-    ascending in scan fraction; default is
-    :data:`TRAINED_AUTO_RECALL_CURVE` — measured for trained/spherical
-    quantizers at the auto cell count on the 500k proxy-geometry
-    corpus (32 queries, r10). The recall values are per-point MEANS
-    over the query set — the lookup guarantees expected recall, not a
-    per-query floor (measured per-query mins per point are in the
-    BASELINE.md r10 table; at the 9.4%-scan point the worst query saw
-    0.4). A recall curve is a CORPUS-MEASURED artifact (the r7/r8
-    lesson: quantizer rankings reversed between geometries): for a
-    different corpus, measure with ``tools/fused_ivf_scale_probe.py``
+    ``curve`` is a sequence of points ascending in scan fraction:
+    ``(scan_fraction, mean_recall)`` pairs or ``(scan_fraction,
+    mean_recall, min_recall)`` triples (``curve_from_sweep`` emits the
+    triple form when its sweep carries a ``recall_min`` column);
+    default is :data:`TRAINED_AUTO_RECALL_CURVE` — measured for
+    trained/spherical quantizers at the auto cell count on the 500k
+    proxy-geometry corpus (32 queries, r10).
+
+    ``target_recall`` guarantees EXPECTED recall (the per-point mean
+    over the query set). ``target_min_recall`` (r11, VERDICT r10 #3)
+    guarantees a PER-QUERY floor instead: the lookup consumes the min
+    column, so an SLA-style caller no longer reads the BASELINE.md
+    table by hand. The gap is large — on the default curve a 0.9
+    target costs a 9.4% scan as a mean but a 25% scan as a floor.
+    Passing both resolves the smallest fraction satisfying BOTH. A
+    min-mode lookup against a pairs-only curve raises (a mean curve
+    cannot promise a floor).
+
+    A recall curve is a CORPUS-MEASURED artifact (the r7/r8 lesson:
+    quantizer rankings reversed between geometries): for a different
+    corpus, measure with ``tools/fused_ivf_scale_probe.py``
     (``--corpus-cache`` makes re-probes cheap) and pass the points
     here. No curve exists for head quantizers at auto cell counts —
     they collapse there on both measured geometries (BASELINE.md r8),
     which is why the serve path refuses that combination."""
     import math
 
-    if not (0.0 < target_recall <= 1.0):
-        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    if target_recall is None and target_min_recall is None:
+        raise ValueError("pass target_recall and/or target_min_recall")
+    for label, t in (("target_recall", target_recall),
+                     ("target_min_recall", target_min_recall)):
+        if t is not None and not (0.0 < t <= 1.0):
+            raise ValueError(f"{label} must be in (0, 1], got {t}")
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
-    pts = list(curve if curve is not None else TRAINED_AUTO_RECALL_CURVE)
-    if any(not (0.0 < f <= 1.0 and 0.0 <= r <= 1.0) for f, r in pts):
+    pts = [tuple(p) for p in (curve if curve is not None else TRAINED_AUTO_RECALL_CURVE)]
+    if any(len(p) not in (2, 3) for p in pts):
+        raise ValueError(f"curve points must be (frac, mean[, min]): {pts}")
+    if any(not (0.0 < p[0] <= 1.0 and all(0.0 <= r <= 1.0 for r in p[1:])) for p in pts):
         raise ValueError(f"curve points must be (frac in (0,1], recall in [0,1]): {pts}")
-    if [f for f, _r in pts] != sorted(f for f, _r in pts):
+    if [p[0] for p in pts] != sorted(p[0] for p in pts):
         raise ValueError("curve must be ascending in scan fraction")
-    for frac, recall in pts:
-        if recall >= target_recall:
-            return max(1, min(n_cells, math.ceil(frac * n_cells)))
+    if target_min_recall is not None and any(len(p) < 3 for p in pts):
+        raise ValueError(
+            "target_min_recall needs a curve with a min column — this curve "
+            "has (frac, mean) pairs only. Re-measure with per-query mins "
+            "(curve_from_sweep over a sweep carrying recall_min) or use "
+            "target_recall (mean guarantee)."
+        )
+    for p in pts:
+        if target_recall is not None and p[1] < target_recall:
+            continue
+        if target_min_recall is not None and p[2] < target_min_recall:
+            continue
+        return max(1, min(n_cells, math.ceil(p[0] * n_cells)))
     return n_cells
 
 
-def curve_from_sweep(sweep: "DataFrame", n_cells: int) -> tuple[tuple[float, float], ...]:
+def curve_from_sweep(sweep: "DataFrame", n_cells: int) -> tuple[tuple[float, ...], ...]:
     """Convert an ``eval_harness.fused_ivf_nprobe_sweep`` result
     (``nprobe int, recall double``) into the ``(scan_fraction,
     recall)`` points :func:`nprobe_for_target_recall` consumes —
     the one-line bridge from "measure the curve on YOUR corpus" to
-    "serve with target_recall". The sweep frame is tiny (one row per
-    probed nprobe); collect is bounded."""
+    "serve with target_recall". When the sweep carries a
+    ``recall_min`` column (a multi-query sweep's per-point worst
+    query), the output points are ``(frac, mean, min)`` triples and
+    the curve also supports ``target_min_recall`` (r11). The sweep
+    frame is tiny (one row per probed nprobe); collect is bounded."""
+    has_min = "recall_min" in sweep.columns
+    if has_min:
+        rows = sorted(
+            (int(r["nprobe"]), float(r["recall"]), float(r["recall_min"]))
+            for r in sweep.collect()
+        )
+        if not rows:
+            raise ValueError("empty sweep — probe at least one nprobe")
+        return tuple(
+            (min(1.0, np_ / n_cells), rec, rmin) for np_, rec, rmin in rows
+        )
     rows = sorted(
         (int(r["nprobe"]), float(r["recall"])) for r in sweep.collect()
     )

@@ -939,10 +939,13 @@ def resolve_span_strategy(
     tokens ≥ 0.3 kept fraction, and the fixture's p50 is 58). With
     ``kept_floor`` given, ``w`` is additionally capped so a
     bottom-``floor_protect_quantile`` document's pure-residue shell
-    dies: ``2(w−1) ≤ floor · n_q`` with ``n_q`` the sampled
-    token-count quantile (default p10 — protecting the median alone
-    leaves half the corpus below the shelter boundary; same tokenizer
-    as the span op). Sub-quantile docs and the unique-tail term can
+    dies: ``2(w−1) < floor · n_q`` — STRICT, because curate's drop
+    filter keeps docs AT the floor (``n_kept ≥ n_tokens·floor``), so
+    a shell whose residue lands exactly on the boundary would survive
+    under ≤ (ADVICE r10 #1) — with ``n_q`` the sampled token-count
+    quantile (default p10 — protecting the median alone leaves half
+    the corpus below the shelter boundary; same tokenizer as the span
+    op). Sub-quantile docs and the unique-tail term can
     still shelter — raise the floor or lower the quantile if the tail
     matters; the output reports ``protect_doc_tokens`` /
     ``floor_cap_w`` so the arithmetic is visible.
@@ -951,7 +954,9 @@ def resolve_span_strategy(
     driver-side histogram inversion) — the price of not freezing a
     corpus-dependent knob doctrinally (the r7–r9 lesson, twice:
     quantizer choice and anchor w both reversed between corpora)."""
-    from .dedup import recommended_anchor_window, span_length_profile
+    import math
+
+    from .dedup import recommended_anchor_window_rows, span_length_profile
     from .hashing import portable_hash32
     from .textstats import tokens_expr
 
@@ -971,25 +976,6 @@ def resolve_span_strategy(
         )
         src = df.filter(gate < F.lit(int(round(sample_fraction * 1_000_000))))
 
-    n_q = None
-    cap = None
-    if kept_floor is not None:
-        if not (0.0 < kept_floor <= 1.0):
-            raise ValueError(f"kept_floor must be in (0, 1], got {kept_floor}")
-        if not (0.0 < floor_protect_quantile <= 1.0):
-            raise ValueError(
-                f"floor_protect_quantile must be in (0, 1], got "
-                f"{floor_protect_quantile}"
-            )
-        row = src.agg(
-            F.percentile_approx(
-                F.size(tokens_expr(F.col(text_col))), floor_protect_quantile
-            ).alias("p")
-        ).collect()[0]
-        n_q = int(row["p"]) if row["p"] is not None else 0
-        # largest w with 2(w−1) ≤ kept_floor · n_q
-        cap = max(1, 1 + int((kept_floor * n_q) / 2.0))
-
     prof = span_length_profile(
         df,
         key_col=key_col,
@@ -998,19 +984,53 @@ def resolve_span_strategy(
         sample_fraction=sample_fraction,
         seed=seed,
     )
-    try:
-        rec = recommended_anchor_window(
-            prof, max_miss_frac=max_miss_frac, max_window=cap
+    n_q = None
+    cap = None
+    if kept_floor is not None:
+        if not (0.0 < kept_floor <= 1.0):
+            raise ValueError(f"kept_floor must be (0, 1], got {kept_floor}")
+        if not (0.0 < floor_protect_quantile <= 1.0):
+            raise ValueError(
+                f"floor_protect_quantile must be in (0, 1], got "
+                f"{floor_protect_quantile}"
+            )
+        # the percentile RIDES the profile's own action (VERDICT r10
+        # #4): a broadcast crossJoin of the 1-row agg against the
+        # histogram lands both aggregations in ONE job instead of two
+        # pre-flight passes over the sample
+        pq = src.agg(
+            F.percentile_approx(
+                F.size(tokens_expr(F.col(text_col))), floor_protect_quantile
+            ).alias("__doc_tokens_q")
         )
-    except ValueError as e:
-        if "empty profile" not in str(e):
-            raise
+        rows = prof.crossJoin(F.broadcast(pq)).collect()
+        if rows:
+            p = rows[0]["__doc_tokens_q"]
+        else:
+            # dup-free sample: the empty histogram annihilated the
+            # crossJoin, so pay the bounded percentile agg alone to
+            # keep the protect_doc_tokens contract
+            p = pq.collect()[0]["__doc_tokens_q"]
+        n_q = int(p) if p is not None else 0
+        # largest w with 2(w−1) STRICTLY < kept_floor · n_q (ADVICE
+        # r10 #1: curate's drop filter KEEPS docs at exactly the floor
+        # — n_kept >= n_tokens·floor — so a shell whose residue lands
+        # exactly ON the boundary would survive under ≤)
+        half = kept_floor * n_q / 2.0
+        cap = max(1, math.ceil(half + 1.0) - 1)
+    else:
+        rows = prof.collect()
+    if not rows:
         # no duplicated mass in the sample at all — nothing for anchor
         # mode to miss, but also nothing for it to cut: the exact join
         # on a dup-free corpus is cheap (its gram stream has no ≥2
         # groups), so the conservative answer is exact
         rec = {"anchor_window": 1, "gap_mass_frac": 0.0,
                "bytes_cut_estimate": 1.0}
+    else:
+        rec = recommended_anchor_window_rows(
+            [r for r in rows], max_miss_frac=max_miss_frac, max_window=cap
+        )
     w = int(rec["anchor_window"])
     out = {
         "strategy": "join" if w == 1 else "anchor",
@@ -1166,8 +1186,9 @@ def curate_corpus(
                 max_miss_frac=span_auto_max_miss_frac,
                 sample_fraction=span_auto_sample_fraction,
                 # the floor the caller will apply below caps w so a
-                # median doc's pure-residue shell cannot shelter under
-                # it (the r10 crawl-fixture finding)
+                # bottom-decile (floor_protect_quantile) doc's
+                # pure-residue shell cannot shelter under it (the r10
+                # crawl-fixture finding; ADVICE r10 #3 wording)
                 kept_floor=span_drop_if_kept_below,
             )
             span_strategy, span_w = choice["strategy"], choice["anchor_window"]

@@ -1387,10 +1387,6 @@ def recommended_anchor_window(
     shells above a kept-fraction floor even when the miss budget
     would allow it (measured r10: w=8 on the crawl fixture kept 84k
     survivors vs exact's 4.8k THROUGH the 0.3 floor)."""
-    if min_span_tokens is not None and int(min_span_tokens) < 2:
-        raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
-    if not (0.0 <= max_miss_frac <= 1.0):
-        raise ValueError(f"max_miss_frac must be in [0, 1], got {max_miss_frac}")
     cols = ["span_tokens", "cum_mass_frac"]
     has_L_col = "min_span_tokens" in profile.columns
     if has_L_col:
@@ -1400,7 +1396,33 @@ def recommended_anchor_window(
             "profile carries no min_span_tokens column (built before r10?) "
             "— pass min_span_tokens= explicitly"
         )
-    collected = profile.select(*cols).collect()
+    return recommended_anchor_window_rows(
+        profile.select(*cols).collect(),
+        min_span_tokens=min_span_tokens,
+        max_miss_frac=max_miss_frac,
+        max_window=max_window,
+    )
+
+
+def recommended_anchor_window_rows(
+    collected: list,
+    *,
+    min_span_tokens: int | None = None,
+    max_miss_frac: float = 0.05,
+    max_window: int | None = None,
+) -> dict:
+    """Driver-side core of :func:`recommended_anchor_window` over
+    ALREADY-COLLECTED profile rows — the hook for a caller that folds
+    other aggregates into the profile's single collect and must not
+    pay a second job (``curation.resolve_span_strategy`` rides its
+    kept-floor percentile on the same action, VERDICT r10 #4). Same
+    semantics, same L cross-check (read from the rows'
+    ``min_span_tokens`` field when present)."""
+    if min_span_tokens is not None and int(min_span_tokens) < 2:
+        raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
+    if not (0.0 <= max_miss_frac <= 1.0):
+        raise ValueError(f"max_miss_frac must be in [0, 1], got {max_miss_frac}")
+    has_L_col = bool(collected) and "min_span_tokens" in collected[0].asDict()
     if has_L_col:
         profile_Ls = {int(r["min_span_tokens"]) for r in collected}
         if len(profile_Ls) > 1:

@@ -675,7 +675,10 @@ def test_resolve_span_strategy_floor_caps_w(spark):
     MASS, but a gutted duplicate retains ≤ 2(w−1) boundary tokens —
     on short docs a large w keeps whole-doc-duplicate shells above
     the kept floor. With kept_floor given, w is capped so a
-    bottom-decile doc's pure-residue shell dies: 2(w−1) ≤ floor·p10."""
+    bottom-decile doc's pure-residue shell dies: 2(w−1) < floor·p10 —
+    STRICT (ADVICE r10 #1): curate's drop filter keeps docs AT the
+    floor, so this very fixture (floor·p10 = 6, exactly 2(w−1) at
+    w=4) used to let the shell land on the boundary and survive."""
     from fuserank_spark.pipeline_ext.curation import resolve_span_strategy
 
     # every doc 24 tokens, duplicated 20-token passage → without a
@@ -697,10 +700,12 @@ def test_resolve_span_strategy_floor_caps_w(spark):
         docs, min_span_tokens=8, max_miss_frac=0.05, sample_fraction=None,
         kept_floor=0.25,
     )
-    # p10 of token counts = 24 → cap = 1 + int(0.25·24/2) = 4
+    # p10 of token counts = 24, floor·p10/2 = 3.0 exactly → the ≤ cap
+    # would say w=4 (residue 6 == the floor boundary → kept); strict
+    # gives w=3 (residue 4 < 6 → the shell dies)
     assert capped["protect_doc_tokens"] == 24
-    assert capped["floor_cap_w"] == 4
-    assert capped["anchor_window"] == 4
+    assert capped["floor_cap_w"] == 3
+    assert capped["anchor_window"] == 3
     assert capped["strategy"] == "anchor"
 
     # a high floor leaves the budget's w untouched (cap ≥ L)

@@ -445,6 +445,82 @@ def test_nprobe_for_target_recall_table_lookup():
         nprobe_for_target_recall(0.9, 64, curve=((0.0, 0.5),))
 
 
+def test_nprobe_target_min_recall_floor_mode():
+    """r11 (VERDICT r10 #3): target_min_recall consumes the curve's
+    per-query MIN column — a floor guarantee. At the same numeric
+    target the floor mode must resolve a STRICTLY larger nprobe than
+    the mean mode wherever mean > min (the whole point: 0.94 mean vs
+    0.4 min at the default curve's 9.4% point)."""
+    import pytest as _pytest
+
+    from fuserank_spark.flagship import (
+        TRAINED_AUTO_RECALL_CURVE,
+        nprobe_for_target_recall,
+    )
+
+    curve = ((0.031, 0.70, 0.2), (0.094, 0.94, 0.4), (0.25, 0.997, 0.9))
+    # mean mode 0.9 → 9.4% scan; floor mode 0.9 → 25% scan
+    mean_np = nprobe_for_target_recall(0.9, 2828, curve=curve)
+    floor_np = nprobe_for_target_recall(
+        None, 2828, curve=curve, target_min_recall=0.9
+    )
+    assert mean_np == 266 and floor_np == 707
+    assert floor_np > mean_np
+    # floor above every measured min → implicit full-scan anchor
+    assert nprobe_for_target_recall(
+        None, 2828, curve=curve, target_min_recall=0.95
+    ) == 2828
+    # both targets: smallest fraction satisfying BOTH
+    assert nprobe_for_target_recall(
+        0.5, 2828, curve=curve, target_min_recall=0.9
+    ) == 707
+    # the frozen default constant carries the min column (r10 measured
+    # data) and behaves the same way
+    assert all(len(p) == 3 for p in TRAINED_AUTO_RECALL_CURVE)
+    d_mean = nprobe_for_target_recall(0.9, 2828)
+    d_floor = nprobe_for_target_recall(None, 2828, target_min_recall=0.9)
+    assert d_floor > d_mean
+    # pairs-only curve refuses floor mode (a mean curve can't promise one)
+    with _pytest.raises(ValueError, match="min column"):
+        nprobe_for_target_recall(
+            None, 64, curve=((0.25, 0.9),), target_min_recall=0.5
+        )
+    # no target at all
+    with _pytest.raises(ValueError, match="target_recall and/or"):
+        nprobe_for_target_recall(None, 64)
+    with _pytest.raises(ValueError, match="target_min_recall"):
+        nprobe_for_target_recall(None, 64, target_min_recall=1.2)
+
+
+def test_sweep_min_column_bridges_to_floor_mode(spark):
+    """Multi-query fused_ivf_nprobe_sweep emits recall_min;
+    curve_from_sweep passes it through as (frac, mean, min) triples
+    that target_min_recall can consume end-to-end."""
+    from fuserank_spark.eval_harness import fused_ivf_nprobe_sweep
+    from fuserank_spark.flagship import (
+        FUSED_IVF_CELLS,
+        curve_from_sweep,
+        nprobe_for_target_recall,
+    )
+
+    sweep = fused_ivf_nprobe_sweep(
+        spark, SF_SMOKE, nprobes=(2, FUSED_IVF_CELLS), n_queries=3
+    )
+    assert set(sweep.columns) == {"nprobe", "recall", "recall_min"}
+    rows = {r["nprobe"]: r for r in sweep.collect()}
+    # min is a lower bound on the mean everywhere, and the full-scan
+    # anchor is exact for every query by construction
+    for r in rows.values():
+        assert r["recall_min"] <= r["recall"] + 1e-12
+    assert rows[FUSED_IVF_CELLS]["recall"] == 1.0
+    assert rows[FUSED_IVF_CELLS]["recall_min"] == 1.0
+    curve = curve_from_sweep(sweep, FUSED_IVF_CELLS)
+    assert all(len(p) == 3 for p in curve)
+    assert nprobe_for_target_recall(
+        None, FUSED_IVF_CELLS, curve=curve, target_min_recall=1.0
+    ) == FUSED_IVF_CELLS
+
+
 def test_serve_persisted_target_recall(spark, tmp_path):
     """target_recall on the files-only serve path: a curve point at
     full scan fraction resolves to nprobe == n_cells, so the served
@@ -480,12 +556,29 @@ def test_serve_persisted_target_recall(spark, tmp_path):
     ]
     assert served == exact
 
+    # r11: target_min_recall plumbs through the same path — a triple
+    # curve whose min column only reaches the target at full scan
+    # serves exactly, and floor mode on the head index is refused too
+    served_floor = [
+        r["row_id"]
+        for r in fused_ivf_serve_persisted(
+            spark, idx, meta, k=10, aux_data=aux,
+            target_min_recall=1.0,
+            recall_curve=((0.5, 1.0, 0.5), (1.0, 1.0, 1.0)),
+        ).select("row_id").collect()
+    ]
+    assert served_floor == exact
+
     hidx = str(tmp_path / "hidx")
     hmeta = str(tmp_path / "hidx_meta.json")
     build_fused_ivf_index(spark, SF_SMOKE, hidx, hmeta, n_cells=4, quantizer="head")
     with pytest.raises(ValueError, match="head"):
         fused_ivf_serve_persisted(
             spark, hidx, hmeta, k=10, aux_data=aux, target_recall=0.9
+        )
+    with pytest.raises(ValueError, match="head"):
+        fused_ivf_serve_persisted(
+            spark, hidx, hmeta, k=10, aux_data=aux, target_min_recall=0.9
         )
 
 
