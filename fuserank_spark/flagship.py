@@ -54,6 +54,14 @@ def build_corpus(
         "source",
         F.concat(F.lit("srcb"), F.pmod(portable_hash32(F.col("source")), F.lit(16))),
     )
+    # documents.parquet at test SFs is ONE small file → one partition →
+    # the whole embed+encode build and every later corpus scan runs on
+    # a single core, a local-mode artifact (at cluster scale the source
+    # arrives in many splits). One up-front repartition buys full-width
+    # parallelism for the build and all cached-corpus serves; outputs
+    # are bit-identical (per-row deterministic embed/encode, and stats
+    # are fold-stable — measured delta 0.0 across every vector, r11).
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     embedded = embed_corpus(docs, TEXT_SCHEMA, dim=EMB_DIM)
     stats = compute_stats(embedded, AUX_SCHEMA)
     encoded, layout = encode_products(
