@@ -1006,7 +1006,12 @@ def _restaurants_corpus(spark: SparkSession, csv: str):
     key = (spark.sparkContext.applicationId, csv)
     if key not in _RESTAURANTS_CACHE:
         ds = load_restaurants(spark, csv, fit_transforms=False)
-        embedded = embed_corpus(ds.df, ds.schema.text_encoding_schema, dim=32)
+        # one small CSV → one partition → single-core embed+encode and
+        # single-core cached serves: a local-mode artifact (r11, same
+        # fix as build_corpus — outputs are per-row deterministic, so
+        # the repartition only buys parallelism)
+        src = ds.df.repartition(spark.sparkContext.defaultParallelism)
+        embedded = embed_corpus(src, ds.schema.text_encoding_schema, dim=32)
         aux = ds.schema.aux_encoding_schema
         stats = compute_stats(embedded, aux)
         encoded, layout = encode_products(embedded, aux, stats, num_harmonics=16)
