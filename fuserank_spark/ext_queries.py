@@ -1008,9 +1008,17 @@ def _restaurants_corpus(spark: SparkSession, csv: str):
         ds = load_restaurants(spark, csv, fit_transforms=False)
         # one small CSV → one partition → single-core embed+encode and
         # single-core cached serves: a local-mode artifact (r11, same
-        # fix as build_corpus — outputs are per-row deterministic, so
-        # the repartition only buys parallelism)
-        src = ds.df.repartition(spark.sparkContext.defaultParallelism)
+        # fix as build_corpus — size-derived split, ~1250 rows per
+        # partition; outputs are per-row deterministic, so the
+        # repartition only buys parallelism)
+        parts = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                ds.df.count() // 1250,
+            ),
+        )
+        src = ds.df.repartition(parts) if parts > 1 else ds.df
         embedded = embed_corpus(src, ds.schema.text_encoding_schema, dim=32)
         aux = ds.schema.aux_encoding_schema
         stats = compute_stats(embedded, aux)
