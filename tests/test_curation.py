@@ -1016,3 +1016,57 @@ def test_curate_corpus_span_kept_floor(spark):
     # without the floor the residue survives (both strategies)
     out = curate_corpus(d, min_quality=0.0, span_dedup_tokens=8)
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_curate_auto_resolves_on_post_line_dedup_frame(spark, monkeypatch):
+    """r11 (SCALING.md r11 adjudication): curate's auto pre-flight must
+    profile the SPAN STAGE'S TRUE INPUT — the post-line-dedup frame —
+    not the raw corpus. Line dedup removes shared lines, shrinking doc
+    token counts, so the kept-floor cap (strict: 2(w−1) < floor·p10)
+    can resolve a smaller w than the raw frame would: on the 5M crawl
+    composition this exact subtlety was a 6.4× survivor shift (anchor
+    w=3 vs w=4). Fixture: every doc carries an identical 8-token line
+    (dies to line dedup everywhere but the winner) plus a 16-token
+    duplicated passage; post-dedup docs are 20 tokens (floor 0.5 →
+    half = 5.0 → strict cap w=5) while the raw frame's 36 tokens cap
+    at 9 (→ w = L = 8; the 16-token line stays ABOVE every guarantee
+    threshold so it adds no sub-budget mass on the raw frame). The
+    test captures the w curate actually passes to dedup_spans."""
+    from fuserank_spark.pipeline_ext import dedup as D
+    from fuserank_spark.pipeline_ext.curation import resolve_span_strategy
+
+    shared_line = " ".join(f"c{i}" for i in range(16))
+    passage = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        (i, f"u{i}a u{i}b {passage} v{i}a v{i}b\n{shared_line}")
+        for i in range(1, 7)
+    ]
+    docs = _docs(spark, rows)
+
+    # the two frames resolve DIFFERENT caps (the premise of the test)
+    raw = resolve_span_strategy(
+        docs, min_span_tokens=8, sample_fraction=None, kept_floor=0.5
+    )
+    post = resolve_span_strategy(
+        D.dedup_lines(docs).drop("n_lines", "n_kept"),
+        min_span_tokens=8, sample_fraction=None, kept_floor=0.5,
+    )
+    assert raw["floor_cap_w"] == 9 and raw["anchor_window"] == 8
+    assert post["floor_cap_w"] == 5 and post["anchor_window"] == 5
+
+    captured = {}
+    orig = D.dedup_spans
+
+    def _spy(df, **kw):
+        captured["strategy"] = kw.get("strategy")
+        captured["anchor_window"] = kw.get("anchor_window")
+        return orig(df, **kw)
+
+    monkeypatch.setattr(D, "dedup_spans", _spy)
+    curate_corpus(
+        docs, min_quality=0.0, line_dedup=True, span_dedup_tokens=8,
+        span_dedup_strategy="auto", span_auto_sample_fraction=None,
+        span_drop_if_kept_below=0.5,
+    ).collect()
+    assert captured["strategy"] == "anchor"
+    assert captured["anchor_window"] == post["anchor_window"] == 5
