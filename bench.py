@@ -99,13 +99,22 @@ def main() -> None:
     host_band_sentinel: list[float] = []
 
     def _sentinel() -> None:
-        t0 = time.time()
-        materialize(_qscan_probe(spark, sf_dir))
-        host_band_sentinel.append(round(time.time() - t0, 3))
+        # median of 3 probes per checkpoint: a single probe is hostage
+        # to one scheduler hiccup, exactly what the sentinel exists to
+        # see past
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            materialize(_qscan_probe(spark, sf_dir))
+            runs.append(time.time() - t0)
+        host_band_sentinel.append(round(sorted(runs)[1], 3))
 
-    # one untimed warm pass: the probe's first run carries one-time
-    # plan/codegen/noop-sink cost (~3.4x measured), which would read
-    # as a fake start-of-window degradation under the >1.5x rule
+    # one untimed warm pass for the plan/codegen/noop-sink one-timers.
+    # NOTE the start checkpoint still reads structurally elevated
+    # (~1.5-2.5x the end checkpoint, measured: JVM JIT tiers keep
+    # warming deep into the session) — the interpretation rule in
+    # BASELINE.md accounts for it; the degradation signal is mid/end
+    # elevation or a start reading far beyond the warm-up band.
     materialize(_qscan_probe(spark, sf_dir))
     _sentinel()
 
