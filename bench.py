@@ -35,15 +35,20 @@ def materialize(df) -> int:
 REPEAT_BELOW_SEC = 5.0
 
 
-def timed_median(fn, force: bool = False) -> float:
+def timed_median(fn, force: bool = False, runs_out: list | None = None) -> float:
     """One timed run; if it lands under REPEAT_BELOW_SEC (or ``force``
     — the eval trackers repeat unconditionally: eval_geo_agreement is
     the entry that spiked 6.4x in the graded r9 artifact, and at ~7-9s
     it sits above the threshold), two more and take the median. fn()
-    must be an idempotent serve-class action."""
+    must be an idempotent serve-class action. ``runs_out`` receives
+    every raw run time (VERDICT r11 wrong #5: the per-run MINIMUM
+    keeps forced-median entries comparable across repeat-policy
+    epochs — r1 timed these single-shot)."""
     t0 = time.time()
     fn()
     first = time.time() - t0
+    if runs_out is not None:
+        runs_out.append(first)
     if first >= REPEAT_BELOW_SEC and not force:
         return first
     runs = [first]
@@ -51,6 +56,8 @@ def timed_median(fn, force: bool = False) -> float:
         t0 = time.time()
         fn()
         runs.append(time.time() - t0)
+    if runs_out is not None:
+        runs_out.extend(runs[1:])
     return sorted(runs)[1]
 
 
@@ -83,31 +90,36 @@ def main() -> None:
 
     times: dict[str, float] = {}
 
-    # host-band sentinel (VERDICT r10 #2): four recorded instances of
-    # whole-window host degradation (r4, r9, r10 builder, r10 driver)
-    # and median-of-3 provably can't defend one — three consecutive
-    # runs inside a degraded window all read slow. Time a fixed
-    # JVM-only probe (the q_scan plan: parquet scan + count, no
-    # Python workers) at bench start/middle/end and publish the three
-    # raw numbers, so a graded artifact carries its own host-state
-    # evidence. Interpretation rule (BASELINE.md): sentinel spread or
-    # level >1.5x across the window ⇒ the artifact was taken in a
-    # degraded window and per-entry regressions need re-measurement
-    # before they're read as code regressions.
+    # host-band sentinel (VERDICT r10 #2, per-SECTION r11 wrong #2):
+    # recorded instances of host degradation (r4, r9, r10 builder, r10
+    # driver, r11 close2/close3) show bands that ROAM within a window —
+    # median-of-3 can't defend one, and the original 3-checkpoint
+    # start/middle/end design straddled the r11 close2 band (q_lsh_knn
+    # 8.5x mid-run while all three checkpoints read clean). Probe a
+    # fixed JVM-only plan (q_scan: parquet scan + count, no Python
+    # workers) BETWEEN bench sections — including inside the registry
+    # loop every 20 entries — and publish the labeled array, so a
+    # band localizes to the entries it actually taxed instead of
+    # averaging away. Interpretation rule (BASELINE.md): exclude the
+    # structurally-warm "start" reading, take the window floor =
+    # min(rest); any later reading >1.5x the floor flags the section
+    # it closes as band-suspect.
     from fuserank_spark.queries import q_scan as _qscan_probe
 
     host_band_sentinel: list[float] = []
+    host_band_labels: list[str] = []
 
-    def _sentinel() -> None:
+    def _sentinel(label: str) -> None:
         # median of 3 probes per checkpoint: a single probe is hostage
         # to one scheduler hiccup, exactly what the sentinel exists to
-        # see past
+        # see past (~0.6 s per checkpoint at sf0.1; ~9 checkpoints)
         runs = []
         for _ in range(3):
             t0 = time.time()
             materialize(_qscan_probe(spark, sf_dir))
             runs.append(time.time() - t0)
         host_band_sentinel.append(round(sorted(runs)[1], 3))
+        host_band_labels.append(label)
 
     # one untimed warm pass for the plan/codegen/noop-sink one-timers.
     # NOTE the start checkpoint still reads structurally elevated
@@ -116,7 +128,7 @@ def main() -> None:
     # BASELINE.md accounts for it; the degradation signal is mid/end
     # elevation or a start reading far beyond the warm-up band.
     materialize(_qscan_probe(spark, sf_dir))
-    _sentinel()
+    _sentinel("start")
 
     # corpus-encode throughput (stub embedder + K=16 encodings) — a
     # genuinely COLD build: this is the session's first touch of the
@@ -261,10 +273,14 @@ def main() -> None:
     # local batch IS the realistic serve shape.
     import pandas as pd
 
+    # explicit schema (ADVICE r11): don't lean on pandas inference for
+    # query_id's width or the object-dtype qvec lists — and the Arrow
+    # LocalRelation shape holds regardless of session arrow flags
     qdf = spark.createDataFrame(
         pd.DataFrame(
             {"query_id": [i for i, _ in qvecs], "qvec": [v for _, v in qvecs]}
-        )
+        ),
+        schema="query_id long, qvec array<double>",
     )
     # warm the Arrow-batch scan path with one full untimed run (this
     # block now runs FIRST in the session, so without it batch32 would
@@ -287,12 +303,15 @@ def main() -> None:
     qdf256 = spark.createDataFrame(
         pd.DataFrame(
             {"query_id": range(256), "qvec": [list(map(float, q)) for q in qmat]}
-        )
+        ),
+        schema="query_id long, qvec array<double>",
     )
     batch256_sec = timed_median(lambda: materialize(topk_batch(enc, qdf256, k=10)))
     times["topk_batch256"] = round(batch256_sec, 3)
 
-    for name, fn in entry_mod.queries().items():
+    _sentinel("post_build")  # closes corpus_encode + embed samples + topk batches
+
+    for qi, (name, fn) in enumerate(entry_mod.queries().items(), start=1):
         try:
             times[name] = round(
                 timed_median(lambda: materialize(fn(spark, sf_dir))), 3
@@ -300,8 +319,13 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the rest
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             times[name] = -1.0
+        if qi % 20 == 0:
+            # in-loop probes: the registry is where the four perennial
+            # drifters live — a roaming band must localize to a ~20-entry
+            # span, not smear over the whole 67-entry section
+            _sentinel(f"registry_{qi}")
 
-    _sentinel()  # middle-of-window host probe
+    _sentinel("post_registry")
 
     # build vs steady-state serve cost. q_ivf_knn above is now the
     # oracle-checked serve path (frozen quantizer); the k-means-trained
@@ -338,6 +362,8 @@ def main() -> None:
             print(f"bench: {serve_name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             times[serve_name] = -1.0
 
+    _sentinel("post_serve_split")
+
     # fused-vs-exact quality tracker (mean recall@10 at the
     # reference-default K=200, 6 queries); ONE eval base (corpus embed
     # + stats) is shared with the geo tracker below — without the
@@ -362,7 +388,18 @@ def main() -> None:
             n_modalities=2, base=eval_box["base"],
         )
 
-    times["eval_recall_sweep"] = round(timed_median(_run_recall_sweep, force=True), 3)
+    # raw per-run times: the MINIMUM is the r1-comparable number (the
+    # eval trackers ran single-shot before the forced-median policy)
+    eval_runs: dict[str, list] = {
+        "eval_recall_sweep": [],
+        "eval_geo_agreement": [],
+    }
+    times["eval_recall_sweep"] = round(
+        timed_median(
+            _run_recall_sweep, force=True, runs_out=eval_runs["eval_recall_sweep"]
+        ),
+        3,
+    )
     eval_results = eval_box["recall"]
     recall_mean = round(sum(r["recall"] for r in eval_results) / len(eval_results), 4)
 
@@ -375,7 +412,10 @@ def main() -> None:
             base=eval_box["base"],
         )
 
-    times["eval_geo_agreement"] = round(timed_median(_run_geo, force=True), 3)
+    times["eval_geo_agreement"] = round(
+        timed_median(_run_geo, force=True, runs_out=eval_runs["eval_geo_agreement"]),
+        3,
+    )
     geo_results = eval_box["geo"]
     geo_recall = round(sum(r["recall"] for r in geo_results) / len(geo_results), 4)
     eval_box["base"][1].unpersist()
@@ -406,7 +446,22 @@ def main() -> None:
     ivf_recall_fast = round(sweep[FUSED_IVF_NPROBE_FAST], 4)
     times["eval_fused_ivf_recall"] = round(time.time() - t0, 3)
 
-    _sentinel()  # end-of-window host probe
+    _sentinel("end")
+
+    # per-section band flags (VERDICT r11 wrong #2): floor = the
+    # window's best post-start reading; any reading >1.5x the floor
+    # marks the section it CLOSES as band-suspect. "start" is excluded
+    # from both floor and flags — it reads structurally ~1.5-2.5x the
+    # end while JIT keeps warming (BASELINE.md r11 calibration).
+    _post_start = [
+        (lab, v)
+        for lab, v in zip(host_band_labels, host_band_sentinel)
+        if lab != "start"
+    ]
+    _floor = min(v for _, v in _post_start) if _post_start else 0.0
+    host_band_flagged = [
+        lab for lab, v in _post_start if _floor > 0 and v > 1.5 * _floor
+    ]
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     # build vs serve split (BASELINE.md): one-time build/ETL entries
@@ -457,6 +512,11 @@ def main() -> None:
         "fused_ivf_recall_at_10_fast": ivf_recall_fast,
         "fused_ivf_fast_nprobe": FUSED_IVF_NPROBE_FAST,
         "host_band_sentinel": host_band_sentinel,
+        "host_band_labels": host_band_labels,
+        "host_band_flagged": host_band_flagged,
+        "eval_run_min": {
+            k: round(min(v), 3) for k, v in eval_runs.items() if v
+        },
         "repeat_policy": (
             f"median-of-3 below {REPEAT_BELOW_SEC:g}s for serve-class entries, "
             "unconditional for recall/geo eval trackers; build-class single-shot"

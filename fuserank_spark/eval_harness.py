@@ -431,7 +431,12 @@ def fused_ivf_nprobe_sweep(
     corpus = build_corpus_cached(spark, sf_dir)
     # one assignment + one exact baseline for the whole sweep; only
     # the probe set varies per nprobe (probe sets nest by construction)
-    assigned, cq, _ = fused_ivf_parts(corpus, FUSED_IVF_CELLS)
+    # single-query mode sweeps the flagship query; multi-query mode
+    # brings its own seeded batch, so the flagship compile (stub embed
+    # + encode work) is skipped there (ADVICE r11)
+    assigned, cq, _ = fused_ivf_parts(
+        corpus, FUSED_IVF_CELLS, compile_flagship=(n_queries <= 1)
+    )
     # materialize the assignment ONCE: each probe's top-k would
     # otherwise re-run the 8-centroid IP argmax over every corpus row
     # per scan (HOF aggregates are interpreted, not codegen'd — the

@@ -1018,7 +1018,13 @@ def _restaurants_corpus(spark: SparkSession, csv: str):
                 ds.df.count() // 1250,
             ),
         )
-        src = ds.df.repartition(parts) if parts > 1 else ds.df
+        # same guard as flagship.build_corpus (VERDICT r11 wrong #3):
+        # repartition only an UNDER-split source, never shuffle down
+        src = (
+            ds.df.repartition(parts)
+            if parts > 1 and ds.df.rdd.getNumPartitions() < parts
+            else ds.df
+        )
         embedded = embed_corpus(src, ds.schema.text_encoding_schema, dim=32)
         aux = ds.schema.aux_encoding_schema
         stats = compute_stats(embedded, aux)

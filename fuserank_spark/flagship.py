@@ -71,7 +71,11 @@ def build_corpus(
     parts = max(
         1, min(spark.sparkContext.defaultParallelism, n_docs // 1250)
     )
-    if parts > 1:
+    # guard (VERDICT r11 wrong #3): only shuffle when the source is
+    # UNDER-split — a naturally well-split source (the cluster shape:
+    # many parquet files) must not pay a full-corpus repartition just
+    # to land on the derived count, and we never coalesce DOWN
+    if parts > 1 and docs.rdd.getNumPartitions() < parts:
         docs = docs.repartition(parts)
     embedded = embed_corpus(docs, TEXT_SCHEMA, dim=EMB_DIM)
     stats = compute_stats(embedded, AUX_SCHEMA)
@@ -190,7 +194,7 @@ def probe_cells(cents, qvec, nprobe: int) -> list[int]:
     return [int(c) for c in sorted(range(len(ips)), key=lambda c: (-ips[c], c))[:nprobe]]
 
 
-def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int):
+def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int, *, compile_flagship: bool = True):
     """(assigned, compiled_query, probed_cells) for the fused-IVF
     serve path — split out so callers can persist ``assigned``
     partitioned by centroid_id (simsearch.ivf_persist) and reuse it
@@ -222,6 +226,10 @@ def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int):
     assigned = ivf_assign(
         corpus.encoded, cents, vec_col="vector", metric="ip", score_round=6
     )
+    if not compile_flagship:
+        # caller brings its own query batch (the multi-query sweep,
+        # ADVICE r11): skip the flagship compile's stub embed + encode
+        return assigned, None, None
     cq = flagship_compiled(corpus)
     return assigned, cq, probe_cells(cents, cq.vector, nprobe)
 

@@ -1044,6 +1044,94 @@ def resolve_span_strategy(
     return out
 
 
+def sweep_residue_shells(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    kept_floor: float,
+    kept_ceiling: float = 2.0,
+    min_est_jaccard: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Sub-p10 boundary-residue shell sweep (r12, VERDICT r11 missing
+    #2). Input is a post-span-dedup frame carrying ``n_tokens`` /
+    ``n_kept`` (the :func:`dedup.dedup_spans` counters) that already
+    passed the ``n_kept >= floor·n_tokens`` kept-fraction gate.
+
+    The floor-cap arithmetic (``2(w−1) < floor·p10``) protects docs at
+    or above the p10 token count; a SHORTER whole-doc duplicate's
+    boundary residue can still sit above ``floor·n_tokens`` and sail
+    through (5M adjudication: 14,255 of the auto arm's 19,011
+    survivors were such shells vs the exact arm's 4,756 — SCALING.md
+    r11 step 3). This closes the class with a bounded near-dup pass
+    over ONLY the low-kept survivor slice (kept fraction under
+    ``kept_ceiling × kept_floor`` — tiny and dup-enriched by
+    construction): MinHash/LSH candidate pairs whose estimated
+    Jaccard ≥ ``min_est_jaccard`` are residue shells of the SAME
+    gutted span set, and EVERY paired doc drops. Drop-all, not
+    keep-one, is the exact-arm-matching semantics: exact span dedup
+    reduces each of them to ~nothing and the floor culls them all,
+    their surviving unique information is bounded by the (tiny)
+    residue, and the duplicated content itself lives on with the span
+    keeper — which keeps a high kept-fraction and is never in the
+    slice. Unpaired low-kept docs pass through (a genuinely unique
+    doc that lost many tokens is not a shell); residues shorter than
+    one shingle carry no signature and are excluded (dropping them on
+    a null-signature collision would purge DISTINCT tiny docs).
+
+    Scale shape: slice filter is narrow; the pair pipeline is the
+    bucketed spillable LSH core (``dedup._pairs_in_buckets`` — a
+    mass-dup shell bucket star-degrades instead of OOMing, and star
+    edges still mark every member as paired, which is all drop-all
+    needs); the removal is one left_anti keyed join. The input frame
+    is localCheckpoint-ed (r6-3 fan-out invariant): it feeds both the
+    slice's pair pipeline and the anti-join, and unmaterialized it
+    would re-run the caller's whole upstream dedup once per branch."""
+    from .dedup import SHINGLE_K, lsh_candidate_pairs, minhash_signature
+
+    if not (0.0 < kept_floor <= 1.0):
+        raise ValueError(f"kept_floor must be in (0, 1], got {kept_floor}")
+    if kept_ceiling <= 1.0:
+        raise ValueError(
+            f"kept_ceiling multiplies the floor and must be > 1, got {kept_ceiling}"
+        )
+    for c in ("n_tokens", "n_kept", key_col, text_col):
+        if c not in df.columns:
+            raise ValueError(
+                f"sweep_residue_shells needs column {c!r} — run dedup_spans first"
+            )
+    df = df.localCheckpoint(eager=True)
+    low = df.filter(
+        (
+            F.col("n_kept")
+            < F.col("n_tokens") * F.lit(float(kept_floor) * float(kept_ceiling))
+        )
+        & (F.length(F.col(text_col)) >= SHINGLE_K)
+    )
+    # 4 bands × 2 rows (not the pair-op default 2×4): residue shells
+    # are TINY texts whose unique tail is a large shingle fraction —
+    # true Jaccard between siblings lands ~0.5-0.7, where a 4-row band
+    # match is rare (j⁴ per band) and measured escapes ~15% of shells;
+    # 2-row bands recover them (measured 20/20 on the unit fixture vs
+    # 17/20 at 2×4), and the est_jaccard floor — computed over all 8
+    # perms regardless of banding — still gates what a candidate pair
+    # needs to actually drop
+    shell_pairs = lsh_candidate_pairs(
+        minhash_signature(low, text_col=text_col),
+        key_col=key_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+    ).filter(F.col("est_jaccard") >= float(min_est_jaccard))
+    shell_ids = (
+        shell_pairs.select(F.col("id_a").alias(key_col))
+        .union(shell_pairs.select(F.col("id_b").alias(key_col)))
+        .distinct()
+    )
+    return df.join(shell_ids, key_col, "left_anti")
+
+
 def curate_corpus(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -1064,6 +1152,9 @@ def curate_corpus(
     span_drop_if_kept_below: float | None = None,
     span_auto_max_miss_frac: float = 0.05,
     span_auto_sample_fraction: float | None = 0.1,
+    span_shell_sweep: str = "auto",
+    span_shell_kept_ceiling: float = 2.0,
+    span_shell_min_jaccard: float = 0.5,
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
     domain_col: str = "domain",
@@ -1131,6 +1222,22 @@ def curate_corpus(
     bottom-decile whole-doc duplicate's boundary-residue shell cannot
     shelter under the floor — the r10 crawl-fixture finding), and the
     floor itself then culls the shells the cap arithmetic targets.
+
+    ``span_shell_sweep`` (r12, VERDICT r11 missing #2) closes the
+    floor cap's structural blind spot: docs BELOW the protection
+    quantile can still shelter boundary-residue shells above the
+    floor. When anchor mode runs with a floor (``"auto"``, the
+    default — or forced with ``"on"``; ``"off"`` disables), a bounded
+    MinHash/LSH near-dup pass over the low-kept survivor slice (kept
+    fraction under ``span_shell_kept_ceiling × floor``) drops EVERY
+    doc in a candidate pair at estimated Jaccard ≥
+    ``span_shell_min_jaccard``: near-identical low-kept residues are
+    shells of the same gutted span set, their content survives with
+    the span keeper, and exact mode would have culled all of them at
+    the floor (drop-all, not keep-one, is the exact-arm-matching
+    semantics). Unpaired low-kept docs and sub-shingle residues pass
+    through. Measured at the 5M tier: auto-arm survivors 19,011 →
+    within 1.5× of the exact arm's 4,756 (SCALING.md r12).
 
     Pass ``domain_ranks`` (a (node, rank) frame, e.g. `web.pagerank`
     over `web.domain_link_graph`) + ``min_domain_rank`` to gate on the
@@ -1215,6 +1322,28 @@ def curate_corpus(
             df = df.filter(
                 F.col("n_kept")
                 >= F.col("n_tokens") * F.lit(float(span_drop_if_kept_below))
+            )
+        if span_shell_sweep not in ("auto", "on", "off"):
+            raise ValueError(
+                f"span_shell_sweep must be auto|on|off, got {span_shell_sweep!r}"
+            )
+        if span_shell_sweep == "on" and span_drop_if_kept_below is None:
+            raise ValueError(
+                "span_shell_sweep='on' needs span_drop_if_kept_below — the "
+                "sweep's slice is defined relative to the kept floor"
+            )
+        if (
+            span_drop_if_kept_below is not None
+            and span_shell_sweep != "off"
+            and (span_shell_sweep == "on" or (span_strategy == "anchor" and span_w > 1))
+        ):
+            df = sweep_residue_shells(
+                df,
+                key_col=key_col,
+                text_col=text_col,
+                kept_floor=float(span_drop_if_kept_below),
+                kept_ceiling=float(span_shell_kept_ceiling),
+                min_est_jaccard=float(span_shell_min_jaccard),
             )
         df = df.drop("n_tokens", "n_kept")
     q = quality_features(df, text_col).filter(F.col("quality_score") >= min_quality)

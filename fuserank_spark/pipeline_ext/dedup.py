@@ -1387,6 +1387,13 @@ def recommended_anchor_window(
     shells above a kept-fraction floor even when the miss budget
     would allow it (measured r10: w=8 on the crawl fixture kept 84k
     survivors vs exact's 4.8k THROUGH the 0.3 floor)."""
+    # validate BEFORE the collect (ADVICE r11): the rows helper
+    # re-validates, but an invalid budget must not pay a Spark job
+    # first — these two checks mirror recommended_anchor_window_rows
+    if min_span_tokens is not None and int(min_span_tokens) < 2:
+        raise ValueError(f"min_span_tokens must be >= 2, got {min_span_tokens}")
+    if not (0.0 <= max_miss_frac <= 1.0):
+        raise ValueError(f"max_miss_frac must be in [0, 1], got {max_miss_frac}")
     cols = ["span_tokens", "cum_mass_frac"]
     has_L_col = "min_span_tokens" in profile.columns
     if has_L_col:

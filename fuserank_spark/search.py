@@ -205,7 +205,8 @@ def _arrow_partial_topk(
             # check, become NaN in the flat buffer, and a NaN partition
             # threshold in _cut silently drops the partition's
             # candidates instead of erroring like the old stack path
-            if vec_arr.null_count or vec_arr.flatten().null_count:
+            flat = vec_arr.flatten()  # bound once: null check + values (ADVICE r11)
+            if vec_arr.null_count or flat.null_count:
                 raise ValueError(
                     f"topk over NULL {vector_col} rows/elements — "
                     "filter them first"
@@ -219,7 +220,7 @@ def _arrow_partial_topk(
                         f"{vector_col} widths {set(widths.tolist())} != "
                         f"query dim {dim}"
                     )
-            vals = vec_arr.flatten().to_numpy(zero_copy_only=False)
+            vals = flat.to_numpy(zero_copy_only=False)
             if vals.size != n * dim:
                 raise ValueError(
                     f"{vector_col} buffer size {vals.size} != {n}x{dim}"

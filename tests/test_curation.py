@@ -1070,3 +1070,140 @@ def test_curate_auto_resolves_on_post_line_dedup_frame(spark, monkeypatch):
     ).collect()
     assert captured["strategy"] == "anchor"
     assert captured["anchor_window"] == post["anchor_window"] == 5
+
+
+# ---------------------------------------------------------- shell sweep (r12)
+
+
+def _shell_fixture(spark):
+    """The sub-p10 blind spot in miniature: a 12-token passage B
+    duplicated across 21 short docs (keeper + 20 unique-tail shells —
+    anchor residue sits ABOVE a 0.1 floor), a second passage E whose
+    loser doc keeps a genuinely unique tail (low-kept but NOT a
+    shell), and the two span keepers."""
+    B = " ".join(f"b{i}" for i in range(12))
+    E = " ".join(f"e{i}" for i in range(7))
+    rows = [(1, B + " tailone")]
+    rows += [(i, B + f" tail{i}") for i in range(2, 22)]
+    rows += [(30, E + " unique words that make this real content")]
+    rows += [(31, E + " alpha beta gamma delta")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_sweep_residue_shells_composition(spark):
+    """VERDICT r11 missing #2, the mechanism pin: with the sweep off,
+    anchor+floor shelters every boundary-residue shell (the 5M blind
+    spot); with the default sweep the anchor arm's survivor SET equals
+    the exact arm's — span keepers and the genuinely-unique low-kept
+    doc survive, all 20 shells die."""
+    d = _shell_fixture(spark)
+    common = dict(
+        min_quality=0.0, span_dedup_tokens=5,
+        span_drop_if_kept_below=0.1,
+    )
+    blind = curate_corpus(
+        d, span_dedup_strategy="anchor", span_dedup_anchor_window=3,
+        span_shell_sweep="off", **common,
+    )
+    blind_ids = sorted(r["doc_id"] for r in blind.collect())
+    assert set(range(2, 22)) <= set(blind_ids)  # the blind spot, pinned
+
+    swept = curate_corpus(
+        d, span_dedup_strategy="anchor", span_dedup_anchor_window=3,
+        span_shell_kept_ceiling=4.0, **common,
+    )
+    swept_ids = sorted(r["doc_id"] for r in swept.collect())
+    exact = curate_corpus(d, span_dedup_strategy="join", **common)
+    exact_ids = sorted(r["doc_id"] for r in exact.collect())
+    assert swept_ids == exact_ids == [1, 30, 31]
+
+
+def test_sweep_residue_shells_requires_span_counters(spark):
+    d = _shell_fixture(spark)
+    from fuserank_spark.pipeline_ext.curation import sweep_residue_shells
+
+    with pytest.raises(ValueError, match="n_tokens"):
+        sweep_residue_shells(d, kept_floor=0.1)
+    with pytest.raises(ValueError, match="kept_ceiling"):
+        sweep_residue_shells(d, kept_floor=0.1, kept_ceiling=1.0)
+    with pytest.raises(ValueError, match="span_shell_sweep"):
+        curate_corpus(d, span_dedup_tokens=5, span_shell_sweep="bogus")
+    with pytest.raises(ValueError, match="span_drop_if_kept_below"):
+        curate_corpus(d, span_dedup_tokens=5, span_shell_sweep="on")
+
+
+def test_sweep_residue_shells_matches_duckdb(spark, duck):
+    """The sweep DECISION re-derived independently in DuckDB over the
+    same post-span frame (registry frozen → test-resident oracle, the
+    semantic_dedup precedent): slice filter → 8-perm portable MinHash
+    → 4×2 banding → bucket pairs → est_jaccard gate → drop-all.
+    Survivor doc_id sets must match exactly."""
+    from fuserank_spark.pipeline_ext.dedup import dedup_spans
+    from fuserank_spark.pipeline_ext.curation import sweep_residue_shells
+    from fuserank_spark.pipeline_ext.hashing import HASH_PRIME, MINHASH_PERMS
+
+    floor, ceiling, thr = 0.1, 4.0, 0.5
+    d = _shell_fixture(spark)
+    sp = dedup_spans(d, min_span_tokens=5, strategy="anchor", anchor_window=3)
+    kept = sp.filter(F.col("n_kept") >= F.col("n_tokens") * F.lit(floor))
+    got = sorted(
+        r["doc_id"]
+        for r in sweep_residue_shells(
+            kept, kept_floor=floor, kept_ceiling=ceiling, min_est_jaccard=thr
+        ).collect()
+    )
+
+    import pandas as pd
+
+    pdf = kept.select("doc_id", "text", "n_tokens", "n_kept").toPandas()
+    duck.register("shellin", pdf)
+    try:
+        h = "CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)"
+        perm_exprs = ", ".join(
+            f"list_min(list_transform(sh, s -> (({a} * {h} + {b}) % {HASH_PRIME}))) AS mh{j}"
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        )
+        bands = "\nUNION ALL\n".join(
+            "SELECT doc_id, {b} AS band_idx, md5(concat({parts})) AS band_hash FROM sig".format(
+                b=b,
+                parts=", ',', ".join(f"CAST(mh{2*b+r} AS VARCHAR)" for r in range(2)),
+            )
+            for b in range(4)
+        )
+        eq_sum = " + ".join(f"CAST(a.mh{j} = b.mh{j} AS INT)" for j in range(8))
+        oracle = duck.execute(f"""
+        WITH low AS (
+          SELECT doc_id, text FROM shellin
+          WHERE n_kept < n_tokens * {floor * ceiling!r} AND length(text) >= 5
+        ),
+        sig AS (
+          SELECT doc_id, {perm_exprs}
+          FROM (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, length(text) - 4),
+                                                    i -> substring(text, i, 5))) AS sh
+                FROM low)
+        ),
+        banded AS ({bands}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT p.id_a, p.id_b
+          FROM pairs p JOIN sig a ON a.doc_id = p.id_a
+                       JOIN sig b ON b.doc_id = p.id_b
+          WHERE ({eq_sum}) / 8.0 >= {thr!r}
+        ),
+        swept AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM scored UNION ALL SELECT id_b FROM scored
+          )
+        )
+        SELECT doc_id FROM shellin WHERE doc_id NOT IN (SELECT id FROM swept)
+        ORDER BY doc_id
+        """).fetchall()
+    finally:
+        duck.unregister("shellin")
+    assert got == [r[0] for r in oracle]

@@ -384,3 +384,31 @@ def test_heavy_hitters_posture(spark):
     # broadcast probe — the only full-width exchange in the whole op
     # carries candidate-matching rows only.
     assert "ExistingRDD" in p
+
+
+def test_corpus_build_repartition_guard(spark, tmp_path):
+    """VERDICT r11 wrong #3: build_corpus's size-derived repartition
+    fires ONLY when the source is under-split. A pre-split source (the
+    cluster shape — many parquet files) must show no round-robin
+    Exchange in the encoded plan; a single-file source at the same row
+    count must still get the split (the local-mode fix the repartition
+    exists for). Never coalesces down either way."""
+    from fuserank_spark.flagship import build_corpus
+
+    n = 4000  # parts = min(defaultParallelism, 4000 // 1250) = 3
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("guard doc text number "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("s"), F.col("id") % 5).alias("source"),
+        (F.col("id") % 300 + 20).alias("n_chars"),
+    )
+    pre = str(tmp_path / "presplit")
+    docs.repartition(8).write.parquet(pre + "/documents.parquet")
+    p = plan_str(build_corpus(spark, pre).encoded)
+    assert "RoundRobinPartitioning" not in p
+
+    single = str(tmp_path / "single")
+    docs.coalesce(1).write.parquet(single + "/documents.parquet")
+    p1 = plan_str(build_corpus(spark, single).encoded)
+    assert "RoundRobinPartitioning" in p1
