@@ -498,7 +498,9 @@ def fused_ivf_nprobe_sweep(
         if n_queries <= 1
         else "nprobe int, recall double, recall_min double"
     )
-    return spark.createDataFrame(rows, schema)
+    from .session import local_frame
+
+    return local_frame(spark, rows, schema)
 
 
 def evaluate_lsh_dedup_recall(

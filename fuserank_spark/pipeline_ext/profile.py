@@ -19,6 +19,8 @@ rejoin the single pass (no Expand) with bounded memory."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..session import local_frame
 from pyspark.sql import functions as F
 
 __all__ = ["profile"]
@@ -89,8 +91,8 @@ def profile(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
                 *[float(v) if v is not None else None for v in q],
             )
         )
-    res = spark.createDataFrame(
-        out,
+    res = local_frame(
+        spark, out,
         "column string, n bigint, n_null bigint, n_distinct bigint, "
         "min double, max double, mean double, p25 double, p50 double, p75 double",
     )

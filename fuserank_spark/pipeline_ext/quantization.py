@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .simsearch import _merge_topk
+from ..session import local_frame
 
 MAX_QUERY_BATCH = 1024
 
@@ -437,7 +438,7 @@ def _chunked_union(queries: list[tuple], fn, chunk: int):
 
 
 def _lut_frame(spark, codebooks: np.ndarray, queries: list[tuple]) -> DataFrame:
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(int(qid), adc_lut(codebooks, qv)) for qid, qv in queries],
         "query_id bigint, __lut array<array<double>>",
     )
@@ -469,7 +470,7 @@ def _finish_topk(
     cand = _merge_topk(
         scored, k * refine_factor, "query_id", key_col, score_col="adc"
     ).select("query_id", key_col)
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(qid, [float(v) for v in qv]) for qid, qv in queries],
         "query_id bigint, __qv array<double>",
     )
@@ -558,7 +559,7 @@ def ivf_pq_knn(
     m = codebooks.shape[0]
     probe_rows = _probe_rows(centroids, queries, nprobe)
     probed_cells = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")
+    probes = local_frame(spark, probe_rows, f"query_id bigint, {cell_col} int")
     luts = _lut_frame(spark, codebooks, queries)
     scored = (
         codes.filter(F.col(cell_col).isin(probed_cells))
@@ -604,7 +605,7 @@ def pq_recall_at_k(
         refine_factor=refine_factor,
         vec_col=vec_col,
     )
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(qid, [float(v) for v in qv]) for qid, qv in queries],
         "query_id bigint, qvec array<double>",
     )
@@ -785,7 +786,7 @@ def _sq_query_frame(spark, mins, scales, queries: list[tuple]) -> DataFrame:
         rows.append(
             (int(qid), _seq_dot(q, mins), [q[i] * scales[i] for i in range(dim)])
         )
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "query_id bigint, __bias double, __w array<double>"
     )
 
@@ -842,7 +843,7 @@ def ivf_sq_knn(
     spark = codes.sparkSession
     probe_rows = _probe_rows(centroids, queries, nprobe)
     probed_cells = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")
+    probes = local_frame(spark, probe_rows, f"query_id bigint, {cell_col} int")
     scored = (
         codes.filter(F.col(cell_col).isin(probed_cells))
         .join(F.broadcast(probes), cell_col)
@@ -1000,7 +1001,7 @@ def bq_query_words(thresholds: list[float], qv) -> list[int]:
 
 
 def _bq_query_frame(spark, thresholds: list[float], queries: list[tuple]) -> DataFrame:
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(int(qid), bq_query_words(thresholds, qv)) for qid, qv in queries],
         "query_id bigint, __qw array<bigint>",
     )
@@ -1123,7 +1124,7 @@ def ivf_bq_knn(
     dim = len(thresholds)
     probe_rows = _probe_rows(centroids, queries, nprobe)
     probed_cells = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, f"query_id bigint, {cell_col} int")
+    probes = local_frame(spark, probe_rows, f"query_id bigint, {cell_col} int")
     scored = (
         codes.filter(F.col(cell_col).isin(probed_cells))
         .join(F.broadcast(probes), cell_col)
@@ -1167,7 +1168,7 @@ def quantization_recall_report(
     from .simsearch import brute_force_knn
 
     spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(qid, [float(v) for v in qv]) for qid, qv in queries],
         "query_id bigint, qvec array<double>",
     )

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import local_frame
 from .simsearch import _merge_topk
 from .textstats import tokens_expr
 
@@ -299,7 +300,9 @@ def bm25_topk_batch(
         for qid, terms in queries
         for term in terms
     ]
-    wdf = spark.createDataFrame(weights, ["query_id", "term", "idf"])
+    # Arrow LocalRelation with pinned types (CLAUDE.md r11 /
+    # ADVICE r11): the weights frame is broadcast into the join below
+    wdf = local_frame(spark, weights, "query_id bigint, term string, idf double")
     tf = F.col("tf").cast("double")
     contrib = F.col("idf") * (tf * F.lit(k1 + 1.0)) / (
         tf
@@ -376,8 +379,8 @@ def hybrid_topk(
     text_arm = bm25_topk(
         docs, terms, k=k_retrieve, id_col=doc_id_col, text_col=text_col
     ).select(doc_id_col, "rnk")
-    qdf = spark.createDataFrame(
-        [(0, [float(x) for x in query_vec])], ["query_id", "qvec"]
+    qdf = local_frame(
+        spark, [(0, [float(x) for x in query_vec])], "query_id bigint, qvec array<double>"
     )
     dense_arm = brute_force_knn(
         embeddings, qdf, k=k_retrieve, vec_col=vec_col, key_col=vec_id_col

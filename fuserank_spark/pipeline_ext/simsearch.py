@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..search import dot_expr, l2_norm_expr
+from ..session import local_frame
 
 
 def _cosine(a_vec, b_vec):
@@ -449,8 +450,12 @@ def _ivf_knn_batch(
         for cid in order:
             probe_rows.append((r[query_key], int(cid), [float(x) for x in qv]))
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_key} int, centroid_id int, {query_vec} array<double>"
+    # Arrow LocalRelation, not createDataFrame(list) (CLAUDE.md r11):
+    # the probes frame is broadcast below — as a pickled Python RDD
+    # every serve call paid a default-parallelism Python-worker stage
+    # just to re-read a handful of probe rows
+    probes = local_frame(
+        spark, probe_rows, f"{query_key} int, centroid_id int, {query_vec} array<double>"
     )
     probed_cells = sorted({cid for _, cid, _ in probe_rows})
     assigned = assigned.filter(F.col("centroid_id").isin(probed_cells))

@@ -52,6 +52,37 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_frame(spark: SparkSession, rows: list, schema: str):
+    """Driver-side small-batch DataFrame via pandas→Arrow, NOT
+    ``createDataFrame(list)`` (CLAUDE.md r11): a plain-list
+    createDataFrame pickles into a default-parallelism Python RDD, so
+    EVERY downstream collect/broadcast of the frame schedules a
+    32-task Python-worker stage (~0.6 s measured for 32 rows). The
+    pandas path ships the batch through Arrow into a JVM
+    LocalRelation (~0.02 s to collect); in a session without
+    arrow.pyspark.enabled it degrades to the classic conversion with
+    identical semantics. ``schema`` is the explicit DDL string —
+    never inference (ADVICE r11).
+
+    ``rows`` is a list of tuples aligned with the schema's field
+    order (the same shape ``createDataFrame(list, schema)`` takes)."""
+    import pandas as pd
+
+    names = []
+    depth = 0
+    field = ""
+    for ch in schema + ",":
+        if ch == "," and depth == 0:
+            names.append(field.strip().split()[0].strip("`"))
+            field = ""
+            continue
+        depth += ch in "<("
+        depth -= ch in ">)"
+        field += ch
+    data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    return spark.createDataFrame(pd.DataFrame(data, columns=names), schema=schema)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read the driver testdata parquet tables as a dict of DataFrames."""
     if "events" in (names or ("events",)):
