@@ -194,6 +194,24 @@ def probe_cells(cents, qvec, nprobe: int) -> list[int]:
     return [int(c) for c in sorted(range(len(ips)), key=lambda c: (-ips[c], c))[:nprobe]]
 
 
+def _head_centroids(corpus: DocumentCorpus) -> "np.ndarray":
+    """The frozen SQL-derivable coarse quantizer: fused vectors of
+    the first FUSED_IVF_CELLS row_ids (shared by the in-session serve
+    and the parts/sweep machinery so the centroid definition can
+    never drift)."""
+    import numpy as np
+
+    cent_rows = (
+        corpus.encoded.filter(F.col("row_id") < FUSED_IVF_CELLS)
+        .orderBy("row_id")
+        .select("vector")
+        .collect()
+    )
+    if len(cent_rows) < FUSED_IVF_CELLS:
+        raise ValueError(f"corpus has fewer than {FUSED_IVF_CELLS} rows")
+    return np.array([r["vector"] for r in cent_rows], dtype="float64")
+
+
 def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int, *, compile_flagship: bool = True):
     """(assigned, compiled_query, probed_cells) for the fused-IVF
     serve path — split out so callers can persist ``assigned``
@@ -210,19 +228,9 @@ def fused_ivf_parts(corpus: DocumentCorpus, nprobe: int, *, compile_flagship: bo
     sum fold order shares the tie-break domain. Probe selection is
     driver-side over the tiny centroid matrix: top-nprobe cells by
     rounded IP(query, centroid), ties to the lowest cell id."""
-    import numpy as np
-
     from .pipeline_ext.simsearch import ivf_assign
 
-    cent_rows = (
-        corpus.encoded.filter(F.col("row_id") < FUSED_IVF_CELLS)
-        .orderBy("row_id")
-        .select("vector")
-        .collect()
-    )
-    if len(cent_rows) < FUSED_IVF_CELLS:
-        raise ValueError(f"corpus has fewer than {FUSED_IVF_CELLS} rows")
-    cents = np.array([r["vector"] for r in cent_rows], dtype="float64")
+    cents = _head_centroids(corpus)
     assigned = ivf_assign(
         corpus.encoded, cents, vec_col="vector", metric="ip", score_round=6
     )
@@ -245,12 +253,20 @@ def fused_ivf_query(
     an ivf_persist'ed table it prunes partitions; scoring and
     ranking reuse the exact topk machinery."""
     corpus = build_corpus_cached(spark, sf_dir)
-    assigned, cq, probed = fused_ivf_parts(corpus, nprobe)
+    cents = _head_centroids(corpus)
+    cq = flagship_compiled(corpus)
+    probed = probe_cells(cents, cq.vector, nprobe)
+    # r12: assignment + probe pruning run INSIDE the Arrow top-k scan
+    # (search.topk assign_filter) — one batch matmul per partition —
+    # instead of materializing an assigned frame whose per-centroid
+    # interpreted HOF aggregates were evaluated twice per query (probe
+    # arm + join-back arm) and whose 8×dim literal matrix bloated the
+    # plan. Same cell semantics: rounded IP argmax, lowest-cid ties.
     hits = topk(
-        assigned,
+        corpus.encoded,
         cq.vector,
         k=k,
-        predicate=F.col("centroid_id").isin(probed),
+        assign_filter=(cents, probed, "ip", 6),
     )
     return hits.select(
         "row_id",

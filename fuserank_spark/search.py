@@ -62,6 +62,7 @@ def topk(
     tiebreak_col: str | None = None,
     use_arrow: bool | None = None,
     score_round: int | None = None,
+    assign_filter: tuple | None = None,
 ) -> DataFrame:
     """T1 single-query exact top-k (replaces
     faiss.IndexFlatIP.search, src/app.py:78). Optional hard predicate
@@ -90,7 +91,20 @@ def topk(
     BOTH paths: the Arrow path's per-partition heaps pre-select on
     the rounded score too (ADVICE r7 — otherwise an ulp-tied pair
     co-located in one partition and straddling its k-deep heap was
-    still ordered by fold-order noise)."""
+    still ordered by fold-order noise).
+
+    ``assign_filter=(centroids, probed_cells, metric, assign_round)``
+    (r12): IVF cell assignment + probe pruning fused INTO the Arrow
+    scan — per batch one (n×d)·(d×C) matmul assigns every row to its
+    cell (argmin of the rounded distance/negated-IP, first-index =
+    lowest-cid tie-break, exactly simsearch.ivf_assign's struct-min)
+    and non-probed rows are dropped before scoring. This replaces the
+    former assigned-frame serve shape, where the per-centroid HOF
+    aggregates (interpreted, C·d literal-array ops per row) were
+    evaluated TWICE per query — once under the probe filter feeding
+    the scan and again on the join-back arm — and the C×d literal
+    matrix bloated every plan. Arrow-path only (the caller's vectors
+    are ≥100-dim wherever IVF serves); raises on the expression path."""
     if predicate is not None:
         df = df.filter(predicate)
     if use_arrow is None:
@@ -98,6 +112,12 @@ def topk(
     if tiebreak_col is not None and tiebreak_col != "row_id":
         use_arrow = False  # uniqueness unknown → safe path
     tb = tiebreak_col or ("row_id" if "row_id" in df.columns else None)
+    if assign_filter is not None and not (use_arrow and tb is not None):
+        raise ValueError(
+            "assign_filter needs the Arrow top-k path (a unique row_id "
+            "tie-break and a >=100-dim query); assign via "
+            "simsearch.ivf_assign + a predicate instead"
+        )
 
     def _ord(score: Column) -> Column:
         return F.desc(F.round(score, score_round)) if score_round is not None else F.desc(score)
@@ -105,7 +125,7 @@ def topk(
     if use_arrow and tb is not None:
         hits = _arrow_partial_topk(
             df, np.asarray([query_vector], dtype="float64"), [0], k, vector_col, tb, score_col,
-            score_round=score_round,
+            score_round=score_round, assign_filter=assign_filter,
         ).drop("query_id")
         out = df.join(hits, tb)
         return out.orderBy(_ord(F.col(score_col)), F.col(tb)).limit(k)
@@ -125,6 +145,7 @@ def _arrow_partial_topk(
     key_col: str,
     score_col: str,
     score_round: int | None = None,
+    assign_filter: tuple | None = None,
 ) -> DataFrame:
     """Per-partition numpy scoring: each task reads its Arrow batch's
     list column as ONE flat float64 buffer (mapInArrow — no
@@ -144,7 +165,21 @@ def _arrow_partial_topk(
     rounded score (round-before-rank inside the heap, ADVICE r7):
     ulp-tied rows tie and fall to the key tie-break before the k cut,
     matching the caller's final `F.round` ordering. Emitted scores
-    stay raw — the caller rounds at the final orderBy."""
+    stay raw — the caller rounds at the final orderBy.
+
+    ``assign_filter=(centroids, probed, metric, assign_round)`` (r12):
+    before scoring, assign each row to its IVF cell with one batch
+    matmul — ``metric="ip"`` argmaxes the rounded inner product (as
+    argmin of the rounded NEGATED dot, simsearch.ivf_assign's exact
+    score), ``"l2"`` argmins ``||c||² − 2⟨x,c⟩`` — and keep only rows
+    landing in ``probed``. ``assign_round`` uses the vectorized
+    half-away-from-zero decimal formula (simsearch.round_half_away /
+    ivf_assign_arrow's convention): it equals the expression path's
+    ``F.round`` except when a score's shortest decimal representation
+    lands exactly on a half-boundary — measure-zero for dot-product
+    scores, the repo's accepted driver-side-rounding caveat, and the
+    assignment parity is pinned on the real corpus by
+    tests/test_fused_search.py::test_fused_ivf_arrow_assign_matches_expression."""
     from pyspark.sql import types as T
 
     key_type = next(f.dataType for f in df.schema.fields if f.name == key_col)
@@ -157,6 +192,19 @@ def _arrow_partial_topk(
     )
     qm = np.ascontiguousarray(qmat, dtype="float64")
     scale = None if score_round is None else 10.0 ** int(score_round)
+    if assign_filter is not None:
+        af_cents, af_probed, af_metric, af_round = assign_filter
+        if af_metric not in ("l2", "ip"):
+            raise ValueError(f"assign_filter metric must be 'l2' or 'ip', got {af_metric!r}")
+        af_cents = np.ascontiguousarray(af_cents, dtype="float64")
+        if af_cents.shape[1] != qmat.shape[1]:
+            raise ValueError(
+                f"assign_filter centroids are {af_cents.shape[1]}-dim, "
+                f"queries are {qmat.shape[1]}-dim"
+            )
+        af_csq = np.einsum("kd,kd->k", af_cents, af_cents)
+        af_probed = np.asarray(sorted({int(c) for c in af_probed}), dtype="int64")
+        af_scale = None if af_round is None else 10.0 ** int(af_round)
 
     def _rank_key(scores: np.ndarray) -> np.ndarray:
         # half-up AWAY FROM ZERO, matching the caller's final F.round
@@ -227,6 +275,22 @@ def _arrow_partial_topk(
                 )
             M = vals.reshape(n, dim)
             keys = key_arr.to_numpy(zero_copy_only=False)
+            if assign_filter is not None:
+                # one batch matmul assigns every row to its cell; keep
+                # only probed rows BEFORE scoring (the IVF prune)
+                D = M @ af_cents.T
+                D = af_csq[None, :] - 2.0 * D if af_metric == "l2" else -D
+                if af_scale is not None:
+                    D = np.copysign(np.floor(np.abs(D) * af_scale + 0.5), D) / af_scale
+                # argmin takes the FIRST minimum — the lowest-cid tie
+                # break of ivf_assign's struct-min
+                kept = np.isin(D.argmin(axis=1), af_probed)
+                if not kept.any():
+                    continue
+                if not kept.all():
+                    M = M[kept]
+                    keys = keys[kept]
+                    n = int(M.shape[0])
             # (Q, n) so each query's score row is CONTIGUOUS for the
             # partition/lexsort in _cut, and ONE vectorized _rank_key
             # pass covers all queries (VERDICT r10 #1 hoist) instead of

@@ -662,3 +662,69 @@ def test_curve_from_sweep_bridges_to_target_recall(spark):
     assert nprobe_for_target_recall(1.0, FUSED_IVF_CELLS, curve=curve) == FUSED_IVF_CELLS
     with pytest.raises(ValueError, match="empty sweep"):
         curve_from_sweep(sweep.limit(0), FUSED_IVF_CELLS)
+
+
+def test_fused_ivf_arrow_assign_matches_expression(corpus):
+    """r12: the serve path fuses cell assignment + probe pruning into
+    the Arrow scan (search.topk assign_filter). The result must equal
+    the old shape — simsearch.ivf_assign (expression argmin over
+    rounded scores) + isin predicate + topk — row for row at every
+    nprobe, on the REAL corpus (both metrics' tie/rounding domains
+    exercised)."""
+    from fuserank_spark.flagship import (
+        FUSED_IVF_CELLS,
+        _head_centroids,
+        probe_cells,
+    )
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    cents = _head_centroids(corpus)
+    cq = _compiled(corpus, {"lang": ((["en", "de"], False), 2.0),
+                            "source": (None, 1.0),
+                            "n_chars": ((120.0, 360.0, False), 1.5)})
+    assigned = ivf_assign(
+        corpus.encoded, cents, vec_col="vector", metric="ip", score_round=6
+    )
+    for nprobe in (1, 3, FUSED_IVF_CELLS):
+        probed = probe_cells(cents, cq.vector, nprobe)
+        old = topk(
+            assigned, cq.vector, k=10,
+            predicate=F.col("centroid_id").isin(probed),
+        ).select("row_id", F.round("relevance", 6).alias("rel")).collect()
+        new = topk(
+            corpus.encoded, cq.vector, k=10,
+            assign_filter=(cents, probed, "ip", 6),
+        ).select("row_id", F.round("relevance", 6).alias("rel")).collect()
+        assert [tuple(r) for r in new] == [tuple(r) for r in old], nprobe
+
+
+def test_topk_assign_filter_l2_and_guards(corpus):
+    """assign_filter 'l2' matches the expression assignment too, and
+    the non-Arrow path refuses the option instead of silently
+    ignoring it."""
+    import pytest as _pytest
+
+    from fuserank_spark.flagship import _head_centroids
+    from fuserank_spark.pipeline_ext.simsearch import ivf_assign
+
+    cents = _head_centroids(corpus)
+    cq = _compiled(corpus, {"lang": (None, 1.0), "source": (None, 1.0),
+                            "n_chars": (None, 1.0)})
+    assigned = ivf_assign(
+        corpus.encoded, cents, vec_col="vector", metric="l2", score_round=6
+    )
+    probed = [0, 2, 5]
+    old = topk(
+        assigned, cq.vector, k=10,
+        predicate=F.col("centroid_id").isin(probed),
+    ).select("row_id").collect()
+    new = topk(
+        corpus.encoded, cq.vector, k=10,
+        assign_filter=(cents, probed, "l2", 6),
+    ).select("row_id").collect()
+    assert [r["row_id"] for r in new] == [r["row_id"] for r in old]
+    with _pytest.raises(ValueError, match="Arrow"):
+        topk(
+            corpus.encoded, cq.vector, k=10, use_arrow=False,
+            assign_filter=(cents, probed, "ip", 6),
+        )
