@@ -341,6 +341,13 @@ def _test_gram_set(
     on contaminated_keys (shared by the overlap-fraction variant)."""
     te = _gram_hash_rows(test, text_col, n).distinct()
     if broadcast_test == "auto":
+        # the auto-sizing count and the broadcast below are TWO actions
+        # over this frame (r6-3 fan-out invariant): unmaterialized, the
+        # broadcast re-runs the whole tokenize→ngram→hash→distinct
+        # pipeline the count just paid for. The checkpoint is bounded
+        # by the distinct gram set — the same quantity the auto policy
+        # is about to cap at broadcast_gram_limit.
+        te = te.localCheckpoint(eager=True)
         broadcast_test = (
             te.limit(broadcast_gram_limit + 1).count() <= broadcast_gram_limit
         )
@@ -450,7 +457,11 @@ def repetition_stats(df: DataFrame, key_col: str = "doc_id", text_col: str = "te
     count per (doc, token) → max/sum per doc — two uniform hash
     shuffles, no per-doc quadratic expression, so a single
     pathological 1 GB document cannot stall an executor the way
-    filter-per-distinct-token would.
+    filter-per-distinct-token would. (r12 note: a per-row
+    sorted-max-run form that removes both shuffles was built and
+    MEASURED SLOWER — 1.60s vs 1.34s at sf0.1 — the interpreted HOF
+    fold loses to the codegen'd explode+hash-aggregate; kept the
+    distributed shape.)
 
     SINGLE-SCAN shape (ADVICE r2): the per-row metrics ride along
     the exploded token stream as carried columns (constant within a
