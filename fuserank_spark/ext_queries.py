@@ -743,9 +743,13 @@ def q_fused_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "lang")
         .withColumn("row_id", F.col("doc_id"))
     )
-    embedded = embed_corpus(docs, {"text": 1.0}, dim=_FUSED_TEXT_DIM)
     aux = {"lang": S2.SPARSE}
-    stats = compute_stats(embedded, aux)
+    # stats over the PRE-embed frame: computed over `embedded`, each
+    # of compute_stats' two agg actions re-ran the stub-embed
+    # mapInPandas stage per serve call (r12, same fix as
+    # flagship.build_corpus)
+    stats = compute_stats(docs, aux)
+    embedded = embed_corpus(docs, {"text": 1.0}, dim=_FUSED_TEXT_DIM)
     encoded, layout = encode_products(embedded, aux, stats, num_harmonics=4)
     record_text_dim(layout, _FUSED_TEXT_DIM)
     cq = compile_query(
@@ -1025,9 +1029,12 @@ def _restaurants_corpus(spark: SparkSession, csv: str):
             if parts > 1 and ds.df.rdd.getNumPartitions() < parts
             else ds.df
         )
-        embedded = embed_corpus(src, ds.schema.text_encoding_schema, dim=32)
         aux = ds.schema.aux_encoding_schema
-        stats = compute_stats(embedded, aux)
+        # stats over the PRE-embed frame (r12, same fix as
+        # flagship.build_corpus): over `embedded`, compute_stats' two
+        # agg actions each re-ran the full embed mapInPandas stage
+        stats = compute_stats(src, aux)
+        embedded = embed_corpus(src, ds.schema.text_encoding_schema, dim=32)
         encoded, layout = encode_products(embedded, aux, stats, num_harmonics=16)
         record_text_dim(layout, 32)
         encoded = encoded.persist()

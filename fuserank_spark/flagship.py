@@ -77,8 +77,15 @@ def build_corpus(
     # to land on the derived count, and we never coalesce DOWN
     if parts > 1 and docs.rdd.getNumPartitions() < parts:
         docs = docs.repartition(parts)
+    # stats read ONLY the aux columns, which exist on the raw docs —
+    # computing them over the embedded frame made both of
+    # compute_stats' agg actions execute the full stub-embed
+    # mapInPandas stage (opaque to column pruning) just to throw the
+    # vectors away: two extra Python passes over the corpus per build
+    # (r12; guide §4 — an opaque function defeats pruning, so don't
+    # put one under a column-pruned aggregate)
+    stats = compute_stats(docs, AUX_SCHEMA)
     embedded = embed_corpus(docs, TEXT_SCHEMA, dim=EMB_DIM)
-    stats = compute_stats(embedded, AUX_SCHEMA)
     encoded, layout = encode_products(
         embedded, AUX_SCHEMA, stats, num_harmonics=num_harmonics
     )
