@@ -16,6 +16,7 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .pipeline_ext import dedup as D
 from .pipeline_ext import multimodal as M
@@ -2602,11 +2603,18 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = TX2.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
     packed = P.pack_greedy(toks, budget=512)
-    fills = packed.groupBy("bin_id").agg(
-        F.sum("n_tokens").alias("bin_fill"), F.count(F.lit(1)).alias("bin_docs")
-    )
-    return packed.join(fills, "bin_id").select(
-        "doc_id", "n_tokens", "bin_id", "bin_fill", "bin_docs"
+    # per-bin fills as a WINDOW over bin_id, not groupBy + join-back
+    # (r12): the join's two arms each re-evaluated the whole
+    # tokenize → applyInPandas packing pipeline (the CLAUDE.md
+    # self-join trap on a derived frame); the window is one shuffle
+    # over the already-packed rows and computes identical values
+    wb = Window.partitionBy("bin_id")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "bin_id",
+        F.sum("n_tokens").over(wb).alias("bin_fill"),
+        F.count(F.lit(1)).over(wb).alias("bin_docs"),
     ).orderBy("doc_id")
 
 

@@ -204,10 +204,14 @@ def test_decontam_broadcasts_test_side(spark):
     train = d.filter(F.col("doc_id") % 17 != 0)
     p = plan_str(contaminated_keys(train, test), "simple")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
-    # exactly two hash exchanges, both on SMALL data: the test-side
-    # gram distinct (pre-broadcast) and the final surviving-key
-    # distinct — the exploded train side reaches the join unshuffled
-    assert p.count("Exchange hashpartitioning") == 2
+    # exactly one hash exchange in the SERVE plan — the final
+    # surviving-key distinct. The test-side gram distinct runs once at
+    # localCheckpoint time (r12: the auto-sizing count and the
+    # broadcast were two actions re-deriving the same grams) and
+    # arrives here as a materialized scan feeding the broadcast; the
+    # exploded train side reaches the join unshuffled.
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Scan ExistingRDD" in p  # the checkpointed test-gram set
 
 
 def test_repetition_stats_no_quadratic_ops(spark):
