@@ -34,6 +34,19 @@ def materialize(df) -> int:
 # the warm cache instead).
 REPEAT_BELOW_SEC = 5.0
 
+# build vs serve split (BASELINE.md): one-time build/ETL entries must not
+# be read as per-query costs by a round-over-round gate — and they are
+# never repeated by the median policy (the first run IS the one-time cost;
+# a rerun would price the warm cache, see the registry loop)
+BUILD_ENTRIES = {
+    "corpus_encode",
+    "q_restaurants_fused",
+    "q_ivf_build",
+    "q_pq_build",
+    "hf_embed_sample",
+    "proxy_embed_sample",
+}
+
 
 def timed_median(fn, force: bool = False, runs_out: list | None = None) -> float:
     """One timed run; if it lands under REPEAT_BELOW_SEC (or ``force``
@@ -313,9 +326,24 @@ def main() -> None:
 
     for qi, (name, fn) in enumerate(entry_mod.queries().items(), start=1):
         try:
-            times[name] = round(
-                timed_median(lambda: materialize(fn(spark, sf_dir))), 3
-            )
+            if name in BUILD_ENTRIES:
+                # build-class registry entries are NEVER repeated: the
+                # first run IS the one-time cost being measured. This
+                # was implicitly true while every cold build exceeded
+                # REPEAT_BELOW_SEC; the r12 build optimizations pushed
+                # q_restaurants_fused's cold build under 5 s, at which
+                # point timed_median started re-running it and
+                # reporting the WARM serve median (~0.5 s) as the
+                # build cost — a definition flip, not a speedup
+                # (measurement-bug fix, OPTIMIZATION_r12.md; the warm
+                # serve rate keeps its own entry, q_restaurants_serve)
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                times[name] = round(time.time() - t0, 3)
+            else:
+                times[name] = round(
+                    timed_median(lambda: materialize(fn(spark, sf_dir))), 3
+                )
         except Exception as e:  # a failing query must not hide the rest
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             times[name] = -1.0
@@ -464,16 +492,6 @@ def main() -> None:
     ]
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    # build vs serve split (BASELINE.md): one-time build/ETL entries
-    # must not be read as per-query costs by a round-over-round gate
-    BUILD_ENTRIES = {
-        "corpus_encode",
-        "q_restaurants_fused",
-        "q_ivf_build",
-        "q_pq_build",
-        "hf_embed_sample",
-        "proxy_embed_sample",
-    }
     build_wall = round(
         sum(v for k, v in times.items() if k in BUILD_ENTRIES and v >= 0), 3
     )
