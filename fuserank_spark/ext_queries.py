@@ -923,8 +923,17 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared tie-break domain (engine csq is a numpy-pairwise
     # literal, the twin folds sequentially; rounding absorbs the ulp)
     assigned = SS.ivf_assign(e, centroids, score_round=6)
-    queries = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    # the query batch IS the first 3 centroid rows just collected —
+    # re-deriving it as a distributed filter cost a second driver job
+    # (ivf_knn drains queries via toLocalIterator) over the same scan
+    # per serve call (r12); ship the already-held rows back as an
+    # Arrow LocalRelation instead
+    from .session import local_frame
+
+    queries = local_frame(
+        spark,
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows[:3]],
+        "query_id bigint, qvec array<double>",
     )
     return SS.ivf_knn(assigned, centroids, queries, k=10, nprobe=3).orderBy(
         "query_id", "rnk"
