@@ -1712,6 +1712,16 @@ def incremental_lsh_dedup(
     _check_lsh_store_meta(store_path, bands, rows_per_band)
     ingest = str(ingest_id)
     n = bands * rows_per_band
+    # Pin the batch ITSELF first (bounded by the batch size): the
+    # survivors anti-joins re-read ``new_docs``, so a lazy input whose
+    # evaluation is order-sensitive (a bare ``limit``, an unordered
+    # sample) would otherwise be evaluated TWICE — once into the
+    # victim/loser decision set, once into the survivors frame — and
+    # the two row sets can diverge, silently admitting every duplicate
+    # (the r13 quickstart failure: 5/5 suppression miss in the
+    # driver's environment). The r6-3 invariant applied to the INPUT
+    # frame, not just derived frames.
+    new_docs = new_docs.localCheckpoint(eager=True)
     # materialize the batch signatures once — the store join, the
     # within-batch pairs and the survivor-band publish would otherwise
     # each re-run the md5 shingle pipeline; bounded by the batch size

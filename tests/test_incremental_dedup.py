@@ -166,6 +166,32 @@ def test_store_and_batch_band_identically(spark, store):
     assert got == want
 
 
+def test_volatile_lazy_batch_is_pinned_before_decisions(spark, store):
+    """The input frame is evaluated ONCE (the r12 driver-env flake:
+    5/5 suppression misses on a bare ``limit(5)`` batch): a lazy batch
+    whose evaluation is order-sensitive must not hand one row set to
+    the victim/loser decision joins and a DIFFERENT one to the
+    survivors anti-joins. A genuinely nondeterministic filter is the
+    adversarial version of an unordered limit — re-ingesting stored
+    content through it must still be fully suppressed, every time."""
+    import random
+
+    t = _texts(spark)
+    corpus = _docs(spark, [(i, t[i]) for i in range(20)])
+    build_lsh_store(corpus, store)
+    flip = F.udf(lambda: random.random() < 0.5, "boolean").asNondeterministic()
+    for attempt in range(3):
+        volatile = (
+            corpus.repartition(4)
+            .withColumn("doc_id", F.col("doc_id") + 500 * (attempt + 1))
+            .filter(flip())
+        )
+        assert (
+            incremental_lsh_dedup(volatile, store, ingest_id=f"v{attempt}").count()
+            == 0
+        )
+
+
 def test_incremental_dedup_as_foreach_batch_sink(spark, store, tmp_path):
     """The op IS the foreachBatch body (batch_id = ingest_id): a file
     stream of document batches maintains the band store across

@@ -80,7 +80,12 @@ def test_readme_pipeline_composes_end_to_end(spark, tmp_path):
     bench_set = docs.filter(F.col("doc_id") % 13 == 0)
     contam = contamination_fraction(clean, bench_set, n=5)
     hot = contam.filter(F.col("overlap_frac") > 0.5).select("doc_id")
-    clean = clean.join(hot, "doc_id", "left_anti")
+    # pin the post-contamination frame: every stage below (mixture,
+    # BPE, packing, the day-2 LSH store) consumes it via its own
+    # action, and a lazy re-evaluation under cache eviction could
+    # hand different row sets to the store build vs the re-ingest
+    # (the r12 driver-env flake)
+    clean = clean.join(hot, "doc_id", "left_anti").localCheckpoint(eager=True)
 
     # temperature mixture over sources → packing by BPE token budget
     train = clean.filter(F.col("split") == "train").withColumn(
@@ -119,7 +124,7 @@ def test_readme_pipeline_composes_end_to_end(spark, tmp_path):
     build_lsh_store(clean.select("doc_id", "text"), lsh_store)
     # docs emptied/shortened below shingle length are unscorable and
     # pass through by design — re-ingest substantial texts only
-    reingest = clean.filter(F.length("text") > 50).limit(5).select(
+    reingest = clean.filter(F.length("text") > 50).orderBy("doc_id").limit(5).select(
         (F.col("doc_id") + 900_000).alias("doc_id"), "text"
     )
     assert incremental_lsh_dedup(reingest, lsh_store, ingest_id="day2").count() == 0
