@@ -198,17 +198,39 @@ def compact_ivf_index(
     df = spark.read.parquet(index_path)
     if "centroid_id" not in df.columns:
         raise ValueError(f"{index_path} is not an IVF index (no centroid_id)")
-    df, watermark = _fold_batches(df, index_path, include_latest_batch)
-    # one sizing scan over the folded subset: n_cells + row count
-    sizing = df.agg(
-        F.countDistinct("centroid_id").alias("c"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    n_cells = int(sizing["c"])
+    # sizing from the file index + parquet footers (guide §6): the
+    # watermark, the row count and the cell census are all metadata —
+    # r12 ran TWO full data scans (max(batch_id) + the sizing agg)
+    # before the rewrite scan; footer sizing leaves the rewrite as the
+    # only scan. Falls back to the original aggregation jobs whenever
+    # the listing cannot prove the layout (non-local URI, batch_id /
+    # centroid_id as data columns rather than partition directories).
+    footer = _sizing_from_footers(
+        _sink_footer_stats(index_path), include_latest_batch
+    )
+    use_footer = (
+        footer is not None
+        and footer[2] is not None  # centroid census proven from dirs
+        and (footer[0] is not None) == ("batch_id" in df.columns)
+    )
+    if use_footer:
+        watermark, f_rows, n_cells = footer
+        if watermark is not None:
+            df = df.filter(F.col("batch_id") <= watermark).drop("batch_id")
+        if rows is None:
+            rows = f_rows
+    else:
+        df, watermark = _fold_batches(df, index_path, include_latest_batch)
+        # one sizing scan over the folded subset: n_cells + row count
+        sizing = df.agg(
+            F.countDistinct("centroid_id").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n_cells = int(sizing["c"])
+        if rows is None:
+            rows = int(sizing["n"])
     if n_cells == 0:
         raise ValueError(f"{index_path} is empty")
-    if rows is None:
-        rows = int(sizing["n"])
     files_per_cell = max(1, -(-int(rows) // (n_cells * target_rows_per_file)))
     # pmod alone (no abs): abs(hash) overflows on Integer.MIN_VALUE under
     # ANSI mode — a 1-in-2^32-per-row crash that WILL fire at 100 TB
@@ -231,6 +253,94 @@ def compact_ivf_index(
     }
     _write_compaction_marker(spark, out_path, report)
     return report
+
+
+def _sink_footer_stats(path: str) -> list[tuple[dict, int]] | None:
+    """Per-file (partition_values, num_rows) for a LOCAL parquet sink,
+    read from directory names + parquet FOOTERS — zero data scans
+    (guide §6: the sizing facts a compaction needs are already in the
+    file index). Returns None (callers fall back to aggregation jobs)
+    for non-local URIs, a missing directory, or an unreadable footer —
+    footer sizing is an optimization, never a correctness dependency.
+
+    Partition values come from ``key=value`` directory segments
+    (``__HIVE_DEFAULT_PARTITION__`` → None, matching how the reader
+    surfaces a null partition value)."""
+    import os as _os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    root = path[len("file://"):] if path.startswith("file://") else path
+    if not _os.path.isdir(root):
+        return None
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        return None
+    out: list[tuple[dict, int]] = []
+    for dirpath, _subdirs, files in _os.walk(root):
+        parts: dict = {}
+        rel = _os.path.relpath(dirpath, root)
+        if rel != ".":
+            for seg in rel.split(_os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    parts[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        for f in files:
+            if f.startswith((".", "_")) or not (
+                f.startswith("part-") or f.endswith(".parquet")
+            ):
+                continue
+            try:
+                nr = _pq.read_metadata(_os.path.join(dirpath, f)).num_rows
+            except Exception:
+                return None
+            out.append((parts, int(nr)))
+    return out
+
+
+def _sizing_from_footers(
+    stats: list[tuple[dict, int]] | None, include_latest_batch: bool
+):
+    """Derive (watermark, rows, n_cells) from footer stats, or None
+    when the listing cannot prove the sink's layout (no files, mixed
+    provenance). ``n_cells`` counts centroid_id partitions with at
+    least one folded row and a non-null id — identical semantics to
+    ``countDistinct(centroid_id)`` over the folded frame. ``n_cells``
+    is None when the sink carries no centroid partitions. Raises the
+    same nothing-safely-compactable error as :func:`_fold_batches` so
+    callers behave identically on a one-batch sink."""
+    if not stats:
+        return None
+    has_batch = [("batch_id" in p) for p, _ in stats]
+    if any(has_batch) and not all(has_batch):
+        return None  # mixed provenance — let the frame-based path decide
+    watermark = None
+    if all(has_batch):
+        try:
+            batch_ids = [int(p["batch_id"]) for p, _ in stats]
+        except (TypeError, ValueError):
+            return None
+        max_b = max(batch_ids)
+        watermark = max_b if include_latest_batch else max_b - 1
+        if watermark < 0:
+            raise ValueError(
+                "only one (possibly in-flight) micro-batch present — nothing "
+                "safely compactable; pass include_latest_batch=True if the "
+                "stream is stopped"
+            )
+        stats = [
+            (p, nr) for (p, nr), b in zip(stats, batch_ids) if b <= watermark
+        ]
+    rows = sum(nr for _, nr in stats)
+    n_cells = None
+    if stats and all("centroid_id" in p for p, _ in stats):
+        by_cell: dict = {}
+        for p, nr in stats:
+            if p["centroid_id"] is not None:
+                by_cell[p["centroid_id"]] = by_cell.get(p["centroid_id"], 0) + nr
+        n_cells = sum(1 for v in by_cell.values() if v > 0)
+    return watermark, rows, n_cells
 
 
 def _fold_batches(df: DataFrame, path: str, include_latest_batch: bool):
@@ -277,9 +387,23 @@ def compact_encoded_sink(
     delta under a live stream. Serve-identical (row set untouched) and
     idempotent (re-run overwrites with identical content)."""
     df = spark.read.parquet(sink_path)
-    df, watermark = _fold_batches(df, sink_path, include_latest_batch)
-    if rows is None:
-        rows = df.count()
+    # footer sizing first (see compact_ivf_index) — the count and the
+    # watermark are metadata; the rewrite below is then the only scan
+    footer = _sizing_from_footers(
+        _sink_footer_stats(sink_path), include_latest_batch
+    )
+    if footer is not None and (footer[0] is not None) == (
+        "batch_id" in df.columns
+    ):
+        watermark, f_rows, _cells = footer
+        if watermark is not None:
+            df = df.filter(F.col("batch_id") <= watermark).drop("batch_id")
+        if rows is None:
+            rows = f_rows
+    else:
+        df, watermark = _fold_batches(df, sink_path, include_latest_batch)
+        if rows is None:
+            rows = df.count()
     if rows == 0:
         raise ValueError(f"{sink_path} is empty")
     n_files = max(1, -(-int(rows) // target_rows_per_file))

@@ -734,3 +734,73 @@ def test_persisted_serve_nonflagship_schema(spark, tmpdir):
     assert len(hits) == 5
     # default aux_data = no filters: ranking is pure text relevance
     assert all(r["relevance"] is not None for r in hits)
+
+
+def test_footer_sizing_matches_aggregation_sizing(spark, tmpdir):
+    """r13: compaction sizing now comes from directory names + parquet
+    footers (zero data scans — the rewrite is the only scan left).
+    Pin that the metadata-derived (watermark, rows, n_cells) equals
+    what the replaced aggregation jobs computed, including the
+    exclude-newest-batch watermark rule and the null-partition and
+    single-batch edges."""
+    from fuserank_spark.streaming.incremental import (
+        _sink_footer_stats,
+        _sizing_from_footers,
+    )
+
+    sink = f"{tmpdir}/sink"
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(60)
+        .select("doc_id", "text")
+    )
+    # three "micro-batches" in the sink layout the streaming writers
+    # produce: batch_id= dirs, centroid_id= subdirs (one null cell)
+    for b in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == b)
+            .withColumn(
+                "centroid_id",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                    (F.col("doc_id") % 4).cast("int")
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{sink}/batch_id={b}")
+        )
+
+    df = spark.read.parquet(sink)
+    for include_latest in (True, False):
+        sized = _sizing_from_footers(_sink_footer_stats(sink), include_latest)
+        assert sized is not None
+        watermark, rows, n_cells = sized
+        want_wm = 2 if include_latest else 1
+        folded = df.filter(F.col("batch_id") <= want_wm)
+        agg = folded.agg(
+            F.countDistinct("centroid_id").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        assert watermark == want_wm
+        assert rows == int(agg["n"])
+        assert n_cells == int(agg["c"])
+
+    # single-batch sink: same nothing-safely-compactable error as the
+    # aggregation path
+    solo = f"{tmpdir}/solo"
+    docs.withColumn("centroid_id", (F.col("doc_id") % 2).cast("int")).write.partitionBy(
+        "centroid_id"
+    ).parquet(f"{solo}/batch_id=0")
+    with pytest.raises(ValueError, match="in-flight"):
+        _sizing_from_footers(_sink_footer_stats(solo), False)
+    wm0, rows0, cells0 = _sizing_from_footers(_sink_footer_stats(solo), True)
+    assert (wm0, rows0, cells0) == (0, 60, 2)
+
+    # non-partitioned sink (no provenance): watermark None, plain count
+    flat = f"{tmpdir}/flat"
+    docs.write.parquet(flat)
+    wmf, rowsf, cellsf = _sizing_from_footers(_sink_footer_stats(flat), False)
+    assert (wmf, rowsf, cellsf) == (None, 60, None)
+
+    # non-local URI refuses (callers fall back to the scan path)
+    assert _sink_footer_stats("s3://bucket/sink") is None
