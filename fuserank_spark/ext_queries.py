@@ -32,6 +32,72 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# default parquet split size (spark.sql.files.maxPartitionBytes) — used
+# only to ESTIMATE how many scan tasks a table already yields
+_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _scan_meta(sf_dir: str, table: str) -> tuple[int, int] | None:
+    """(rows, estimated scan splits) for a parquet table, from file
+    sizes + footers — zero Spark jobs. None when the path is not a
+    local parquet file/dir (callers then skip the fan-out)."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        files = [
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(p)
+            for f in fs
+            if not f.startswith((".", "_"))
+        ]
+    elif os.path.isfile(p):
+        files = [p]
+    else:
+        return None
+    rows = splits = 0
+    for f in files:
+        try:
+            rows += pq.read_metadata(f).num_rows
+        except Exception:
+            return None
+        splits += max(1, -(-os.path.getsize(f) // _SPLIT_BYTES))
+    return rows, splits
+
+
+def _fan_out(
+    df: DataFrame, sf_dir: str, table: str, *, rows_per_partition: int = 128,
+    branches: int = 1,
+) -> DataFrame:
+    """Scale-adaptive fan-out for expression-heavy per-row pipelines
+    (guide §2/§6, r13): a small parquet table arrives as 1-2 scan
+    splits, which serializes interpreted per-row work (md5 shingling,
+    HOF argmins, regex pipelines) onto 1-2 tasks regardless of core
+    count — measured 3.2-8.4x on the signature/encode stages at sf0.1.
+    Repartition round-robin to min(defaultParallelism, rows/rpp)
+    partitions, derived from the scan's OWN footer row count and the
+    session's core count — never a constant (the r11 rule): at real
+    scale the table already yields >= parallelism splits and this is a
+    structural no-op; under the driver's lower-core bench the target
+    follows defaultParallelism down. ``branches`` = number of scan
+    branches feeding ``df`` (a union reads the file once per branch).
+
+    Results are unchanged: round-robin repartition preserves the row
+    SET exactly, every oracle-checked output is totally ordered, and
+    double aggregates downstream are rounded before any comparison
+    (the fold-order doctrine) — re-gated per entry regardless."""
+    meta = _scan_meta(sf_dir, table)
+    if meta is None:
+        return df
+    rows, splits = meta
+    spark = df.sparkSession
+    target = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, int(rows) // rows_per_partition),
+    )
+    return df.repartition(target) if target > splits * branches else df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -134,7 +200,13 @@ def _lsh_pairs_oracle() -> str:
 
 @register("q_lsh_pairs", _lsh_pairs_oracle())
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_with_dups(_docs(spark, sf_dir))
+    # fan out the dup-bearing union before the md5-shingle signature
+    # stage — it arrived as 2 scan splits and ran serial (r13: 3.9 →
+    # ~1.1 s at sf0.1; the banding/pair core below is exchange-bound
+    # and indifferent to the input layout)
+    d = _fan_out(
+        _docs_with_dups(_docs(spark, sf_dir)), sf_dir, "documents", branches=2
+    )
     sigs = D.minhash_signature(d).drop("text")
     return D.lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
 
@@ -184,7 +256,11 @@ _JACCARD_ORACLE = """
 
 @register("q_ngram_jaccard", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # fan out before the shingle projection (serial on the 1-split
+    # scan; the blocked pair core is exchange-bound) — r13
+    d = _fan_out(
+        _docs(spark, sf_dir).select("doc_id", "text"), sf_dir, "documents"
+    )
     # the SQL twin states ALL within-block pairs, so this entry pins
     # an effectively-unbounded cap — the r6 star-edge degrade would
     # otherwise silently diverge from the oracle on any block over
@@ -383,7 +459,7 @@ def _quality_oracle() -> str:
 @register("q_quality", _quality_oracle())
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        TX.quality_features(_docs(spark, sf_dir))
+        TX.quality_features(_fan_out(_docs(spark, sf_dir), sf_dir, "documents"))
         .select("doc_id", "n_tokens", "punct_ratio", "digit_ratio", "stop_ratio", "quality_score")
         .orderBy("doc_id")
     )
@@ -420,7 +496,7 @@ def _langid_oracle() -> str:
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = sorted(TX.STOPWORDS)
     return (
-        TX.lang_scores(_docs(spark, sf_dir))
+        TX.lang_scores(_fan_out(_docs(spark, sf_dir), sf_dir, "documents"))
         .select("doc_id", *[f"score_{la}" for la in langs], "pred_lang")
         .orderBy("doc_id")
     )
@@ -1412,10 +1488,13 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     test = d.filter(F.col("doc_id") % 17 == 0)
-    train = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text").union(
-        d.filter(F.col("doc_id") % 34 == 0).select(
-            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
-        )
+    train = _fan_out(
+        d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text").union(
+            d.filter(F.col("doc_id") % 34 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        ),
+        sf_dir, "documents", branches=2,
     )
     return CU.contaminated_keys(train, test).orderBy("doc_id")
 
@@ -1454,7 +1533,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java regex and RE2 agree."""
     from .pipeline_ext import curation as CU
 
-    d = _docs(spark, sf_dir).select(
+    d = _fan_out(_docs(spark, sf_dir), sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1516,7 +1595,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_ext import curation as CU
 
     return (
-        CU.repetition_stats(_docs(spark, sf_dir))
+        CU.repetition_stats(_fan_out(_docs(spark, sf_dir), sf_dir, "documents"))
         .select("doc_id", "n_tokens", "dup_token_frac", "dup_2gram_frac", "top_token_frac")
         .orderBy("doc_id")
     )
@@ -1703,6 +1782,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no wide shuffle anywhere (retrieval.bm25_topk)."""
     from .pipeline_ext import retrieval as R
 
+    # fan-out measured a 1.19x REGRESSION here (r13 A/B): the input
+    # feeds both the 1-row stats agg and the scoring arm, so the
+    # added exchange is paid twice while TakeOrderedAndProject was
+    # already parallel enough — left alone deliberately
     return R.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20).orderBy("rnk")
 
 
@@ -1975,7 +2058,12 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = Q.forgy_codebooks(
         [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
     )
-    codes = Q.pq_encode(e, books, vec_col="embedding")
+    # fan out the interpreted per-row encode (serial on the 1-split
+    # scan: 0.73 → 0.23 s at sf0.1); the seed collect above reads the
+    # raw scan so the filter still pushes down — r13
+    codes = Q.pq_encode(
+        _fan_out(e, sf_dir, "embeddings"), books, vec_col="embedding"
+    )
     queries = [(r["vec_id"], r["embedding"]) for r in seed_rows[:3]]
     return Q.pq_adc_topk(codes, books, queries, k=10).orderBy("query_id", "rnk")
 
@@ -2105,7 +2193,11 @@ def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PQT_ITERS,
         portable=True,
     )
-    codes = Q.pq_encode(e, books, vec_col="embedding")
+    # fan out the interpreted encode (r13, q_pq_knn rationale); the
+    # training sample and query collects read the raw scan
+    codes = Q.pq_encode(
+        _fan_out(e, sf_dir, "embeddings"), books, vec_col="embedding"
+    )
     seed_rows = e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
     queries = [(r["vec_id"], r["embedding"]) for r in seed_rows]
     return Q.pq_adc_topk(codes, books, queries, k=10).orderBy("query_id", "rnk")
@@ -2220,7 +2312,11 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = Q.forgy_codebooks(
         [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
     )
-    assigned = SS.ivf_assign(e, centroids, score_round=6)
+    # fan out before the two interpreted per-row stages (cell argmin +
+    # PQ encode — serial on the 1-split scan; r13, q_pq_knn rationale)
+    assigned = SS.ivf_assign(
+        _fan_out(e, sf_dir, "embeddings"), centroids, score_round=6
+    )
     codes = Q.pq_encode(assigned, books, vec_col="embedding")
     queries = [(r["vec_id"], r["embedding"]) for r in cent_rows[:3]]
     return Q.ivf_pq_knn(
@@ -2246,7 +2342,7 @@ def pq_cached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = Q.forgy_codebooks(
             [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
         )
-        codes = Q.pq_encode(e, books).persist()
+        codes = Q.pq_encode(_fan_out(e, sf_dir, "embeddings"), books).persist()
         codes.count()
         _PQ_CACHE[key] = (codes, books, [(r["vec_id"], r["embedding"]) for r in seed_rows[:3]])
     codes, books, queries = _PQ_CACHE[key]
@@ -2417,7 +2513,7 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_ext import textstats as TX2
 
     return (
-        TX2.gopher_features(_docs(spark, sf_dir))
+        TX2.gopher_features(_fan_out(_docs(spark, sf_dir), sf_dir, "documents"))
         .select(
             "doc_id",
             "n_tokens",

@@ -69,12 +69,23 @@ def profile(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
         ]
         if not exact:
             aggs.append(F.approx_count_distinct(col).alias(f"{c}__dist"))
-    row = df.agg(*aggs).collect()[0]
     if exact:
-        drow = df.agg(
-            *[F.countDistinct(F.col(c)).alias(f"{c}__dist") for c in cols]
-        ).collect()[0]
-        row = {**row.asDict(), **drow.asDict()}
+        # the exact-distinct agg stays a SEPARATE job (its Expand
+        # would make the percentile buffers ride every copy — module
+        # docstring), but the two jobs are INDEPENDENT: submit both
+        # from a 2-thread pool so the short distinct job back-fills
+        # while the percentile merge runs (guide §2.6; r13 measured
+        # the percentile agg 2.4 s and the distinct agg 0.8 s strictly
+        # sequential before — the overlap hides the smaller one)
+        from concurrent.futures import ThreadPoolExecutor
+
+        dist_aggs = [F.countDistinct(F.col(c)).alias(f"{c}__dist") for c in cols]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fmain = pool.submit(lambda: df.agg(*aggs).collect()[0])
+            fdist = pool.submit(lambda: df.agg(*dist_aggs).collect()[0])
+            row = {**fmain.result().asDict(), **fdist.result().asDict()}
+    else:
+        row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
     out = []
     for c in cols:
