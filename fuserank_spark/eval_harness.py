@@ -187,7 +187,8 @@ def evaluate_fused_vs_exact(
             sample_rows, n_queries, n_modalities, seed,
             reference_regime=reference_regime, n_chars_min=n_chars_min,
         )
-        for q in queries:
+
+        def _one(q: dict) -> dict:
             cq = compile_query(
                 q["text"], q["aux"], EVAL_AUX_SCHEMA, corpus.stats, corpus.layout,
                 text_embedder=embedder, num_harmonics=K,
@@ -209,15 +210,22 @@ def evaluate_fused_vs_exact(
                 .select("row_id")
                 .collect()
             ]
-            results.append(
-                {
-                    "num_harmonics": K,
-                    "interval_epsilon": interval_epsilon,
-                    "query_id": q["query_id"],
-                    "recall": recall(oracle, fused),
-                    "r_precision": r_precision(oracle, fused),
-                }
-            )
+            return {
+                "num_harmonics": K,
+                "interval_epsilon": interval_epsilon,
+                "query_id": q["query_id"],
+                "recall": recall(oracle, fused),
+                "r_precision": r_precision(oracle, fused),
+            }
+
+        # the per-query jobs are INDEPENDENT driver actions over the
+        # persisted corpus — submit them from a small thread pool so
+        # the 2·n_queries sequential collects overlap (guide §2.6);
+        # pool.map preserves query order, results are byte-identical
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            results.extend(pool.map(_one, queries))
         corpus.encoded.unpersist()
     if own_base:
         base[1].unpersist()
@@ -285,8 +293,9 @@ def evaluate_geo_rank_agreement(
     )
     rng = random.Random(seed)
     picks = rng.sample(loc_rows, k=min(n_queries, len(loc_rows)))
-    results: list[dict] = []
-    for i, row in enumerate(picks):
+
+    def _one(item) -> dict:
+        i, row = item
         lon = float(row["location"]["lon"])
         lat = float(row["location"]["lat"])
         aux: dict[str, tuple] = {c: (None, 0.0) for c in EVAL_AUX_SCHEMA}
@@ -320,14 +329,19 @@ def evaluate_geo_rank_agreement(
             .select("row_id")
             .collect()
         ]
-        results.append(
-            {
-                "num_harmonics": num_harmonics,
-                "query_id": i,
-                "recall": recall(exact, fused),
-                "r_precision": r_precision(exact, fused),
-            }
-        )
+        return {
+            "num_harmonics": num_harmonics,
+            "query_id": i,
+            "recall": recall(exact, fused),
+            "r_precision": r_precision(exact, fused),
+        }
+
+    # independent per-query jobs overlapped (guide §2.6) — see
+    # evaluate_fused_vs_exact; order preserved by pool.map
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(_one, enumerate(picks)))
     corpus.encoded.unpersist()
     return results
 
@@ -469,23 +483,37 @@ def fused_ivf_nprobe_sweep(
                 text_embedder=emb, num_harmonics=NUM_HARMONICS,
             )
             qvecs.append(cqi.vector)
-    exact = [
-        {r["row_id"] for r in topk(corpus.encoded, qv, k=k).collect()}
-        for qv in qvecs
-    ]
+    # every (query, nprobe) top-k is an independent driver action over
+    # persisted frames — overlap them from a small thread pool (guide
+    # §2.6; pool.map preserves order, results byte-identical)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _approx(args):
+        qi, np_ = args
+        probed = probe_cells(cents, qvecs[qi], int(np_))
+        return {
+            r["row_id"]
+            for r in topk(
+                assigned, qvecs[qi], k=k,
+                predicate=_F.col("centroid_id").isin(probed),
+            ).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        exact = list(
+            pool.map(
+                lambda qv: {r["row_id"] for r in topk(corpus.encoded, qv, k=k).collect()},
+                qvecs,
+            )
+        )
+        grid = [(qi, np_) for np_ in nprobes for qi in range(len(qvecs))]
+        approx = dict(zip(grid, pool.map(_approx, grid)))
     rows = []
     for np_ in nprobes:
-        recalls = []
-        for qv, ex in zip(qvecs, exact):
-            probed = probe_cells(cents, qv, int(np_))
-            got = {
-                r["row_id"]
-                for r in topk(
-                    assigned, qv, k=k,
-                    predicate=_F.col("centroid_id").isin(probed),
-                ).collect()
-            }
-            recalls.append(len(ex & got) / max(len(ex), 1))
+        recalls = [
+            len(exact[qi] & approx[(qi, np_)]) / max(len(exact[qi]), 1)
+            for qi in range(len(qvecs))
+        ]
         if n_queries <= 1:
             rows.append((int(np_), recalls[0]))
         else:
