@@ -28,6 +28,22 @@ from .queries import register
 _H = portable_hash32_sql("{expr}")  # template form; .format(expr=...) fills the column
 
 
+
+def _dense_prefix(rows, n: int, id_col: str = "vec_id") -> None:
+    """The collected-seed reuse trick (r12 q_ivf_knn, r13 q_ivfpq_knn)
+    assumes ids are DENSE from 0, because the oracle twin states
+    ``WHERE vec_id < n`` while the engine slices the first n collected
+    rows. Fail loudly on a sparse-id fixture instead of silently
+    diverging (ADVICE r12)."""
+    got = [int(r[id_col]) for r in rows[:n]]
+    if got != list(range(n)):
+        raise ValueError(
+            f"seed rows are not dense from 0 (first {n} ids = {got}); "
+            f"the [:{n}] query-batch slice no longer equals the "
+            f"oracle's {id_col} < {n}"
+        )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1006,6 +1022,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow LocalRelation instead
     from .session import local_frame
 
+    _dense_prefix(cent_rows, 3)
     queries = local_frame(
         spark,
         [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows[:3]],
@@ -2064,6 +2081,7 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = Q.pq_encode(
         _fan_out(e, sf_dir, "embeddings"), books, vec_col="embedding"
     )
+    _dense_prefix(seed_rows, 3)
     queries = [(r["vec_id"], r["embedding"]) for r in seed_rows[:3]]
     return Q.pq_adc_topk(codes, books, queries, k=10).orderBy("query_id", "rnk")
 
@@ -2306,9 +2324,14 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_ext import quantization as Q
 
     e = _emb(spark, sf_dir)
-    cent_rows = e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    centroids = np.array([r["embedding"] for r in cent_rows], dtype="float64")
+    # ONE seed collect: the 8 coarse centroids are the first 8 of the
+    # _PQ_K codebook seeds (both ordered by vec_id; density guarded) —
+    # the second full-scan collect job was pure overhead (r12 #8
+    # precedent, r13)
     seed_rows = e.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    _dense_prefix(seed_rows, 8)
+    cent_rows = seed_rows[:8]
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype="float64")
     books = Q.forgy_codebooks(
         [r["embedding"] for r in seed_rows], dim=64, m=_PQ_M, k=_PQ_K
     )
@@ -2344,6 +2367,7 @@ def pq_cached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         codes = Q.pq_encode(_fan_out(e, sf_dir, "embeddings"), books).persist()
         codes.count()
+        _dense_prefix(seed_rows, 3)
         _PQ_CACHE[key] = (codes, books, [(r["vec_id"], r["embedding"]) for r in seed_rows[:3]])
     codes, books, queries = _PQ_CACHE[key]
     return Q.pq_adc_topk(codes, books, queries, k=10)

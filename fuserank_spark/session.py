@@ -65,7 +65,15 @@ def local_frame(spark: SparkSession, rows: list, schema: str):
     never inference (ADVICE r11).
 
     ``rows`` is a list of tuples aligned with the schema's field
-    order (the same shape ``createDataFrame(list, schema)`` takes)."""
+    order (the same shape ``createDataFrame(list, schema)`` takes).
+
+    Contracts (ADVICE r12): ``schema`` must be SPACE-separated DDL
+    ('name type, ...') — the colon form ('a:int') is rejected rather
+    than silently mis-parsed; each row must carry exactly one value
+    per field (createDataFrame(list) would error, the pandas path
+    would silently drop extras). The pandas→Arrow conversion coerces
+    float NaN to null — a call site with a legitimate NaN payload
+    must not use this helper."""
     import pandas as pd
 
     names = []
@@ -73,12 +81,23 @@ def local_frame(spark: SparkSession, rows: list, schema: str):
     field = ""
     for ch in schema + ",":
         if ch == "," and depth == 0:
-            names.append(field.strip().split()[0].strip("`"))
+            name = field.strip().split()[0].strip("`")
+            if ":" in name:
+                raise ValueError(
+                    f"local_frame schema must be space-separated DDL "
+                    f"('name type, ...'); got colon-form field {field.strip()!r}"
+                )
+            names.append(name)
             field = ""
             continue
         depth += ch in "<("
         depth -= ch in ">)"
         field += ch
+    if rows and len(rows[0]) != len(names):
+        raise ValueError(
+            f"local_frame row width {len(rows[0])} != schema field "
+            f"count {len(names)} ({names})"
+        )
     data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
     return spark.createDataFrame(pd.DataFrame(data, columns=names), schema=schema)
 
